@@ -1,0 +1,324 @@
+"""jsonLogic -> Catalyst Column compiler.
+
+The reference evaluates jsonLogic formulas with a per-record recursive
+interpreter (/root/reference/nacc_form_validator/json_logic.py:255-284).
+Here the same ``{op: [args]}`` AST compiles ONCE on the driver into a pure
+Column expression — whole-stage codegen, no Python in the row path.
+
+JS-style coercions replicated (citations into json_logic.py):
+
+- soft ``==``/``!=`` (:46-62): string-coercing (``str(None) == 'None'``!),
+  bool-aware truthiness, floats compared with isclose(abs_tol=1e-2);
+- ``< <= > >=`` (:72-97): variadic chains; null rules ``None < x`` True,
+  ``x < None`` False, ``None < None`` False (NOT SQL three-valued logic);
+- arithmetic (:100-241): string args coerced to numbers, ``/`` is float;
+- ``count`` (:248-249): number of truthy args; ``count_exact`` (:179-190):
+  strict-equality count against a base (``None == None`` counts);
+- unknown op (:281-282) and count_exact arity errors become *compile-time*
+  :class:`LogicCompileError`, surfaced by the ``logic`` rule as a constant
+  FORMULA finding (the reference raises ValueError per record,
+  nacc_validator.py:944-945).
+
+Each node compiles to ``(Column, kind)`` where kind is a static type tag
+('int' 'float' 'str' 'bool' 'date' 'datetime' 'null' 'num' 'unknown').
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Callable, Dict, List, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.kernel import NUMERIC_KINDS, isclose, truthy
+
+
+class LogicCompileError(ValueError):
+    """Formula cannot compile; message matches the reference's ValueError."""
+
+
+Node = Tuple[Column, str]
+
+
+def _lit_node(v: Any) -> Node:
+    if v is None:
+        return F.lit(None), "null"
+    if isinstance(v, bool):
+        return F.lit(v), "bool"
+    if isinstance(v, int):
+        return F.lit(v), "int"
+    if isinstance(v, float):
+        return F.lit(v), "float"
+    if isinstance(v, str):
+        return F.lit(v), "str"
+    if isinstance(v, _dt.datetime):
+        return F.lit(v), "datetime"
+    if isinstance(v, _dt.date):
+        return F.lit(v), "date"
+    raise LogicCompileError(f"Unsupported literal {v!r}")
+
+
+def python_str(col: Column, kind: str) -> Column:
+    """str(value) with Python renderings, incl. str(None) == 'None'."""
+    if kind == "bool":
+        s = F.when(col, "True").otherwise("False")
+    elif kind == "float":
+        # python floats always render a decimal point; spark cast matches
+        # for non-integral values, for integral ones it gives '2.0' as well
+        s = col.cast("string")
+    else:
+        s = col.cast("string")
+    return F.coalesce(s, F.lit("None"))
+
+
+def _to_numeric(node: Node) -> Node:
+    """json_logic.to_numeric (:100-110): strings parse to int/float."""
+    col, kind = node
+    if kind in NUMERIC_KINDS or kind == "num":
+        return node
+    if kind == "null":
+        return F.lit(None).cast("double"), "num"
+    # runtime string parse; '.'-containing -> float else int — both fit double
+    return col.cast("string").try_cast("double"), "num"
+
+
+def _soft_equals(a: Node, b: Node) -> Column:
+    (ca, ka), (cb, kb) = a, b
+    if ka == "str" or kb == "str":
+        return python_str(ca, ka) == python_str(cb, kb)
+    if ka == "bool" or kb == "bool":
+        return truthy(ca, ka) == truthy(cb, kb)
+    if ka in NUMERIC_KINDS and kb in NUMERIC_KINDS:
+        both = ca.isNotNull() & cb.isNotNull()
+        return (F.when(both, isclose(ca, cb)).when(
+            ca.isNull() & cb.isNull(), F.lit(True)).otherwise(F.lit(False)))
+    if ka == "null" and kb == "null":
+        return F.lit(True)
+    if ka == "null":
+        return cb.isNull()
+    if kb == "null":
+        return ca.isNull()
+    # same-kind (dates etc.): null-safe equality mirrors python ==
+    return ca.eqNullSafe(cb)
+
+
+def _hard_equals(a: Node, b: Node) -> Column:
+    (ca, ka), (cb, kb) = a, b
+    static_kinds_differ = (ka != kb and not ({ka, kb} <= {"int", "bool"})
+                           and "unknown" not in (ka, kb) and "num" not in
+                           (ka, kb))
+    if static_kinds_differ:
+        return F.lit(False)
+    return ca.eqNullSafe(cb)
+
+
+def _less(a: Node, b: Node) -> Column:
+    """json_logic.less (:72-91) two-valued null table."""
+    (ca, ka), (cb, kb) = a, b
+    if ka == "null" and kb == "null":
+        return F.lit(False)
+    if ka == "null":
+        return cb.isNotNull()
+    if kb == "null":
+        return F.lit(False)
+    if ka in NUMERIC_KINDS or kb in NUMERIC_KINDS:
+        ca, cb = ca.cast("double"), cb.cast("double")
+    core = ca < cb
+    return (F.when(ca.isNull() & cb.isNull(), F.lit(False)).when(
+        ca.isNull(), F.lit(True)).when(cb.isNull(),
+                                       F.lit(False)).otherwise(core))
+
+
+def _less_chain(args: List[Node]) -> Column:
+    parts = [_less(args[i], args[i + 1]) for i in range(len(args) - 1)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+def _leq(a: Node, b: Node) -> Column:
+    return _less(a, b) | _soft_equals(a, b)
+
+
+def _leq_chain(args: List[Node]) -> Column:
+    parts = [_leq(args[i], args[i + 1]) for i in range(len(args) - 1)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+class LogicCompiler:
+    """Compiles jsonLogic trees against a column binding.
+
+    ``binding`` maps a var name to a (Column, kind) pair; names outside the
+    binding resolve to null (json_logic.get_var default, :136-147).
+    """
+
+    def __init__(self, resolve_var: Callable[[str], Node]):
+        self.resolve_var = resolve_var
+
+    # -- public ----------------------------------------------------------
+    def compile(self, tree: Any) -> Node:
+        if tree is None or not isinstance(tree, dict):
+            return _lit_node(tree)
+
+        op = list(tree.keys())[0]
+        values = tree[op]
+        if not isinstance(values, (list, tuple)):
+            values = [values]
+
+        if op == "var":
+            name = values[0]
+            if isinstance(name, dict):
+                raise LogicCompileError("dynamic var names not supported")
+            return self.resolve_var(str(name))
+        if op in ("missing", "missing_some"):
+            raise LogicCompileError(
+                f"{op} compiles to a constant only; unsupported in columns")
+
+        args = [self.compile(v) for v in values]
+        return self._apply(op, args)
+
+    def compile_bool(self, tree: Any) -> Column:
+        """Compile to a truthiness Column (the ``logic`` rule's contract)."""
+        col, kind = self.compile(tree)
+        return truthy(col, kind)
+
+    # -- op dispatch -----------------------------------------------------
+    def _apply(self, op: str, args: List[Node]) -> Node:
+        if op == "==":
+            return _soft_equals(args[0], args[1]), "bool"
+        if op == "!=":
+            return ~_soft_equals(args[0], args[1]), "bool"
+        if op == "===":
+            return _hard_equals(args[0], args[1]), "bool"
+        if op == "!==":
+            return ~_hard_equals(args[0], args[1]), "bool"
+        if op == "<":
+            return _less_chain(args), "bool"
+        if op == "<=":
+            return _leq_chain(args), "bool"
+        if op == ">":
+            return _less_chain(list(reversed(args))), "bool"
+        if op == ">=":
+            return _leq_chain(list(reversed(args))), "bool"
+        if op == "!":
+            return ~truthy(*args[0]), "bool"
+        if op == "!!":
+            return truthy(*args[0]), "bool"
+        if op == "%":
+            a, b = _to_numeric(args[0])[0], _to_numeric(args[1])[0]
+            # python modulo sign follows the divisor
+            return ((a % b) + b) % b, "num"
+        if op == "and":
+            out = F.lit(True)
+            for a in args:
+                out = out & truthy(*a)
+            return out, "bool"
+        if op == "or":
+            out = F.lit(False)
+            for a in args:
+                out = out | truthy(*a)
+            return out, "bool"
+        if op in ("?:", "if"):
+            return self._if(args)
+        if op == "log":
+            return args[0]
+        if op == "in":
+            return self._in(args)
+        if op == "cat":
+            return F.concat(*[python_str(c, k) for c, k in args]), "str"
+        if op == "+":
+            cols = [_to_numeric(a)[0] for a in args]
+            out = cols[0]
+            for c in cols[1:]:
+                out = out + c
+            return out, "num"
+        if op == "-":
+            if len(args) == 1:
+                return -_to_numeric(args[0])[0], "num"
+            return _to_numeric(args[0])[0] - _to_numeric(args[1])[0], "num"
+        if op == "*":
+            out = F.lit(1.0)
+            for a in args:
+                out = out * _to_numeric(a)[0].cast("double")
+            return out, "num"
+        if op == "/":
+            a = _to_numeric(args[0])[0].cast("double")
+            b = _to_numeric(args[1])[0].cast("double")
+            return a / b, "num"
+        if op == "min":
+            return F.least(*[c for c, _ in args]), _merge_kind(args)
+        if op == "max":
+            return F.greatest(*[c for c, _ in args]), _merge_kind(args)
+        if op == "count":
+            out = F.lit(0)
+            for a in args:
+                out = out + F.when(truthy(*a), 1).otherwise(0)
+            return out, "int"
+        if op == "count_exact":
+            return self._count_exact(args)
+        raise LogicCompileError(f"Unrecognized operation {op}")
+
+    def _if(self, args: List[Node]) -> Node:
+        # if/elseif chains: (cond, val)*, [else]
+        pairs = []
+        i = 0
+        while i < len(args) - 1:
+            pairs.append((args[i], args[i + 1]))
+            i += 2
+        else_node = args[-1] if len(args) % 2 else None
+        out = None
+        for cond, val in pairs:
+            if out is None:
+                out = F.when(truthy(*cond), val[0])
+            else:
+                out = out.when(truthy(*cond), val[0])
+        kinds = [v[1] for _, v in pairs]
+        if else_node is not None:
+            out = out.otherwise(else_node[0]) if out is not None else else_node[0]
+            kinds.append(else_node[1])
+        if out is None:
+            return F.lit(None), "null"
+        return out, _merge_kind_list(kinds)
+
+    def _in(self, args: List[Node]) -> Node:
+        (ca, ka), (cb, kb) = args[0], args[1]
+        if kb == "str":
+            return F.coalesce(cb.contains(python_str(ca, ka)),
+                              F.lit(False)), "bool"
+        raise LogicCompileError("'in' against non-literal lists unsupported")
+
+    def _count_exact(self, args: List[Node]) -> Node:
+        if len(args) < 2:
+            raise LogicCompileError(
+                "count_exact needs a base and at least 1 value to compare to")
+        base_c, base_k = args[0]
+        out = F.lit(0)
+        for c, k in args[1:]:
+            if base_k == "null":
+                eq = c.isNull()
+            elif k == "null":
+                eq = base_c.isNull()
+            else:
+                eq = c.eqNullSafe(base_c)
+            out = out + F.when(eq, 1).otherwise(0)
+        return out, "int"
+
+
+def _merge_kind(args: List[Node]) -> str:
+    return _merge_kind_list([k for _, k in args])
+
+
+def _merge_kind_list(kinds: List[str]) -> str:
+    ks = {k for k in kinds if k != "null"}
+    if not ks:
+        return "null"
+    if len(ks) == 1:
+        return next(iter(ks))
+    if ks <= NUMERIC_KINDS | {"num"}:
+        return "num"
+    return "unknown"
