@@ -68,7 +68,19 @@ def build_df(spark, schema: Dict[str, dict], records: List[Dict[str, Any]],
         fields["__dummy"] = T.LongType()
         records = [{"__dummy": 0} for _ in records]
     st = T.StructType([T.StructField(k, v, True) for k, v in fields.items()])
-    rows = [tuple(r.get(k) for k in fields) for r in records]
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        if isinstance(t, T.DoubleType) and isinstance(v, int) and \
+                not isinstance(v, bool):
+            return float(v)
+        if isinstance(t, T.LongType) and isinstance(v, bool):
+            return int(v)
+        return v
+
+    rows = [tuple(coerce(r.get(k), fields[k]) for k in fields)
+            for r in records]
     return spark.createDataFrame(rows, st)
 
 

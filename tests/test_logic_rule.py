@@ -1,0 +1,196 @@
+"""jsonLogic rule goldens ported from
+/root/reference/tests/test_rules_logic.py."""
+
+from tests.conftest import assert_scenarios, run_check
+
+
+def _race_schema(op):
+    return {
+        "raceasian": {"type": "integer", "nullable": True, "allowed": [1]},
+        "raceblack": {"type": "integer", "nullable": True, "allowed": [1]},
+        "raceaian": {
+            "type": "integer", "nullable": True, "allowed": [1],
+            "logic": {
+                "formula": {
+                    op: [
+                        {"==": [1, {"var": "raceaian"}]},
+                        {"==": [1, {"var": "raceasian"}]},
+                        {"==": [1, {"var": "raceblack"}]},
+                    ]
+                }
+            },
+        },
+    }
+
+
+def test_logic_or(spark):
+    schema = _race_schema("or")
+    res = run_check(spark, schema, [
+        {"raceasian": 1},
+        {"raceblack": 1},
+        {"raceaian": 1, "raceasian": None, "raceblack": None},
+        {"raceaian": None, "raceasian": 1, "raceblack": 1},
+        {"raceaian": 1, "raceasian": 1, "raceblack": 1},
+        {"raceaian": None, "raceasian": None, "raceblack": None},
+        {"raceaian": None},
+    ])
+    assert [r["passed"] for r in res] == [True] * 5 + [False, False]
+    assert res[5]["msgs"] == [
+        "error in formula evaluation - value None does not satisfy "
+        "the specified formula"
+    ]
+    assert res[6]["msgs"] == res[5]["msgs"]
+
+
+def test_logic_and(spark):
+    schema = _race_schema("and")
+    res = run_check(spark, schema, [
+        {"raceaian": 1, "raceasian": 1, "raceblack": 1},
+        {"raceaian": 1, "raceasian": None, "raceblack": None},
+    ])
+    assert res[0]["passed"]
+    assert not res[1]["passed"]
+    assert res[1]["msgs"] == [
+        "error in formula evaluation - value 1 does not satisfy "
+        "the specified formula"
+    ]
+
+
+def test_logic_or_equality_with_none(spark):
+    schema = {
+        **{f"sib{i}yob": {"type": "integer", "nullable": True}
+           for i in range(1, 6)},
+        "ftdsibby": {
+            "type": "integer", "required": True,
+            "logic": {
+                "formula": {
+                    "or": [{"<=": [{"var": "ftdsibby"}, {"var": "sib1yob"}]}] +
+                          [{"==": [{"var": "ftdsibby"}, {"var": f"sib{i}yob"}]}
+                           for i in range(2, 6)]
+                }
+            },
+        },
+    }
+    assert_scenarios(spark, schema, [
+        ({"ftdsibby": 2000, "sib1yob": 2000}, True),
+        ({"ftdsibby": 2000, "sib2yob": 2000}, True),
+        ({"ftdsibby": 2000, "sib5yob": 2000}, True),
+        ({"ftdsibby": 2000, "sib1yob": 1990, "sib2yob": 1991,
+          "sib3yob": 2000, "sib4yob": 1993, "sib5yob": 1994}, True),
+        ({"ftdsibby": 2000, "sib1yob": None, "sib2yob": None,
+          "sib3yob": 2000}, True),
+        ({"ftdsibby": 2000, "sib1yob": 1990, "sib2yob": 1991,
+          "sib3yob": 1992, "sib4yob": 1993, "sib5yob": 1994}, False),
+        ({"ftdsibby": 2000, "sib1yob": None, "sib2yob": 1991,
+          "sib3yob": None, "sib4yob": 1993, "sib5yob": None}, False),
+        ({"ftdsibby": 2000}, False),
+    ])
+
+
+def test_logic_sum(spark):
+    schema = {
+        "var1": {"type": "integer"},
+        "var2": {"type": "integer"},
+        "var3": {"type": "integer"},
+        "total": {
+            "type": "integer",
+            "logic": {
+                "formula": {
+                    "==": [{"var": "total"},
+                           {"+": [{"var": "var1"}, {"var": "var2"},
+                                  {"var": "var3"}]}]
+                }
+            },
+        },
+    }
+    res = run_check(spark, schema, [
+        {"total": 10, "var1": 5, "var2": 3, "var3": 2},
+        {"total": 10, "var1": 10, "var2": 0, "var3": 0},
+        {"total": 10, "var1": 20, "var2": -5, "var3": -5},
+        {"total": 9, "var1": 5, "var2": 3, "var3": 2},
+    ])
+    assert [r["passed"] for r in res] == [True, True, True, False]
+    assert res[3]["msgs"] == [
+        "error in formula evaluation - value 9 does not satisfy the "
+        "specified formula"
+    ]
+
+
+def _count_exact_schema(base):
+    return {
+        **{f"var{i}": {"type": "integer", "nullable": True}
+           for i in range(1, 6)},
+        "count": {
+            "type": "integer",
+            "logic": {
+                "formula": {
+                    "==": [{"var": "count"},
+                           {"count_exact": [base] +
+                            [{"var": f"var{i}"} for i in range(1, 6)]}]
+                }
+            },
+        },
+    }
+
+
+def test_logic_count_exact(spark):
+    schema = _count_exact_schema(0)
+    assert_scenarios(spark, schema, [
+        ({"count": 5, "var1": 0, "var2": 0, "var3": 0, "var4": 0,
+          "var5": 0}, True),
+        ({"count": 4, "var1": 0, "var2": 0, "var3": 0, "var4": 0,
+          "var5": 1}, True),
+        ({"count": 3, "var1": 1, "var2": 0, "var3": 0, "var4": 0,
+          "var5": 1}, True),
+        ({"count": 0, "var1": 1, "var2": 2, "var3": 3, "var4": 4,
+          "var5": 5}, True),
+        ({"count": 0}, True),
+        ({"count": 2, "var5": 0, "var4": 1, "var3": 0}, True),
+        ({"count": 3, "var5": 0, "var4": None, "var3": None, "var2": 0,
+          "var1": 0}, True),
+        ({"count": 0, "var1": 0, "var2": 0, "var3": 0, "var4": 0,
+          "var5": 0}, False),
+        ({"count": 5, "var1": 1, "var2": 2, "var3": 3, "var4": 4,
+          "var5": 5}, False),
+        ({"count": 4, "var5": 1, "var4": None, "var3": None, "var2": 0,
+          "var1": 0}, False),
+    ])
+
+
+def test_logic_count_exact_none(spark):
+    schema = _count_exact_schema(None)
+    assert_scenarios(spark, schema, [
+        ({"count": 5, "var1": None, "var2": None, "var3": None,
+          "var4": None, "var5": None}, True),
+        ({"count": 4, "var1": None, "var2": None, "var3": None,
+          "var4": None, "var5": 1}, True),
+        ({"count": 3, "var1": None, "var2": None, "var3": 0, "var4": None,
+          "var5": 1}, True),
+        ({"count": 0, "var1": 1, "var2": 2, "var3": 3, "var4": 4,
+          "var5": 5}, True),
+        ({"count": 5}, True),
+        ({"count": 2, "var5": 0, "var4": 1, "var3": 0}, True),
+        ({"count": 2, "var5": 0, "var4": None, "var3": None, "var2": 0,
+          "var1": 0}, True),
+        ({"count": 5, "var1": 0, "var2": 0, "var3": 0, "var4": 0,
+          "var5": 0}, False),
+        ({"count": 5, "var1": None, "var2": 2, "var3": None, "var4": 4,
+          "var5": None}, False),
+        ({"count": 2, "var5": 1, "var2": 0, "var1": None}, False),
+    ])
+
+
+def test_logic_count_exact_invalid_list(spark):
+    schema = {
+        "count": {
+            "type": "integer",
+            "logic": {"formula": {"==": [{"var": "count"},
+                                         {"count_exact": [1]}]}},
+        }
+    }
+    res = run_check(spark, schema, [{"count": 1}])
+    assert not res[0]["passed"]
+    assert res[0]["msgs"] == [
+        "error in formula evaluation - count_exact needs a base and at "
+        "least 1 value to compare to"
+    ]
