@@ -649,10 +649,14 @@ class RuleCompiler:
 
     def _error_list_str(self, field: str, findings: List[Finding]) -> Column:
         """Render "('field', ['msg1', 'msg2'])" like str(errors.items())."""
-        parts = [
-            F.when(f.cond, F.concat(F.lit("'"), f.msg, F.lit("'")))
-            for f in findings
-        ]
+        # python repr quoting: double quotes when the msg has an apostrophe
+        def quoted(msg):
+            return F.when(
+                msg.contains("'"),
+                F.concat(F.lit('"'), msg, F.lit('"'))).otherwise(
+                    F.concat(F.lit("'"), msg, F.lit("'")))
+
+        parts = [F.when(f.cond, quoted(f.msg)) for f in findings]
         if parts:
             arr = F.array_compact(F.array(*parts))
             joined = F.array_join(arr, ", ")
@@ -1047,13 +1051,14 @@ class RuleCompiler:
             valid = compare_values_col(cmp, age, tcol, "float",
                                        tkind if tkind != "str" else "str")
             incomparable = ok & valid.isNull()
+            type_err = (f"'{cmp}' not supported between instances of "
+                        f"'float' and '{'str' if tkind == 'str' else tkind}'")
             out.append(
                 Finding(
                     incomparable, Codes.COMPARE_AGE_INVALID_COMPARISON,
                     "compare_age",
                     msg_of(Codes.COMPARE_AGE_INVALID_COMPARISON, str(target),
-                           field, age.cast("string"),
-                           "unsupported comparison")))
+                           field, age.cast("string"), type_err)))
             out.append(
                 Finding(ok & ~incomparable & ~F.coalesce(valid, F.lit(True)),
                         Codes.COMPARE_AGE, "compare_age",

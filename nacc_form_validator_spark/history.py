@@ -50,7 +50,9 @@ def apply_history(df: DataFrame, ctx: CompileContext) -> DataFrame:
     if not ctx.pk_field or not ctx.orderby:
         return df
 
-    w = Window.partitionBy(ctx.pk_field).orderBy(ctx.orderby)
+    orderby = ctx.orderby if isinstance(ctx.orderby, (list, tuple)) else \
+        [ctx.orderby]
+    w = Window.partitionBy(ctx.pk_field).orderBy(*orderby)
     w_prec = w.rowsBetween(Window.unboundedPreceding, -1)
 
     def present(fields) -> List[str]:

@@ -78,10 +78,17 @@ def compare_values_col(cmp: str,
 
     # resolve the non-null comparison, with float-closeness for ==/!=
     numeric = value_kind in NUMERIC_KINDS and base_kind in NUMERIC_KINDS
-    str_vs_num = {value_kind, base_kind} <= {"str", "int", "float", "num",
-                                             "bool"} and "str" in (value_kind,
-                                                                   base_kind)
+    temporal_kinds = {"date", "datetime"}
+    both_str = value_kind == "str" and base_kind == "str"
+    mixed_str_num = (not both_str and "str" in (value_kind, base_kind)
+                     and (value_kind in NUMERIC_KINDS
+                          or base_kind in NUMERIC_KINDS))
+    same_temporal = value_kind in temporal_kinds and value_kind == base_kind
+    mixed_incomparable = (not numeric and not both_str and not mixed_str_num
+                          and not same_temporal and "unknown" not in
+                          (value_kind, base_kind))
 
+    ordering = cmp not in ("==", "!=")
     if numeric:
         if cmp == "==":
             core = isclose(value, base)
@@ -90,21 +97,38 @@ def compare_values_col(cmp: str,
         else:
             core = _native_compare(cmp, value.cast("double"),
                                    base.cast("double"))
-    elif str_vs_num:
+    elif both_str:
         # runtime-floatable check: python float("4.2") succeeds for numeric
         # strings (utils.get_float, /root/reference/nacc_form_validator/utils.py:62-68)
         fv = value.cast("string").try_cast("double")
         fb = base.cast("string").try_cast("double")
         floatable = fv.isNotNull() & fb.isNotNull()
         if cmp == "==":
-            core = F.when(floatable, isclose(fv, fb)).otherwise(
-                value.cast("string") == base.cast("string"))
+            core = F.when(floatable, isclose(fv, fb)).otherwise(value == base)
         elif cmp == "!=":
-            core = F.when(floatable, ~isclose(fv, fb)).otherwise(
-                value.cast("string") != base.cast("string"))
+            core = F.when(floatable, ~isclose(fv, fb)).otherwise(value != base)
         else:
-            # ordering across str/num: defined only when both floatable
-            core = F.when(floatable, _native_compare(cmp, fv, fb))
+            core = _native_compare(cmp, value, base)
+    elif mixed_str_num:
+        # python: float-vs-str ORDERING raises TypeError even for numeric
+        # strings (utils.py:108-120 falls through to the native operator);
+        # only ==/!= get the float path
+        fv = value.cast("string").try_cast("double")
+        fb = base.cast("string").try_cast("double")
+        floatable = fv.isNotNull() & fb.isNotNull()
+        if cmp == "==":
+            core = F.when(floatable, isclose(fv, fb)).otherwise(F.lit(False))
+        elif cmp == "!=":
+            core = F.when(floatable, ~isclose(fv, fb)).otherwise(F.lit(True))
+        else:
+            core = F.lit(None).cast("boolean")  # TypeError analogue
+    elif mixed_incomparable:
+        if cmp == "==":
+            core = F.lit(False)
+        elif cmp == "!=":
+            core = F.lit(True)
+        else:
+            core = F.lit(None).cast("boolean")  # TypeError analogue
     else:
         core = _native_compare(cmp, value, base)
 
