@@ -1,0 +1,122 @@
+"""Language identification stage.
+
+The recast of the reference's broadcast reference-data membership checks
+(is_valid_adcid / is_valid_rxcui, /root/reference/nacc_form_validator/datastore.py:106-136):
+a model artifact is broadcast to executors and applied vectorized.
+
+Two interchangeable implementations with identical outputs:
+
+- :func:`langid_expr` — pure Column expression (stopword-profile argmax),
+  whole-stage codegen, ANSI-SQL-expressible for the DuckDB oracle;
+- :func:`langid_udf` — Arrow pandas UDF consuming a broadcast model dict
+  (the fastText-shaped scale path: swap the scoring body for a real
+  ``model.predict`` when the artifact exists; plumbing — broadcast,
+  batching, schema — is identical).
+
+Deterministic by construction: profiles are fixed wordlists, ties broken
+by profile order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+#: marker-word profiles per language (order = tie-break priority)
+PROFILES: List[Tuple[str, Tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "to", "in", "is", "that", "with", "for",
+            "was")),
+    ("es", ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las")),
+    ("de", ("der", "die", "und", "das", "ist", "von", "den", "mit", "im",
+            "nicht")),
+    ("fr", ("le", "la", "les", "de", "et", "un", "une", "des", "est",
+            "dans")),
+]
+
+UNKNOWN = "und"
+
+
+def _words(text: Column) -> Column:
+    return F.array_remove(F.split(F.lower(text), r"\s+"), "")
+
+
+def langid_expr(text: Column) -> Column:
+    """argmax over stopword-profile hit counts; 'zh' for CJK-dominant text;
+    'und' when nothing matches."""
+    w = _words(text)
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = []
+    def profile_hits(profile):
+        def merge(a, x):
+            return a + F.when(x.isin(*profile), 1).otherwise(0)
+
+        return F.aggregate(w, F.lit(0), merge)
+
+    for lang, profile in PROFILES:
+        scores.append((lang, profile_hits(profile)))
+    # argmax with order-stable tie-break: strictly-greater beats earlier
+    best_lang = F.lit(UNKNOWN)
+    best_score = F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(cjk * 2 > F.length(text), F.lit("zh")).otherwise(best_lang)
+
+
+def langid_sql(text_expr: str = "text") -> str:
+    """Identical semantics as one ANSI SQL expression (DuckDB oracle)."""
+    w = (f"list_filter(string_split(regexp_replace(lower({text_expr}), "
+         f"'\\s+', ' ', 'g'), ' '), x -> x <> '')")
+    score_exprs = []
+    for lang, profile in PROFILES:
+        plist = "[" + ", ".join(f"'{p}'" for p in profile) + "]"
+        score_exprs.append(
+            (lang,
+             f"len(list_filter({w}, x -> list_contains({plist}, x)))"))
+    # fold argmax with the same strictly-greater tie-break
+    expr = f"'{UNKNOWN}'"
+    best = "0"
+    for lang, score in score_exprs:
+        expr = f"CASE WHEN {score} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, {score})"
+    cjk = (f"length(regexp_replace({text_expr}, "
+           f"'[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))")
+    return (f"CASE WHEN {cjk} * 2 > length({text_expr}) THEN 'zh' "
+            f"ELSE {expr} END")
+
+
+def make_langid_udf(spark: Optional[SparkSession] = None,
+                    model: Optional[Dict[str, Tuple[str, ...]]] = None):
+    """Broadcast-model pandas UDF variant (fastText-shaped scale path)."""
+    model = model or {lang: profile for lang, profile in PROFILES}
+    sc = (spark or SparkSession.getActiveSession()).sparkContext
+    bc = sc.broadcast({lang: frozenset(p) for lang, p in model.items()})
+    order = [lang for lang, _ in PROFILES]
+
+    @pandas_udf(T.StringType())
+    def _langid(texts: pd.Series) -> pd.Series:
+        profiles = bc.value
+
+        def one(t):
+            if t is None:
+                return None
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if cjk * 2 > len(t):
+                return "zh"
+            toks = t.lower().split()
+            best_lang, best = UNKNOWN, 0
+            for lang in order:
+                s = sum(1 for tok in toks if tok in profiles[lang])
+                if s > best:
+                    best_lang, best = lang, s
+            return best_lang
+
+        return texts.map(one)
+
+    return _langid

@@ -1,0 +1,77 @@
+"""PII / toxicity regex scrub stage.
+
+Recast of the reference ``regex`` rule + error reporting
+(/root/reference/tests/test_rules_cerberus.py:91-120 shape): precompiled
+pattern chains applied JVM-side with ``regexp_replace`` (no Python in the
+row path), each hit recorded as a finding-shaped lineage entry so scrub
+diffs are auditable per document.
+
+Patterns use portable syntax (no backrefs/lookarounds) so the DuckDB
+oracle can apply byte-identical replacements.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (name, pattern, replacement) applied in order — order is part of the
+#: contract (earlier scrubs can change later matches)
+PII_PATTERNS: List[Tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+     "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+#: deterministic toxicity lexicon stand-in (swap for a real list at deploy)
+TOXIC_WORDS = ("badword1", "badword2", "slur1")
+TOXIC_PATTERN = ("(?i)\\b(" + "|".join(TOXIC_WORDS) + ")\\b", "<TOX>")
+
+
+def scrub_expr(text: Column, include_toxic: bool = True) -> Column:
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    if include_toxic:
+        out = F.regexp_replace(out, TOXIC_PATTERN[0], TOXIC_PATTERN[1])
+    return out
+
+
+def scrub_hits(text: Column) -> Column:
+    """array<struct<field,code,rule,msg>> lineage of scrub-stage hits —
+    same shape as rule findings so metrics aggregate uniformly."""
+    entries = []
+    for i, (name, pat, _rep) in enumerate(PII_PATTERNS):
+        cnt = F.size(F.regexp_extract_all(text, F.lit("(" + pat + ")"), 1))
+        entries.append(
+            F.when(
+                cnt > 0,
+                F.struct(
+                    F.lit("text").alias("field"),
+                    F.lit(0x5000 + i).cast("long").alias("code"),
+                    F.lit("scrub").alias("rule"),
+                    F.format_string(f"scrubbed %s {name} match(es)",
+                                    cnt.cast("string")).alias("msg"))))
+    return F.array_compact(F.array(*entries))
+
+
+def with_scrub(df: DataFrame, text_col: str = "text",
+               out_col: str = "scrubbed_text",
+               include_toxic: bool = True) -> DataFrame:
+    return df.withColumn(out_col, scrub_expr(F.col(text_col), include_toxic))
+
+
+def scrub_sql(text_expr: str = "text", include_toxic: bool = True) -> str:
+    """Identical scrub chain as nested DuckDB regexp_replace (global)."""
+    out = text_expr
+    for _, pat, rep in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{rep}', 'g')"
+    if include_toxic:
+        pat = TOXIC_PATTERN[0].replace("(?i)", "")
+        out = (f"regexp_replace({out}, '{pat}', '{TOXIC_PATTERN[1]}', 'gi')")
+    return out

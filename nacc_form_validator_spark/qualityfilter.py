@@ -1,0 +1,177 @@
+"""End-to-end webtext quality-filter pipeline (the north_rule workload).
+
+Composes, in one Catalyst plan over ``pages(url, warc_ts, html, text,
+lang)``:
+
+1. heuristic stats columns (native, whole-stage codegen)
+2. language-ID (Column expr, or broadcast-model pandas UDF)
+3. perplexity (Column expr, or broadcast-matrix pandas UDF)
+4. the compiled rule engine (incl. temporal rules across recrawls of the
+   same url — ONE hash(url) shuffle for the window pass)
+5. PII/toxicity scrub + scrub lineage
+
+Outputs the ``decisions`` frame: every page + ``passed`` + ``findings``
+(rule + scrub lineage) + ``scrubbed_text`` + ``part_bucket`` — mirroring
+the reference's (passed, errors, error_tree) per record
+(/root/reference/nacc_form_validator/quality_check.py:97-134) and its
+error-summary CSV (docs/validate_csv_records.py:88-133) as the metrics
+aggregate.
+
+Scale notes (design target: 10^12 docs, 1000 executors):
+
+- non-temporal stages are shuffle-free map work; the ONLY exchange is the
+  url-hash partitioning required by the recrawl window, and the findings
+  assembly rides the same stage;
+- hot hosts do not skew the window: its key is the full url, already
+  hash-distributed; host-level skew only matters for host-level joins,
+  where :func:`salted_host_key` applies an explicit salt;
+- ``part_bucket = pmod(hash(url), n_buckets)`` gives deterministic
+  partition lineage for checkpoint/resume: completed buckets are pruned on
+  restart via partition-value pruning, not data scans;
+- expensive pandas-UDF stages can be gated on cheap native verdicts
+  (``gate_expensive=True``) so already-dropped docs skip model scoring —
+  parity mode (default) scores everything like the reference does.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
+                                                            doc_stats)
+from nacc_form_validator_spark.functions.langid import (langid_expr,
+                                                        make_langid_udf)
+from nacc_form_validator_spark.functions.perplexity import (
+    make_ppl_bigram_udf, ppl_unigram_expr)
+from nacc_form_validator_spark.functions.scrub import scrub_expr, scrub_hits
+from nacc_form_validator_spark.pipeline import SparkQualityCheck
+
+RULE_SCHEMA_VERSION = "1"
+
+#: default rule spec over payload-derived columns — rules are data, same
+#: JSON vocabulary as the reference
+DEFAULT_RULES: Dict[str, dict] = {
+    **GOPHER_RULES,
+    "lang_pred": {
+        "type": "string", "nullable": True,
+        "compatibility": [{
+            # declared lang must agree with predicted lang for major langs
+            "index": 0,
+            "if": {"lang_pred": {"allowed": ["en", "es", "de", "fr", "zh"]}},
+            "then": {"lang_ok": {"allowed": [True]}},
+        }],
+    },
+    "ppl": {
+        "type": "float", "nullable": True,
+        "logic": {
+            "formula": {"<": [{"var": "ppl"}, 40.0]},
+            "errmsg": "perplexity too high",
+        },
+    },
+    "text": {"type": "string", "required": True,
+             "temporalrules": [{
+                 # recrawl sanity: a once-substantial page must not collapse
+                 # to near-empty; first crawls pass (ignore_empty ==
+                 # no-previous-record passes through,
+                 # nacc_validator.py:860-864)
+                 "index": 0,
+                 "ignore_empty": ["n_words"],
+                 "previous": {"n_words": {"min": 5}},
+                 "current": {"n_words": {"min": 5}},
+             }]},
+}
+
+
+class QualityFilterPipeline:
+    """Compile once, run on any pages DataFrame."""
+
+    def __init__(self,
+                 rules: Optional[Dict[str, dict]] = None,
+                 use_udf_stages: bool = False,
+                 gate_expensive: bool = False,
+                 n_buckets: int = 256,
+                 as_of: Optional[_dt.date] = None):
+        self.rules = rules if rules is not None else DEFAULT_RULES
+        self.use_udf_stages = use_udf_stages
+        self.gate_expensive = gate_expensive
+        self.n_buckets = n_buckets
+        self.as_of = as_of
+        temporal = any("temporalrules" in r or
+                       (isinstance(r.get("compare_with"), dict)
+                        and (r["compare_with"].get("previous_record")
+                             or r["compare_with"].get("initial_record")))
+                       for r in self.rules.values())
+        self.qc = SparkQualityCheck(
+            pk_field="url" if temporal else None,
+            schema=self.rules,
+            orderby="warc_ts" if temporal else None,
+            as_of=as_of)
+
+    # ------------------------------------------------------------------
+    def derive(self, pages: DataFrame) -> DataFrame:
+        """Payload stages: stats + langid + ppl columns."""
+        df = pages
+        for name, col in doc_stats(F.col("text")).items():
+            if name == "n_chars" and "n_chars" in df.columns:
+                continue
+            df = df.withColumn(name, col)
+        if self.use_udf_stages:
+            langid_udf = make_langid_udf()
+            ppl_udf = make_ppl_bigram_udf()
+            if self.gate_expensive:
+                # cheap native gate: docs already failing hard length gates
+                # skip model scoring (findings-completeness changes only for
+                # already-dropped docs)
+                alive = (F.col("n_words") >= 5) & (F.col("n_words") <= 200000)
+                df = df.withColumn("lang_pred",
+                                   F.when(alive, langid_udf(F.col("text"))))
+                df = df.withColumn("ppl",
+                                   F.when(alive, ppl_udf(F.col("text"))))
+            else:
+                df = df.withColumn("lang_pred", langid_udf(F.col("text")))
+                df = df.withColumn("ppl", ppl_udf(F.col("text")))
+        else:
+            df = df.withColumn("lang_pred", langid_expr(F.col("text")))
+            df = df.withColumn("ppl", ppl_unigram_expr(F.col("text")))
+        df = df.withColumn(
+            "lang_ok",
+            F.when(F.col("lang").isNull() | (F.col("lang") == ""),
+                   F.lit(True)).otherwise(
+                       F.col("lang_pred").eqNullSafe(F.col("lang"))))
+        return df
+
+    # ------------------------------------------------------------------
+    def run(self, pages: DataFrame) -> DataFrame:
+        """pages -> decisions DataFrame."""
+        df = self.derive(pages)
+        df = self.qc.validate(df, cast=False)
+        df = df.withColumn("scrub_findings", scrub_hits(F.col("text")))
+        df = df.withColumn("findings",
+                           F.concat(F.col("findings"),
+                                    F.col("scrub_findings")))
+        df = df.drop("scrub_findings")
+        df = df.withColumn("scrubbed_text", scrub_expr(F.col("text")))
+        df = df.withColumn(
+            "part_bucket",
+            F.pmod(F.hash(F.col("url")), F.lit(self.n_buckets)))
+        df = df.withColumn("rule_schema_version",
+                           F.lit(RULE_SCHEMA_VERSION))
+        return df
+
+    # ------------------------------------------------------------------
+    def metrics(self, decisions: DataFrame) -> DataFrame:
+        """(part_bucket, code, rule, hits) — one partial-agg shuffle."""
+        return self.qc.metrics(decisions, extra_keys=["part_bucket"])
+
+
+def salted_host_key(url: Column, n_salts: int = 16) -> Column:
+    """Composite key for host-level joins/aggregations on skewed hosts:
+    explicit salt spreads a hot host over n_salts reducers (AQE handles
+    join skew; window/agg skew needs this)."""
+    host = F.parse_url(url, F.lit("HOST"))
+    return F.concat(host, F.lit("#"),
+                    F.pmod(F.hash(url), F.lit(n_salts)).cast("string"))

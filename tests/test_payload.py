@@ -1,0 +1,126 @@
+"""Payload-stage tests: Spark implementations vs the DuckDB-SQL oracle
+forms and pure-Python references — the same differential style the driver's
+correctness gate uses."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.functions.heuristics import (doc_stats,
+                                                            gopher_sql)
+from nacc_form_validator_spark.functions.langid import (langid_expr,
+                                                        langid_sql,
+                                                        make_langid_udf)
+from nacc_form_validator_spark.functions.perplexity import (
+    make_ppl_bigram_udf, ppl_bigram_py, ppl_unigram_expr, ppl_unigram_sql)
+from nacc_form_validator_spark.functions.scrub import scrub_expr, scrub_sql
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck(sql):
+    return duckdb.sql(sql).fetchall()
+
+
+def test_doc_stats_vs_duckdb(spark, docs):
+    stats = doc_stats(F.col("text"))
+    keys = sorted(set(stats) - {"distinct_stopwords"})
+    got = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id",
+                             *[stats[k].alias(k) for k in keys]).collect()
+    }
+    sql_forms = gopher_sql("text")
+    sel = ", ".join(f"{sql_forms[k]} AS {k}" for k in keys)
+    want = _duck(f"SELECT doc_id, {sel} FROM read_parquet('{DOCS}')")
+    cols = ["doc_id"] + keys
+    mismatches = []
+    for row in want:
+        d = dict(zip(cols, row))
+        g = got[d["doc_id"]]
+        for k in keys:
+            gv, wv = g[k], d[k]
+            if isinstance(wv, float):
+                ok = gv is not None and abs(gv - float(wv)) < 1e-9
+            else:
+                ok = gv == wv
+            if not ok:
+                mismatches.append((d["doc_id"], k, gv, wv))
+    assert not mismatches, mismatches[:10]
+
+
+def test_langid_expr_vs_sql_and_udf(spark, docs):
+    got = {r["doc_id"]: r["lp"] for r in docs.select(
+        "doc_id", langid_expr(F.col("text")).alias("lp")).collect()}
+    want = dict(_duck(
+        f"SELECT doc_id, {langid_sql('text')} FROM read_parquet('{DOCS}')"))
+    assert got == want
+    udf = make_langid_udf(spark)
+    got_udf = {r["doc_id"]: r["lp"] for r in docs.select(
+        "doc_id", udf(F.col("text")).alias("lp")).collect()}
+    assert got_udf == got
+
+
+def test_ppl_unigram_vs_sql(spark, docs):
+    got = {r["doc_id"]: r["p"] for r in docs.select(
+        "doc_id", ppl_unigram_expr(F.col("text")).alias("p")).collect()}
+    want = dict(_duck(
+        f"SELECT doc_id, {ppl_unigram_sql('text')} "
+        f"FROM read_parquet('{DOCS}')"))
+    bad = {k: (got[k], want[k]) for k in got
+           if (got[k] is None) != (want[k] is None)
+           or (got[k] is not None and abs(got[k] - want[k]) > 1e-9)}
+    assert not bad, list(bad.items())[:5]
+
+
+def test_ppl_bigram_udf_vs_python(spark, docs):
+    udf = make_ppl_bigram_udf(spark)
+    rows = docs.select("doc_id", "text",
+                       udf(F.col("text")).alias("p")).collect()
+    for r in rows[:100]:
+        assert r["p"] == pytest.approx(ppl_bigram_py(r["text"]), abs=1e-9)
+
+
+def test_scrub_vs_duckdb_and_python(spark):
+    samples = [
+        "write to john.doe@example.com or jane_x+1@sub.domain.org today",
+        "ssn 123-45-6789 phone +1 (555) 123-4567 ip 10.0.0.1 ok",
+        "no pii here at all",
+        "badword1 and BADWORD2 and cleanword",
+        "call 1-555-123-4567 or ssn 123-45-6789",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, text string")
+    got = {r["i"]: r["s"] for r in df.select(
+        "i", scrub_expr(F.col("text")).alias("s")).collect()}
+    rel = duckdb.sql("SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(samples)) +
+        ") t(i, text)").df()
+    want = dict(duckdb.sql(
+        f"SELECT i, {scrub_sql('text')} FROM rel").fetchall())
+    assert got == want
+    assert "<EMAIL>" in got[0] and "@" not in got[0]
+    assert "<SSN>" in got[1] and "<PHONE>" in got[1] and "<IP>" in got[1]
+    assert got[2] == samples[2]
+    assert got[3].count("<TOX>") == 2
+
+
+def test_checkpoint_resume(spark, tmp_path, docs):
+    from nacc_form_validator_spark.qualityfilter import QualityFilterPipeline
+    from nacc_form_validator_spark.sources.pages import pages_from_documents
+    from nacc_form_validator_spark.sources.sinks import (completed_buckets,
+                                                         run_checkpointed)
+    pages = pages_from_documents(docs.limit(50))
+    qf = QualityFilterPipeline(n_buckets=4)
+    target = str(tmp_path / "decisions")
+    n1 = run_checkpointed(qf, pages, target)
+    assert n1 > 0
+    assert completed_buckets(spark, target) == [0, 1, 2, 3]
+    # second run: everything already committed -> nothing written
+    n2 = run_checkpointed(qf, pages, target)
+    assert n2 == 0
