@@ -1,0 +1,21 @@
+"""Corpus-level operators: dedup, similarity search, text stats, multimodal."""
+
+from nacc_form_validator_spark.operators.dedup import (embedding_neardup_pairs,
+                                                       exact_dedup,
+                                                       minhash_lsh_pairs,
+                                                       minhash_signature,
+                                                       ngram_jaccard_pairs,
+                                                       simhash, simhash_pairs)
+from nacc_form_validator_spark.operators.simsearch import (brute_force_topk,
+                                                           cosine, lsh_topk)
+from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
+                                                           fingerprint,
+                                                           quality_score,
+                                                           whitespace_token_count)
+
+__all__ = [
+    "embedding_neardup_pairs", "exact_dedup", "minhash_lsh_pairs",
+    "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_pairs",
+    "brute_force_topk", "cosine", "lsh_topk", "bpeish_token_count",
+    "fingerprint", "quality_score", "whitespace_token_count",
+]

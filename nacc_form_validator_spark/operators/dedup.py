@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (it has no corpus-level ops — SURVEY.md
+§2.7) but first-class for a 100 TB webtext engine.  Every operator is pure
+DataFrame algebra; hash functions are md5 (identical across Spark and the
+DuckDB oracle) so each variant is value-verifiable end-to-end.
+
+Scale design notes:
+
+- exact dedup: one hash-aggregate on md5(text) — map-side partial agg,
+  single shuffle; at 100 TB prefer grouping on the digest, never the text;
+- MinHash-LSH: shingle -> k permutations via salted md5 -> band buckets ->
+  self-join per bucket.  The only shuffle joins band-bucket keys (small),
+  never all-pairs; candidate pairs then verify with exact Jaccard;
+- SimHash: 60-bit signature from token hashes; near-dup = hamming <= r on
+  bucket-joined prefixes;
+- n-gram Jaccard: explode shingles -> co-shingle join -> |∩|/|∪| — the
+  brute-force verifier for small candidate sets;
+- embedding cosine: see simsearch (same kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text: Column) -> Column:
+    """whitespace-collapsed lowercase canonical form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical normalized text."""
+    digest = F.md5(normalized(F.col(text_col))).alias("digest")
+    return (df.select(F.col(id_col), digest)
+            .groupBy("digest")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("dups"))
+            .orderBy("digest"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles of the normalized text (distinct, as strings)."""
+    w = F.split(normalized(text), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+
+    def make(i):
+        return F.array_join(F.slice(w, i + 1, n), " ")
+
+    sh = F.transform(idx, make)
+    return F.array_distinct(F.filter(sh, lambda s: s != ""))
+
+
+def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
+    """k minhash values: min over shingles of md5(shingle || '#' || i)."""
+    sh = shingles(text, n)
+
+    def perm(i):
+        return F.array_min(
+            F.transform(sh,
+                        lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+
+    return F.array(*[perm(i) for i in range(k)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                      n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    rows_per_band = k // bands; a band bucket key is the md5 of its
+    concatenated signature slice.  The band table is tiny relative to the
+    corpus (bands × docs rows of 32-byte keys), so the self-join shuffles
+    only keys — never documents.
+    """
+    rows = k // bands
+    sig = minhash_signature(F.col(text_col), k=k, n=n).alias("sig")
+    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    band_cols = []
+    for b in range(bands):
+        band_key = F.md5(
+            F.concat_ws("|",
+                        *[F.col("sig")[b * rows + r] for r in range(rows)]))
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), band_key.alias("key")))
+    banded = (with_sig.select("id",
+                              F.explode(F.array(*band_cols)).alias("bk"))
+              .select("id", "bk.band", "bk.key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, ["band", "key"])
+             .where(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b"))
+             .distinct())
+    return pairs.orderBy("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, sim >= threshold).
+
+    Explode-join on shared shingles: |∩| from the join group, |∪| from
+    per-doc shingle counts.  Quadratic only within co-shingle groups —
+    at scale run AFTER LSH candidate generation, not standalone.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "sh")
+             .where(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("shared")))
+    out = (inter.join(sizes.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("n_sh", "n_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("n_sh", "n_b"), "id_b"))
+    sim = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (out.withColumn("jaccard", F.round(sim, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+def simhash(text: Column, bits: int = 60) -> Column:
+    """SimHash over word tokens: per-bit majority vote of 60-bit md5-derived
+    token hashes, emitted as a bigint.
+
+    One pass: hash each distinct token once (array of longs), then fold the
+    per-bit votes bit-by-bit over that array.
+    """
+    w = F.array_distinct(
+        F.filter(F.split(normalized(text), " "), lambda s: s != ""))
+    hashes = F.transform(
+        w, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16,
+                            10).cast("long"))
+    def bit_votes(mask):
+        def merge(a, h):
+            return a + F.when(h.bitwiseAND(F.lit(mask)) != 0,
+                              1).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = 1 << b
+        out = out + F.when(bit_votes(mask) > 0,
+                           F.lit(mask).cast("long")).otherwise(
+                               F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top prefix bits, then exact
+    hamming distance within buckets (multi-probe via band rotation is the
+    100 TB extension; one prefix band keeps the oracle simple)."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash(F.col(text_col)).alias("sig"))
+    sig = sig.withColumn("bucket",
+                         F.shiftrightunsigned(F.col("sig"),
+                                              60 - prefix_bits))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (a.join(b, "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "hamming")
+            .orderBy("id_a", "id_b"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force kernel — compose
+    with LSH bucketing from simsearch for the scale path)."""
+    from nacc_form_validator_spark.operators.simsearch import cosine
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (pairs.withColumn("cos", sim).where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos").orderBy("id_a", "id_b"))

