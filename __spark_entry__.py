@@ -158,9 +158,8 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        simhash(F.col("text")).alias("sig")).orderBy("id")
+    from nacc_form_validator_spark.operators.dedup import with_simhash
+    return with_simhash(_docs(spark, sf_dir)).orderBy("id")
 
 
 def q_simsearch_topk(spark, sf_dir):

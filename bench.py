@@ -1,0 +1,152 @@
+"""Benchmark harness.
+
+Runs the headline quality-filter workload + operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+The end-to-end pipeline (langid + perplexity + heuristic rules incl. the
+recrawl window + scrub) runs over a deterministic synthetic pages corpus
+sized to the scale factor (sf0.1 -> 100k docs / ~200k pages) so the
+docs/sec number measures engine throughput, not 5k-row overhead.
+
+``python bench.py --scaling`` runs the same pipeline at two parallelism
+levels (local[8] vs local[32]) in fresh JVMs and reports scaling
+efficiency — the sandbox protocol for the N vs 4N executor criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("nacc-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_MEM", "24g"))
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def force(df) -> None:
+    """Fully execute a plan (noop write computes every column; a count()
+    would let Catalyst prune the work away)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(spark, sf_dir: str, sf: float) -> dict:
+    import __spark_entry__ as entry
+    from nacc_form_validator_spark.qualityfilter import QualityFilterPipeline
+    from nacc_form_validator_spark.sources.pages import synthetic_pages
+
+    timings: dict = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: end-to-end pipeline on the synthetic corpus sized to sf
+    n_docs = max(int(sf * 1_000_000), 10_000)
+    pages = synthetic_pages(spark, n_docs=n_docs, recrawls=2).cache()
+    n_pages = pages.count()
+    qf = QualityFilterPipeline()
+
+    # warmup: JIT + whole-stage-codegen compile on a small slice so the
+    # timed number measures steady-state throughput, not Janino
+    warm = synthetic_pages(spark, n_docs=2_000, recrawls=2)
+    force(qf.run(warm))
+
+    def e2e():
+        return force(qf.run(pages))
+
+    timed("qf_pipeline_synth", e2e)
+    extras["n_pages"] = n_pages
+    extras["docs_per_sec"] = round(n_pages / timings["qf_pipeline_synth"], 1)
+    pages.unpersist()
+
+    # operator queries over the driver-provided sf tables
+    qmap = entry.queries()
+    for name in ["qf_keep_drop", "qf_scrub", "dedup_exact",
+                 "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "simhash_signatures", "simsearch_topk", "simsearch_lsh",
+                 "tokens_quality", "temporal_events", "ppl_bigram",
+                 "tpch_q1"]:
+        timed(name, lambda n=name: force(qmap[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "quality-filter end-to-end + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on the identical synthetic corpus."""
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                   SPARK_GRAFT_SCALING_CHILD="1")
+        out = subprocess.run([sys.executable, __file__],
+                             capture_output=True, text=True, env=env,
+                             check=True)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results["8"]["queries"]["qf_pipeline_synth"]
+    t32 = results["32"]["queries"]["qf_pipeline_synth"]
+    d8 = results["8"]["docs_per_sec"]
+    d32 = results["32"]["docs_per_sec"]
+    eff = round((d32 / d8) / 4.0, 3)
+    print(json.dumps({
+        "scaling": {
+            "local8": {"sec": t8, "docs_per_sec": d8},
+            "local32": {"sec": t32, "docs_per_sec": d32},
+            "efficiency_n_to_4n": eff,
+        }
+    }))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = 0.1
+    for tok in sf_dir.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+    spark = build_spark(cpus)
+    try:
+        result = run_bench(spark, sf_dir, sf)
+        result["cpus"] = int(cpus)
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

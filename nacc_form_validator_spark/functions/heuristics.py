@@ -27,9 +27,17 @@ def words(text: Column) -> Column:
     return F.array_remove(F.split(text, r"\s+"), "")
 
 
-def doc_stats(text: Column) -> dict:
-    """All heuristic stat Columns keyed by output name."""
-    w = words(text)
+def doc_stats(text: Column, w: Column = None, lines: Column = None) -> dict:
+    """All heuristic stat Columns keyed by output name.
+
+    Pass materialized ``w`` (word array) / ``lines`` columns when deriving
+    many stats at once: otherwise each stat inlines its own split+filter
+    subtree into the plan (same values, ~6x the row work).
+    """
+    if w is None:
+        w = words(text)
+    if lines is None:
+        lines = F.array_remove(F.split(text, r"\n"), "")
     n_words = F.size(w)
     wl = F.transform(w, lambda x: F.length(x))
     total_wl = F.aggregate(wl, F.lit(0), lambda a, x: a + x)
@@ -42,7 +50,6 @@ def doc_stats(text: Column) -> dict:
     stop_count = F.aggregate(
         w, F.lit(0),
         lambda a, x: a + F.when(x.isin(*STOPWORDS), 1).otherwise(0))
-    lines = F.array_remove(F.split(text, r"\n"), "")
     n_lines = F.size(lines)
     n_distinct_lines = F.size(F.array_distinct(lines))
     n_distinct_words = F.size(F.array_distinct(w))
@@ -70,10 +77,18 @@ def doc_stats(text: Column) -> dict:
 
 def with_doc_stats(df: DataFrame, text_col: str = "text",
                    prefix: str = "") -> DataFrame:
-    cols = doc_stats(F.col(text_col))
+    """Adds all stat columns over ONE materialized word/line split.
+
+    The intermediate arrays live in their own projection; CollapseProject
+    keeps the barrier because they are non-cheap and multiply referenced,
+    so the split work happens once per row."""
+    text = F.col(text_col)
+    df = df.withColumn("__qf_words", words(text)).withColumn(
+        "__qf_lines", F.array_remove(F.split(text, r"\n"), ""))
+    cols = doc_stats(text, w=F.col("__qf_words"), lines=F.col("__qf_lines"))
     for name, col in cols.items():
         df = df.withColumn(prefix + name, col)
-    return df
+    return df.drop("__qf_words", "__qf_lines")
 
 
 #: default Gopher-ish gate thresholds, expressed as an engine rule spec —

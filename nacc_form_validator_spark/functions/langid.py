@@ -45,28 +45,39 @@ def _words(text: Column) -> Column:
     return F.array_remove(F.split(F.lower(text), r"\s+"), "")
 
 
-def langid_expr(text: Column) -> Column:
-    """argmax over stopword-profile hit counts; 'zh' for CJK-dominant text;
-    'und' when nothing matches."""
-    w = _words(text)
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
-    scores = []
+def langid_from_words(text: Column, w: Column) -> Column:
+    """argmax over stopword-profile hit counts given a (materialized)
+    lowercase word-array column; 'zh' for CJK-dominant text; 'und' when
+    nothing matches.
+
+    Plan hygiene: each profile score is evaluated exactly once — the
+    argmax is a struct-max over (score, -index, lang) instead of a
+    when-chain fold (which would inline each aggregate subtree O(2^langs)
+    times into the plan).
+    """
+    cjk = F.length(F.regexp_replace(text, r"[^\u4e00-\u9fff]", ""))
+
     def profile_hits(profile):
         def merge(a, x):
             return a + F.when(x.isin(*profile), 1).otherwise(0)
 
         return F.aggregate(w, F.lit(0), merge)
 
-    for lang, profile in PROFILES:
-        scores.append((lang, profile_hits(profile)))
-    # argmax with order-stable tie-break: strictly-greater beats earlier
-    best_lang = F.lit(UNKNOWN)
-    best_score = F.lit(0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
+    entries = []
+    for i, (lang, profile) in enumerate(PROFILES):
+        entries.append(
+            F.struct(
+                profile_hits(profile).alias("score"),
+                F.lit(-i).alias("neg_i"),
+                F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    best_lang = F.when(best["score"] > 0,
+                       best["lang"]).otherwise(F.lit(UNKNOWN))
     return F.when(cjk * 2 > F.length(text), F.lit("zh")).otherwise(best_lang)
+
+
+def langid_expr(text: Column) -> Column:
+    return langid_from_words(text, _words(text))
 
 
 def langid_sql(text_expr: str = "text") -> str:

@@ -62,34 +62,38 @@ OOV_LP = math.log(_OOV_P)
 def ppl_unigram_expr(text: Column) -> Column:
     """exp(-mean char log-prob) over the lowercased text, rounded to 4dp.
 
-    Pure Column algebra: per-char log-prob lookup via nested CASE over a
-    27-symbol table, aggregated JVM-side.
+    Count-based: per-symbol occurrence counts (length-delta after char
+    removal) weighted by the log-prob table — O(|alphabet| * len) with no
+    per-char array allocation; summation order mirrors the SQL oracle
+    exactly so doubles stay bit-identical.
     """
-    chars = F.split(F.lower(text), "")
-    chars = F.filter(chars, lambda c: c != "")
-
-    def lp(c: Column) -> Column:
-        expr = F.lit(OOV_LP)
-        for ch, v in UNIGRAM_LP.items():
-            expr = F.when(c == ch, F.lit(v)).otherwise(expr)
-        return expr
-
-    total = F.aggregate(chars, F.lit(0.0), lambda a, c: a + lp(c))
-    n = F.size(chars)
+    tlc = F.lower(text)
+    n = F.length(tlc)
+    known_total = F.lit(0.0)
+    known_count = F.lit(0).cast("long")
+    for ch, v in UNIGRAM_LP.items():
+        cnt = n - F.length(F.replace(tlc, F.lit(ch), F.lit("")))
+        known_total = known_total + cnt.cast("double") * F.lit(v)
+        known_count = known_count + cnt
+    total = known_total + (n - known_count).cast("double") * F.lit(OOV_LP)
     return F.when(n > 0, F.round(F.exp(-total / n), 4))
 
 
 def ppl_unigram_sql(text_expr: str = "text") -> str:
-    """Identical unigram perplexity as ANSI SQL (DuckDB oracle)."""
-    case = f"{OOV_LP!r}"
+    """Identical count-based unigram perplexity as ANSI SQL."""
+    tlc = f"lower({text_expr})"
+    n = f"length({tlc})"
+    total_terms = []
+    count_terms = []
     for ch, v in UNIGRAM_LP.items():
         lit = "' '" if ch == " " else f"'{ch}'"
-        case = f"CASE WHEN c = {lit} THEN {v!r} ELSE {case} END"
-    chars = (f"list_filter(string_split(lower({text_expr}), ''), "
-             f"c -> c <> '')")
-    total = f"list_sum(list_transform({chars}, c -> {case}))"
-    n = f"len({chars})"
-    return (f"CASE WHEN {n} > 0 THEN round(exp(-({total}) / {n}), 4) END")
+        cnt = f"({n} - length(replace({tlc}, {lit}, '')))"
+        total_terms.append(f"{cnt} * {v!r}")
+        count_terms.append(cnt)
+    known_total = " + ".join(total_terms)
+    known_count = " + ".join(count_terms)
+    total = f"(({known_total}) + ({n} - ({known_count})) * {OOV_LP!r})"
+    return (f"CASE WHEN {n} > 0 THEN round(exp(-{total} / {n}), 4) END")
 
 
 def _bigram_matrix() -> np.ndarray:

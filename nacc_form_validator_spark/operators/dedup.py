@@ -41,9 +41,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .orderBy("digest"))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles of the normalized text (distinct, as strings)."""
-    w = F.split(normalized(text), " ")
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """n-word shingles from a (materialized) word-array column.
+
+    Plan hygiene: the lambda over positions references only ``w`` — pass a
+    plain column so per-element evaluation slices a materialized array
+    instead of re-running the split/normalize subtree per shingle."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
 
     def make(i):
@@ -51,6 +54,20 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     sh = F.transform(idx, make)
     return F.array_distinct(F.filter(sh, lambda s: s != ""))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles of the normalized text (distinct, as strings)."""
+    return shingles_from_words(F.split(normalized(text), " "), n)
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str,
+                   n: int) -> DataFrame:
+    """(id, sh) with words and shingles materialized in separate
+    projections."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.split(normalized(F.col(text_col)), " ").alias("w"))
+            .select("id", shingles_from_words(F.col("w"), n).alias("sh")))
 
 
 def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
@@ -76,8 +93,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     only keys — never documents.
     """
     rows = k // bands
-    sig = minhash_signature(F.col(text_col), k=k, n=n).alias("sig")
-    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    sh_df = _with_shingles(df, text_col, id_col, n)
+
+    def perm(i):
+        return F.array_min(
+            F.transform(F.col("sh"),
+                        lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))))
+
+    with_sig = sh_df.select("id",
+                            F.array(*[perm(i) for i in range(k)]).alias(
+                                "sig"))
     band_cols = []
     for b in range(bands):
         band_key = F.md5(
@@ -107,8 +132,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     per-doc shingle counts.  Quadratic only within co-shingle groups —
     at scale run AFTER LSH candidate generation, not standalone.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    sh = (_with_shingles(df, text_col, id_col, n)
+          .select("id", F.explode("sh").alias("sh")))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -128,18 +153,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .orderBy("id_a", "id_b"))
 
 
-def simhash(text: Column, bits: int = 60) -> Column:
-    """SimHash over word tokens: per-bit majority vote of 60-bit md5-derived
-    token hashes, emitted as a bigint.
-
-    One pass: hash each distinct token once (array of longs), then fold the
-    per-bit votes bit-by-bit over that array.
-    """
+def token_hashes(text: Column) -> Column:
+    """60-bit md5-derived hash per distinct token."""
     w = F.array_distinct(
         F.filter(F.split(normalized(text), " "), lambda s: s != ""))
-    hashes = F.transform(
+    return F.transform(
         w, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16,
                             10).cast("long"))
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 60) -> Column:
+    """SimHash from a (materialized) token-hash array: per-bit majority
+    vote, emitted as a bigint.
+
+    Pass a plain column reference: the 60 per-bit vote aggregates each walk
+    the array — inlining the md5 hashing here would recompute it 60x per
+    row."""
+
     def bit_votes(mask):
         def merge(a, h):
             return a + F.when(h.bitwiseAND(F.lit(mask)) != 0,
@@ -156,14 +186,27 @@ def simhash(text: Column, bits: int = 60) -> Column:
     return out
 
 
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """(id, sig) with the token-hash array materialized once per row."""
+    return (df.select(F.col(id_col).alias("id"),
+                      token_hashes(F.col(text_col)).alias("h"))
+            .select("id", simhash_from_hashes(F.col("h"),
+                                              bits).alias("sig")))
+
+
+def simhash(text: Column, bits: int = 60) -> Column:
+    """Column-API SimHash (prefer with_simhash for whole-table scans)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   prefix_bits: int = 16) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top prefix bits, then exact
     hamming distance within buckets (multi-probe via band rotation is the
     100 TB extension; one prefix band keeps the oracle simple)."""
-    sig = df.select(F.col(id_col).alias("id"),
-                    simhash(F.col(text_col)).alias("sig"))
+    sig = with_simhash(df, text_col=text_col, id_col=id_col)
     sig = sig.withColumn("bucket",
                          F.shiftrightunsigned(F.col("sig"),
                                               60 - prefix_bits))

@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
                                                             doc_stats)
-from nacc_form_validator_spark.functions.langid import (langid_expr,
+from nacc_form_validator_spark.functions.heuristics import words as _words_col
+from nacc_form_validator_spark.functions.langid import (langid_from_words,
                                                         make_langid_udf)
 from nacc_form_validator_spark.functions.perplexity import (
     make_ppl_bigram_udf, ppl_unigram_expr)
@@ -113,12 +114,21 @@ class QualityFilterPipeline:
 
     # ------------------------------------------------------------------
     def derive(self, pages: DataFrame) -> DataFrame:
-        """Payload stages: stats + langid + ppl columns."""
-        df = pages
-        for name, col in doc_stats(F.col("text")).items():
+        """Payload stages: stats + langid + ppl columns.
+
+        Word/line splits are materialized once (projection barrier) and
+        shared across every stat and the language-ID argmax."""
+        text = F.col("text")
+        df = pages.withColumn("__qf_w", _words_col(text)).withColumn(
+            "__qf_lines", F.array_remove(F.split(text, r"\n"), ""))
+        stats = doc_stats(text, w=F.col("__qf_w"),
+                          lines=F.col("__qf_lines"))
+        for name, col in stats.items():
             if name == "n_chars" and "n_chars" in df.columns:
                 continue
             df = df.withColumn(name, col)
+        df = df.withColumn(
+            "__qf_wlc", F.transform(F.col("__qf_w"), F.lower))
         if self.use_udf_stages:
             langid_udf = make_langid_udf()
             ppl_udf = make_ppl_bigram_udf()
@@ -135,14 +145,16 @@ class QualityFilterPipeline:
                 df = df.withColumn("lang_pred", langid_udf(F.col("text")))
                 df = df.withColumn("ppl", ppl_udf(F.col("text")))
         else:
-            df = df.withColumn("lang_pred", langid_expr(F.col("text")))
+            df = df.withColumn(
+                "lang_pred",
+                langid_from_words(F.col("text"), F.col("__qf_wlc")))
             df = df.withColumn("ppl", ppl_unigram_expr(F.col("text")))
         df = df.withColumn(
             "lang_ok",
             F.when(F.col("lang").isNull() | (F.col("lang") == ""),
                    F.lit(True)).otherwise(
                        F.col("lang_pred").eqNullSafe(F.col("lang"))))
-        return df
+        return df.drop("__qf_w", "__qf_lines", "__qf_wlc")
 
     # ------------------------------------------------------------------
     def run(self, pages: DataFrame) -> DataFrame:
