@@ -62,7 +62,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
         return out
 
     # headline: end-to-end pipeline on the synthetic corpus sized to sf
-    n_docs = max(int(sf * 1_000_000), 10_000)
+    n_docs = int(os.environ.get("SPARK_GRAFT_NDOCS",
+                                max(int(sf * 1_000_000), 10_000)))
     pages = synthetic_pages(spark, n_docs=n_docs, recrawls=2).cache()
     n_pages = pages.count()
     qf = QualityFilterPipeline()
@@ -79,6 +80,12 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
     extras["n_pages"] = n_pages
     extras["docs_per_sec"] = round(n_pages / timings["qf_pipeline_synth"], 1)
     pages.unpersist()
+
+    if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
+        total = round(sum(timings.values()), 3)
+        return {"metric": "quality-filter end-to-end wall time",
+                "value": total, "unit": "sec", "queries": timings,
+                "sf": sf, **extras}
 
     # operator queries over the driver-provided sf tables
     qmap = entry.queries()
@@ -105,7 +112,9 @@ def run_scaling() -> None:
     results = {}
     for cpus in ("8", "32"):
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
-                   SPARK_GRAFT_SCALING_CHILD="1")
+                   SPARK_GRAFT_PIPELINE_ONLY="1",
+                   SPARK_GRAFT_NDOCS=os.environ.get(
+                       "SPARK_GRAFT_NDOCS", "1000000"))
         out = subprocess.run([sys.executable, __file__],
                              capture_output=True, text=True, env=env,
                              check=True)

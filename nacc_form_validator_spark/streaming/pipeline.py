@@ -1,0 +1,98 @@
+"""Streaming pipeline implementations."""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from nacc_form_validator_spark.qualityfilter import QualityFilterPipeline
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def stream_quality_filter(spark: SparkSession, input_path: str,
+                          output_path: str, checkpoint: str,
+                          rules: Optional[dict] = None,
+                          available_now: bool = True):
+    """readStream(parquet pages) -> stateless quality filter ->
+    writeStream(parquet decisions).
+
+    Stateless subset: any rule spec without temporal/previous-record
+    clauses compiles to pure projections, so the SAME compiled plan used
+    for batch runs per micro-batch with no shuffle at all.
+    """
+    if rules is None:
+        from nacc_form_validator_spark.qualityfilter import DEFAULT_RULES
+        rules = {k: v for k, v in DEFAULT_RULES.items() if k != "text"}
+    qf = QualityFilterPipeline(rules=rules)
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_path))
+    decisions = qf.run(stream).withColumn(
+        "n_findings", F.size("findings")).drop("findings")
+
+    writer = (decisions.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+RECRAWL_STATE = T.StructType([
+    T.StructField("last_n_words", T.LongType()),
+    T.StructField("n_crawls", T.LongType()),
+])
+
+RECRAWL_OUT = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("n_words", T.LongType()),
+    T.StructField("prev_n_words", T.LongType()),
+    T.StructField("collapsed", T.BooleanType()),
+])
+
+
+def _recrawl_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-url state: previous crawl's word count; emits a row per crawl
+    flagging collapse (recrawl shrank below half the previous size)."""
+    (url, ) = key
+    if state.exists:
+        last_n, n_crawls = state.get
+    else:
+        last_n, n_crawls = None, 0
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("warc_ts")
+        for _, r in pdf.iterrows():
+            n_words = int(len(str(r["text"]).split()))
+            collapsed = (last_n is not None and n_words * 2 < last_n)
+            rows.append((url, r["warc_ts"], n_words, last_n, collapsed))
+            last_n = n_words
+            n_crawls += 1
+    state.update((last_n, n_crawls))
+    yield pd.DataFrame(rows, columns=["url", "warc_ts", "n_words",
+                                      "prev_n_words", "collapsed"])
+
+
+def stateful_recrawl_monitor(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-url crawl-collapse flags via
+    applyInPandasWithState (Arrow-batched, state store backed)."""
+    return (pages_stream.groupBy("url").applyInPandasWithState(
+        _recrawl_fn,
+        outputStructType=RECRAWL_OUT,
+        stateStructType=RECRAWL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1,0 +1,61 @@
+"""Streaming surface: the compiled plan runs per micro-batch and matches
+the batch result; the stateful recrawl monitor keeps per-url state."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.qualityfilter import (DEFAULT_RULES,
+                                                     QualityFilterPipeline)
+from nacc_form_validator_spark.sources.pages import pages_from_documents
+from nacc_form_validator_spark.streaming import (stateful_recrawl_monitor,
+                                                 stream_quality_filter)
+from nacc_form_validator_spark.streaming.pipeline import PAGES_SCHEMA
+
+
+def _pages(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return pages_from_documents(docs.limit(100))
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    pages = _pages(spark)
+    inp = str(tmp_path / "pages_in")
+    out = str(tmp_path / "decisions_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages.write.parquet(inp)
+
+    q = stream_quality_filter(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("url", "warc_ts", "passed",
+                                         "n_findings")
+    rules = {k: v for k, v in DEFAULT_RULES.items() if k != "text"}
+    qf = QualityFilterPipeline(rules=rules)
+    want = qf.run(spark.read.schema(PAGES_SCHEMA).parquet(inp)).select(
+        "url", "warc_ts", "passed", F.size("findings").alias("n_findings"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_recrawl_monitor(spark, tmp_path):
+    pages = _pages(spark)
+    inp = str(tmp_path / "pages_in2")
+    out = str(tmp_path / "monitor_out")
+    ckpt = str(tmp_path / "ckpt2")
+    pages.write.parquet(inp)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    mon = stateful_recrawl_monitor(stream)
+    q = (mon.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(out)
+    assert res.count() == pages.count()
+    # urls with >1 crawl carry prev_n_words on their later crawls
+    multi = res.where(F.col("prev_n_words").isNotNull()).count()
+    assert multi > 0
+    # recrawl text only grows in the generator -> nothing collapses
+    assert res.where("collapsed").count() == 0
