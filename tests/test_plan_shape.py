@@ -1,0 +1,71 @@
+"""Physical-plan contracts: JVM-only rule plans, single-Exchange windows,
+parquet filter/column pushdown."""
+
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.pipeline import SparkQualityCheck
+from nacc_form_validator_spark.plans.inspect import (assert_no_python_udf,
+                                                     count_exchanges)
+from nacc_form_validator_spark.qualityfilter import QualityFilterPipeline
+from nacc_form_validator_spark.sources.pages import pages_from_documents
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_non_temporal_rules_stay_jvm_side(spark):
+    """A rule spec without UDF stages compiles to pure projections —
+    zero shuffles, zero Python operators."""
+    rules = {
+        "n_chars": {"type": "integer", "min": 10, "max": 100000},
+        "lang": {"type": "string", "nullable": True,
+                 "allowed": ["en", "es", "de", "fr", "zh"],
+                 "compatibility": [{
+                     "if": {"lang": {"allowed": ["en"]}},
+                     "then": {"n_chars": {"min": 50}}}]},
+    }
+    qc = SparkQualityCheck(None, rules)
+    out = qc.validate(spark.read.parquet(DOCS), cast=False)
+    assert_no_python_udf(out)
+    assert count_exchanges(out) == 0
+
+
+def test_temporal_rules_cost_exactly_one_exchange(spark):
+    """All window-derived views share one hash(pk) Exchange."""
+    rules = {
+        "value": {"type": "float", "nullable": True,
+                  "temporalrules": [
+                      {"previous": {"value": {"min": 0}},
+                       "current": {"value": {"min": 0}}},
+                      {"initial_record": True,
+                       "previous": {"value": {"min": -1e9}},
+                       "current": {"value": {"min": -1e9}}},
+                  ],
+                  "compare_with": {"comparator": ">=", "base": "value",
+                                   "previous_record": True,
+                                   "ignore_empty": True}},
+    }
+    qc = SparkQualityCheck("user_id", rules, orderby="ts")
+    out = qc.validate(spark.read.parquet(EVENTS), cast=False)
+    assert_no_python_udf(out)
+    assert count_exchanges(out) == 1
+
+
+def test_full_pipeline_one_exchange_no_python(spark):
+    """Default pipeline (expr stages): stats+langid+ppl+rules+scrub ride
+    the single recrawl-window Exchange."""
+    pages = pages_from_documents(spark.read.parquet(DOCS))
+    qf = QualityFilterPipeline()
+    out = qf.run(pages)
+    assert_no_python_udf(out)
+    assert count_exchanges(out) == 1
+
+
+def test_parquet_pushdown(spark):
+    """Filters and projections reach the parquet scan."""
+    df = (spark.read.parquet(DOCS)
+          .where(F.col("doc_id") < 100)
+          .select("doc_id", "lang"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
