@@ -201,6 +201,174 @@ def q_multimodal(spark, sf_dir):
     return feats.orderBy("url")
 
 
+def q_rules_compatibility(spark, sf_dir):
+    """if/then/else compatibility rule over orders
+    (nacc_validator.py:652-756 semantics, compiled to Column algebra)."""
+    schema = {
+        "o_totalprice": {
+            "type": "float",
+            "compatibility": [{
+                "if": {"o_orderpriority": {"allowed": ["1-URGENT"]}},
+                "then": {"o_totalprice": {"min": 50000.0}},
+                "else": {"o_totalprice": {"min": 1000.0}},
+            }],
+        },
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(spark.read.parquet(f"{sf_dir}/orders.parquet"),
+                      cast=False)
+    return out.select("o_orderkey", "passed").orderBy("o_orderkey")
+
+
+def q_rules_logic(spark, sf_dir):
+    """jsonLogic count/comparison formula over lineitem
+    (json_logic.py:248-249 count, :202-209 ordering ops)."""
+    schema = {
+        "l_quantity": {
+            "type": "float",
+            "logic": {
+                "formula": {">=": [
+                    {"count": [
+                        {">": [{"var": "l_quantity"}, 10]},
+                        {">": [{"var": "l_discount"}, 0.05]},
+                        {">": [{"var": "l_tax"}, 0.04]},
+                    ]},
+                    2,
+                ]},
+            },
+        },
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                      cast=False)
+    return out.select("l_orderkey", "l_linenumber",
+                      "passed").orderBy("l_orderkey", "l_linenumber")
+
+
+def q_rules_compare_with(spark, sf_dir):
+    """compare_with: field >= base * adjustment
+    (nacc_validator.py:1039-1183)."""
+    schema = {
+        "l_extendedprice": {
+            "type": "float",
+            "compare_with": {
+                "comparator": ">=",
+                "base": "l_quantity",
+                "op": "*",
+                "adjustment": 901.0,
+            },
+        },
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                      cast=False)
+    return out.select("l_orderkey", "l_linenumber",
+                      "passed").orderBy("l_orderkey", "l_linenumber")
+
+
+def q_rules_compare_age(spark, sf_dir):
+    """compare_age: (visit - birth).days / 365.25 vs compare_to
+    (nacc_validator.py:1229-1335); birth fields derived from o_orderkey."""
+    d = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("visit_date",
+                     F.date_format("o_orderdate", "yyyy-MM-dd"))
+         .withColumn("byr", (F.lit(1940) +
+                             F.col("o_orderkey") % 60).cast("int"))
+         .withColumn("bmo", (F.lit(1) +
+                             F.col("o_orderkey") % 12).cast("int"))
+         .withColumn("bdy", (F.lit(1) +
+                             F.col("o_orderkey") % 28).cast("int")))
+    schema = {
+        "visit_date": {
+            "type": "string",
+            "compare_age": {
+                "comparator": ">=",
+                "birth_year": "byr",
+                "birth_month": "bmo",
+                "birth_day": "bdy",
+                "compare_to": 55,
+            },
+        },
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(d, cast=False)
+    return out.select("o_orderkey", "passed").orderBy("o_orderkey")
+
+
+def q_rules_gds(spark, sf_dir):
+    """compute_gds full truth table incl. prorating + floor(x+0.5)
+    (nacc_validator.py:980-1037); answers derived from o_orderkey bits."""
+    d = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = [f"q{i}" for i in range(15)]
+    for i in range(15):
+        d = d.withColumn(
+            f"q{i}",
+            F.when((F.col("o_orderkey") + i * 7) % 11 == 0,
+                   9).otherwise(
+                       F.expr(f"shiftright(o_orderkey, {i}) & 1")))
+    d = d.withColumn(
+        "nogds",
+        F.when(F.col("o_orderkey") % 17 == 0, 1).when(
+            F.col("o_orderkey") % 5 == 0,
+            F.lit(None).cast("long")).otherwise(0))
+    d = d.withColumn(
+        "gds",
+        F.when((F.col("o_orderkey") % 17 == 0) &
+               (F.col("o_orderkey") % 3 == 0),
+               88).otherwise(F.col("o_orderkey") % 16))
+    schema = {
+        **{k: {"type": "integer", "nullable": True} for k in keys},
+        "nogds": {"type": "integer", "nullable": True},
+        "gds": {"type": "integer", "compute_gds": keys},
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(d, cast=False)
+    return out.select("o_orderkey",
+                      F.size("findings").cast("long").alias("n_findings"),
+                      "passed").orderBy("o_orderkey")
+
+
+def q_rules_score_variables(spark, sf_dir):
+    """score_variables mode=correct + logic over the calc var
+    (nacc_validator.py:1362-1436); answers derived from part columns."""
+    d = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .withColumn("val1", F.col("p_size") % 4)
+         .withColumn("val2", (F.col("p_size") + 1) % 5)
+         .withColumn("val3", F.col("p_partkey") % 3)
+         .withColumn("total", F.col("p_partkey") % 4))
+    schema = {
+        "total": {
+            "type": "integer",
+            "function": {
+                "name": "score_variables",
+                "args": {
+                    "mode": "correct",
+                    "scoring_key": {"val1": 1, "val2": 2, "val3": 0},
+                    "logic": {"formula": {"==": [{"var": "total"},
+                                                 {"var": "__total_sum"}]}},
+                },
+            },
+        },
+        "val1": {"type": "integer", "nullable": True},
+        "val2": {"type": "integer", "nullable": True},
+        "val3": {"type": "integer", "nullable": True},
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(d, cast=False)
+    return out.select("p_partkey", "passed").orderBy("p_partkey")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from nacc_form_validator_spark.operators.dedup import (
+        embedding_neardup_pairs)
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.40)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from nacc_form_validator_spark.operators.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -224,7 +392,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_keep_drop": q_keep_drop,
         "qf_metrics": q_metrics,
         "temporal_events": q_temporal_events,
+        "rules_compatibility": q_rules_compatibility,
+        "rules_logic": q_rules_logic,
+        "rules_compare_with": q_rules_compare_with,
+        "rules_compare_age": q_rules_compare_age,
+        "rules_gds": q_rules_gds,
+        "rules_score_variables": q_rules_score_variables,
         "dedup_exact": q_dedup_exact,
+        "dedup_embedding": q_dedup_embedding,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "simhash_signatures": q_simhash,
@@ -246,7 +422,15 @@ def oracle_sql() -> dict[str, str]:
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
         "temporal_events": oracle.temporal_events_sql(),
+        "rules_compatibility": oracle.rules_compatibility_sql(),
+        "rules_logic": oracle.rules_logic_sql(),
+        "rules_compare_with": oracle.rules_compare_with_sql(),
+        "rules_compare_age": oracle.rules_compare_age_sql(),
+        "rules_gds": oracle.rules_gds_sql(),
+        "rules_score_variables": oracle.rules_score_variables_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
+        "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
+        "simhash_pairs": oracle.simhash_pairs_sql(),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
         "simhash_signatures": oracle.simhash_sql(),

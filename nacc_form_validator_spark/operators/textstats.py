@@ -16,7 +16,7 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def whitespace_token_count(text: Column) -> Column:
-    return F.size(F.array_remove(F.split(text, r"\s+"), ""))
+    return F.size(F.array_remove(F.split(text, r"\s+"), "")).cast("long")
 
 
 def bpeish_token_count(text: Column) -> Column:

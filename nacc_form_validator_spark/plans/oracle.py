@@ -74,7 +74,8 @@ def metrics_sql() -> str:
             parts.append(f"SELECT {code} AS code, CASE WHEN {p} THEN 1 "
                          f"ELSE 0 END AS hit FROM s")
     union = " UNION ALL ".join(parts)
-    return (f"WITH s AS ({stats_cte()}) SELECT code, sum(hit) AS hits "
+    return (f"WITH s AS ({stats_cte()}) SELECT CAST(code AS BIGINT) AS "
+            f"code, CAST(sum(hit) AS BIGINT) AS hits "
             f"FROM ({union}) GROUP BY code HAVING sum(hit) > 0 "
             f"ORDER BY code")
 
@@ -228,7 +229,8 @@ def tokens_quality_sql() -> str:
     fold = (f"list_reduce(list_prepend(0::BIGINT, list_transform({w}, "
             f"t -> CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT))), "
             f"(a, h) -> (a * 31 + h) % {FINGERPRINT_MOD})")
-    return (f"SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpeish_tokens, "
+    return (f"SELECT doc_id, CAST({ws} AS BIGINT) AS ws_tokens, "
+            f"CAST({bpe} AS BIGINT) AS bpeish_tokens, "
             f"{score} AS quality, {fold} AS fingerprint "
             f"FROM documents ORDER BY doc_id")
 
@@ -255,3 +257,111 @@ def tpch_q1_sql() -> str:
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus "
         "ORDER BY l_returnflag, l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Rule-family differential queries over the driver-provided TPC-H-ish tables.
+# Each mirrors the exact semantics the compiler emits for one rule family
+# (SURVEY.md §2.3-2.4) so the driver's DuckDB comparison exercises the rule
+# engine itself, not just the payload stages.
+
+def rules_compatibility_sql() -> str:
+    """if/then/else constraint (nacc_validator.py:652-756): urgent orders
+    must total >= 50000, others >= 1000; one constraint => one finding."""
+    return (
+        "SELECT o_orderkey, "
+        "(CASE WHEN o_orderpriority = '1-URGENT' "
+        "THEN o_totalprice >= 50000.0 "
+        "ELSE o_totalprice >= 1000.0 END) AS passed "
+        "FROM orders ORDER BY o_orderkey")
+
+
+def rules_logic_sql() -> str:
+    """jsonLogic count/>= formula (json_logic.py:248-249)."""
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        "(((CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END)) >= 2) AS passed "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")
+
+
+def rules_compare_with_sql() -> str:
+    """field >= base * adjustment (nacc_validator.py:1039-1183)."""
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        "(l_extendedprice >= l_quantity * 901.0) AS passed "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")
+
+
+def rules_compare_age_sql() -> str:
+    """age = (visit - birth).days / 365.25 >= 55 (nacc_validator.py:1318)."""
+    return (
+        "WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS "
+        "visit_date, CAST(1940 + o_orderkey % 60 AS INTEGER) AS byr, "
+        "CAST(1 + o_orderkey % 12 AS INTEGER) AS bmo, "
+        "CAST(1 + o_orderkey % 28 AS INTEGER) AS bdy FROM orders) "
+        "SELECT o_orderkey, "
+        "((date_diff('day', make_date(byr, bmo, bdy), visit_date)) "
+        "/ 365.25 >= 55.0) AS passed FROM d ORDER BY o_orderkey")
+
+
+def rules_gds_sql() -> str:
+    """Full compute_gds truth table incl. prorating + floor(x+0.5)
+    (nacc_validator.py:980-1037); inputs derived from o_orderkey bits."""
+    qs = []
+    for i in range(15):
+        qs.append(
+            f"CASE WHEN (o_orderkey + {i * 7}) % 11 = 0 THEN 9 "
+            f"ELSE (o_orderkey >> {i}) & 1 END AS q{i}")
+    derive = (
+        "SELECT o_orderkey, "
+        + ", ".join(qs) +
+        ", CASE WHEN o_orderkey % 17 = 0 THEN 1 "
+        "WHEN o_orderkey % 5 = 0 THEN NULL ELSE 0 END AS nogds, "
+        "CASE WHEN o_orderkey % 17 = 0 AND o_orderkey % 3 = 0 THEN 88 "
+        "ELSE o_orderkey % 16 END AS gds FROM orders")
+    in01 = " + ".join(
+        f"(CASE WHEN q{i} IN (0, 1) THEN 1 ELSE 0 END)" for i in range(15))
+    ssum = " + ".join(
+        f"(CASE WHEN q{i} IN (0, 1) THEN q{i} ELSE 0 END)"
+        for i in range(15))
+    stats = (f"SELECT o_orderkey, gds, nogds, ({in01}) AS num_valid, "
+             f"({ssum}) AS gds_sum FROM d")
+    findings = (
+        "SELECT o_orderkey, "
+        "(CASE WHEN nogds1 AND gds <> 88 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN nogds1 AND num_valid >= 12 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN (NOT nogds1) AND all15_bad THEN 1 ELSE 0 END) + "
+        "(CASE WHEN (NOT nogds1) AND (NOT all15_bad) AND "
+        "num_unanswered <= 3 AND prorated <> gds THEN 1 ELSE 0 END) + "
+        "(CASE WHEN (NOT nogds1) AND (NOT all15_bad) AND "
+        "(nogds IS NULL OR nogds = 0) AND num_valid < 12 "
+        "THEN 1 ELSE 0 END) AS n_findings FROM x")
+    mid = (
+        "SELECT o_orderkey, gds, nogds, num_valid, gds_sum, "
+        "coalesce(nogds = 1, FALSE) AS nogds1, "
+        "(num_valid = 15 AND gds_sum <> gds) AS all15_bad, "
+        "15 - num_valid AS num_unanswered, "
+        "CAST(floor(gds_sum + (CAST(gds_sum AS DOUBLE) / num_valid) * "
+        "(15 - num_valid) + 0.5) AS BIGINT) AS prorated FROM s")
+    return (
+        f"WITH d AS ({derive}), s AS ({stats}), x AS ({mid}), "
+        f"f AS ({findings}) SELECT o_orderkey, "
+        f"CAST(n_findings AS BIGINT) AS n_findings, "
+        f"(n_findings = 0) AS passed FROM f ORDER BY o_orderkey")
+
+
+def rules_score_variables_sql() -> str:
+    """score_variables mode=correct + logic formula over the calc var
+    (nacc_validator.py:1362-1436)."""
+    return (
+        "WITH d AS (SELECT p_partkey, p_size % 4 AS val1, "
+        "(p_size + 1) % 5 AS val2, p_partkey % 3 AS val3, "
+        "p_partkey % 4 AS total FROM part), "
+        "s AS (SELECT p_partkey, total, "
+        "(CASE WHEN val1 = 1 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN val2 = 2 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN val3 = 0 THEN 1 ELSE 0 END) AS total_sum FROM d) "
+        "SELECT p_partkey, (total = total_sum) AS passed "
+        "FROM s ORDER BY p_partkey")
