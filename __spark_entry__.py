@@ -46,16 +46,29 @@ STAT_KEYS = ["n_chars", "n_words", "mean_word_len", "alpha_ratio",
              "word_rep_ratio"]
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one sf table, spreading single-split local files across the
+    session's cores.  The driver's parquet fixtures are one row-group, so
+    without this every downstream stage of a query runs on ONE task —
+    a local-mode artifact only (a 100 TB table has thousands of splits;
+    the repartition is a no-op there)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read(spark, sf_dir, "documents")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _read(spark, sf_dir, "events")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read(spark, sf_dir, "embeddings")
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +228,7 @@ def q_rules_compatibility(spark, sf_dir):
         },
     }
     qc = SparkQualityCheck(pk_field=None, schema=schema)
-    out = qc.validate(spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    out = qc.validate(_read(spark, sf_dir, "orders"),
                       cast=False)
     return out.select("o_orderkey", "passed").orderBy("o_orderkey")
 
@@ -239,7 +252,7 @@ def q_rules_logic(spark, sf_dir):
         },
     }
     qc = SparkQualityCheck(pk_field=None, schema=schema)
-    out = qc.validate(spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    out = qc.validate(_read(spark, sf_dir, "lineitem"),
                       cast=False)
     return out.select("l_orderkey", "l_linenumber",
                       "passed").orderBy("l_orderkey", "l_linenumber")
@@ -260,7 +273,7 @@ def q_rules_compare_with(spark, sf_dir):
         },
     }
     qc = SparkQualityCheck(pk_field=None, schema=schema)
-    out = qc.validate(spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    out = qc.validate(_read(spark, sf_dir, "lineitem"),
                       cast=False)
     return out.select("l_orderkey", "l_linenumber",
                       "passed").orderBy("l_orderkey", "l_linenumber")
@@ -269,7 +282,7 @@ def q_rules_compare_with(spark, sf_dir):
 def q_rules_compare_age(spark, sf_dir):
     """compare_age: (visit - birth).days / 365.25 vs compare_to
     (nacc_validator.py:1229-1335); birth fields derived from o_orderkey."""
-    d = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = (_read(spark, sf_dir, "orders")
          .withColumn("visit_date",
                      F.date_format("o_orderdate", "yyyy-MM-dd"))
          .withColumn("byr", (F.lit(1940) +
@@ -298,7 +311,7 @@ def q_rules_compare_age(spark, sf_dir):
 def q_rules_gds(spark, sf_dir):
     """compute_gds full truth table incl. prorating + floor(x+0.5)
     (nacc_validator.py:980-1037); answers derived from o_orderkey bits."""
-    d = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = _read(spark, sf_dir, "orders")
     keys = [f"q{i}" for i in range(15)]
     for i in range(15):
         d = d.withColumn(
@@ -331,7 +344,7 @@ def q_rules_gds(spark, sf_dir):
 def q_rules_score_variables(spark, sf_dir):
     """score_variables mode=correct + logic over the calc var
     (nacc_validator.py:1362-1436); answers derived from part columns."""
-    d = (spark.read.parquet(f"{sf_dir}/part.parquet")
+    d = (_read(spark, sf_dir, "part")
          .withColumn("val1", F.col("p_size") % 4)
          .withColumn("val2", (F.col("p_size") + 1) % 5)
          .withColumn("val3", F.col("p_partkey") % 3)
@@ -358,6 +371,67 @@ def q_rules_score_variables(spark, sf_dir):
     return out.select("p_partkey", "passed").orderBy("p_partkey")
 
 
+def q_rules_fields(spark, sf_dir):
+    """Per-field rule battery: allowed / regex fullmatch / min / max /
+    anyof (SURVEY.md §2.2) over customer."""
+    schema = {
+        "c_mktsegment": {"type": "string",
+                         "allowed": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                     "MACHINERY", "HOUSEHOLD"]},
+        "c_name": {"type": "string", "regex": "Customer#[0-9]+"},
+        "c_acctbal": {"type": "float", "min": -500.0, "max": 8000.0},
+        "c_nationkey": {"type": "integer",
+                        "anyof": [{"max": 9}, {"min": 15}]},
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(_read(spark, sf_dir, "customer"), cast=False)
+    return out.select("c_custkey",
+                      F.size("findings").cast("long").alias("n_findings"),
+                      "passed").orderBy("c_custkey")
+
+
+def q_rules_cast(spark, sf_dir):
+    """cast=True path: string records through the dual raw/typed cast
+    plan ('' -> None -> nullable; uncastable -> type error and remaining
+    rules skipped; nacc_validator.py:207-257)."""
+    d = (_read(spark, sf_dir, "customer")
+         .withColumn(
+             "s_acctbal",
+             F.when(F.col("c_custkey") % 7 == 0, "not-a-number")
+             .when(F.col("c_custkey") % 11 == 0, "")
+             .otherwise(F.round(F.col("c_acctbal"), 2).cast("string")))
+         .withColumn("s_nationkey", F.col("c_nationkey").cast("string"))
+         .withColumn("s_filler",
+                     F.when(F.col("c_custkey") % 2 == 1,
+                            "x").otherwise("")))
+    schema = {
+        "s_acctbal": {"type": "float"},
+        "s_nationkey": {"type": "integer", "min": 5, "forbidden": [13]},
+        "s_filler": {"type": "string", "nullable": True, "filled": False},
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = qc.validate(d, cast=True)
+    return out.select("c_custkey",
+                      F.size("findings").cast("long").alias("n_findings"),
+                      "passed").orderBy("c_custkey")
+
+
+def q_rules_membership(spark, sf_dir):
+    """check_adcid-style membership against broadcast reference data
+    (nacc_validator.py:1337-1360)."""
+    schema = {
+        "c_nationkey": {
+            "type": "integer",
+            "function": {"name": "check_adcid", "args": {"own": False}},
+        },
+    }
+    qc = SparkQualityCheck(
+        pk_field=None, schema=schema,
+        datastore_config={"valid_adcids": list(range(20))})
+    out = qc.validate(_read(spark, sf_dir, "customer"), cast=False)
+    return out.select("c_custkey", "passed").orderBy("c_custkey")
+
+
 def q_dedup_embedding(spark, sf_dir):
     from nacc_form_validator_spark.operators.dedup import (
         embedding_neardup_pairs)
@@ -370,7 +444,7 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read(spark, sf_dir, "lineitem")
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -398,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_compare_age": q_rules_compare_age,
         "rules_gds": q_rules_gds,
         "rules_score_variables": q_rules_score_variables,
+        "rules_fields": q_rules_fields,
+        "rules_cast": q_rules_cast,
+        "rules_membership": q_rules_membership,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
         "simhash_pairs": q_simhash_pairs,
@@ -428,6 +505,9 @@ def oracle_sql() -> dict[str, str]:
         "rules_compare_age": oracle.rules_compare_age_sql(),
         "rules_gds": oracle.rules_gds_sql(),
         "rules_score_variables": oracle.rules_score_variables_sql(),
+        "rules_fields": oracle.rules_fields_sql(),
+        "rules_cast": oracle.rules_cast_sql(),
+        "rules_membership": oracle.rules_membership_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
         "simhash_pairs": oracle.simhash_pairs_sql(),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def normalized(text: Column) -> Column:
@@ -126,28 +127,64 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (a < b, sim >= threshold).
+    """Exact n-gram (shingle-set) Jaccard pairs (a < b, sim >= threshold).
 
-    Explode-join on shared shingles: |∩| from the join group, |∪| from
-    per-doc shingle counts.  Quadratic only within co-shingle groups —
-    at scale run AFTER LSH candidate generation, not standalone.
+    Prefix-filtered set-similarity join (the PPJoin/All-Pairs scheme,
+    Xiao et al. WWW'08 / Bayardo et al. WWW'07): order each doc's
+    shingles by ascending global document frequency; any pair with
+    J >= t must share a shingle inside the first |x| - ceil(t*|x|) + 1
+    of that ordering on BOTH sides, so only those prefixes are joined.
+    Candidates then verify with an exact array_intersect.
+
+    Results are identical to the naive all-shingle self-join, but the
+    join volume no longer blows up on hot shingles: frequent shingles
+    sort to the END of the ordering and fall outside every prefix, so
+    the co-shingle groups that turn quadratic at 100 TB never form.
+    The tiny epsilon guards the integer boundary of t*|x| (0.8*5 must
+    ceil to 4, not 5) — it can only lengthen a prefix, never drop one.
     """
+    eps = 1e-9
     sh = (_with_shingles(df, text_col, id_col, n)
-          .select("id", F.explode("sh").alias("sh")))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, "sh")
-             .where(F.col("a.id") < F.col("b.id"))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count("*").alias("shared")))
-    out = (inter.join(sizes.withColumnRenamed("id", "id_a")
-                      .withColumnRenamed("n_sh", "n_a"), "id_a")
-           .join(sizes.withColumnRenamed("id", "id_b")
-                 .withColumnRenamed("n_sh", "n_b"), "id_b"))
-    sim = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (out.withColumn("jaccard", F.round(sim, 6))
+          .where(F.size("sh") > 0))
+    # consumed twice (frequency agg + the ordered join) — memoize the
+    # shingle generation rather than re-running the text pipeline
+    ex = (sh.select("id", F.explode("sh").alias("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (ex.join(freq, "s")
+               .groupBy("id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("df", "s"))),
+                   lambda x: x["s"]).alias("sh_ord")))
+    # The candidate join and both verification joins all consume this
+    # aggregate; AQE's broadcast conversions defeat ReusedExchange here,
+    # so without an explicit persist the shingle+frequency pipeline runs
+    # three times.  It is the operator's natural materialization point
+    # (one row per doc) — same role as the signature table a dedicated
+    # similarity-join system would write out.
+    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    plen = (F.size("sh_ord") -
+            F.ceil(F.size("sh_ord") * threshold - eps) + 1).cast("int")
+    pref = ordered.select(
+        "id", F.size("sh_ord").alias("n_sh"),
+        F.explode(F.slice("sh_ord", 1, plen)).alias("s"))
+    a, b = pref.alias("a"), pref.alias("b")
+    size_ok = (F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * threshold
+               <= F.least(F.col("a.n_sh"), F.col("b.n_sh")) + eps)
+    cand = (a.join(b, "s")
+            .where((F.col("a.id") < F.col("b.id")) & size_ok)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    docs = ordered.select("id", "sh_ord")
+    ver = (cand
+           .join(docs.select(F.col("id").alias("id_a"),
+                             F.col("sh_ord").alias("sa")), "id_a")
+           .join(docs.select(F.col("id").alias("id_b"),
+                             F.col("sh_ord").alias("sb")), "id_b"))
+    shared = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - shared
+    return (ver.withColumn("jaccard", F.round(shared / union, 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
             .orderBy("id_a", "id_b"))

@@ -365,3 +365,37 @@ def rules_score_variables_sql() -> str:
         "(CASE WHEN val3 = 0 THEN 1 ELSE 0 END) AS total_sum FROM d) "
         "SELECT p_partkey, (total = total_sum) AS passed "
         "FROM s ORDER BY p_partkey")
+
+
+def rules_fields_sql() -> str:
+    """Per-field rule battery (allowed/regex-fullmatch/min/max/anyof,
+    SURVEY.md §2.2) over customer."""
+    n = ("(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING',"
+         "'FURNITURE','MACHINERY','HOUSEHOLD') THEN 1 ELSE 0 END) + "
+         "(CASE WHEN NOT regexp_full_match(c_name, 'Customer#[0-9]+') "
+         "THEN 1 ELSE 0 END) + "
+         "(CASE WHEN c_acctbal < -500.0 THEN 1 ELSE 0 END) + "
+         "(CASE WHEN c_acctbal > 8000.0 THEN 1 ELSE 0 END) + "
+         "(CASE WHEN c_nationkey BETWEEN 10 AND 14 THEN 1 ELSE 0 END)")
+    return (f"SELECT c_custkey, CAST({n} AS BIGINT) AS n_findings, "
+            f"({n} = 0) AS passed FROM customer ORDER BY c_custkey")
+
+
+def rules_cast_sql() -> str:
+    """String-record cast stage (nacc_validator.py:207-257): '' -> None
+    fires nullable; uncastable keeps raw and fires type; castable values
+    proceed to min/forbidden."""
+    n = ("(CASE WHEN c_custkey % 7 = 0 THEN 1 "
+         "WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) + "
+         "(CASE WHEN c_nationkey < 5 THEN 1 ELSE 0 END) + "
+         "(CASE WHEN c_nationkey = 13 THEN 1 ELSE 0 END) + "
+         "(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)")
+    return (f"SELECT c_custkey, CAST({n} AS BIGINT) AS n_findings, "
+            f"({n} = 0) AS passed FROM customer ORDER BY c_custkey")
+
+
+def rules_membership_sql() -> str:
+    """check_adcid-style broadcast membership (nacc_validator.py:1337-1360):
+    c_nationkey must be a known reference id 0..19."""
+    return ("SELECT c_custkey, (c_nationkey BETWEEN 0 AND 19) AS passed "
+            "FROM customer ORDER BY c_custkey")
