@@ -105,9 +105,10 @@ def q_langid(spark, sf_dir):
 
 
 def q_ppl(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        ppl_unigram_expr(F.col("text")).alias("ppl")).orderBy("doc_id")
+    from nacc_form_validator_spark.functions.perplexity import (
+        with_ppl_unigram)
+    d = with_ppl_unigram(_docs(spark, sf_dir), "text", "ppl")
+    return d.select("doc_id", "ppl").orderBy("doc_id")
 
 
 def q_scrub(spark, sf_dir):

@@ -42,9 +42,17 @@ def doc_stats(text: Column, w: Column = None, lines: Column = None) -> dict:
     wl = F.transform(w, lambda x: F.length(x))
     total_wl = F.aggregate(wl, F.lit(0), lambda a, x: a + x)
     n_chars = F.length(text)
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    # character-class counts via translate (single lookup pass, no regex
+    # engine) — value-identical to the regex forms the oracle uses:
+    # alpha == length - length(text minus [A-Za-z]); \s == Java regex
+    # default [ \t\n\x0B\f\r]
+    _ALPHA = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "abcdefghijklmnopqrstuvwxyz")
+    _DIGIT = "0123456789"
+    _WS = " \t\n\x0b\f\r"
+    alpha = n_chars - F.length(F.translate(text, _ALPHA, ""))
+    digits = n_chars - F.length(F.translate(text, _DIGIT, ""))
+    symbols = F.length(F.translate(text, _ALPHA + _DIGIT + _WS, ""))
     stop_hits = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in
                                                       STOPWORDS])))
     stop_count = F.aggregate(

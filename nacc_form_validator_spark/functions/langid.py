@@ -55,7 +55,9 @@ def langid_from_words(text: Column, w: Column) -> Column:
     when-chain fold (which would inline each aggregate subtree O(2^langs)
     times into the plan).
     """
-    cjk = F.length(F.regexp_replace(text, r"[^\u4e00-\u9fff]", ""))
+    # count CJK chars without building the stripped string \u2014 same value
+    # as length(regexp_replace(text, '[^\u4e00-\u9fff]', ''))
+    cjk = F.regexp_count(text, F.lit(r"[\u4e00-\u9fff]"))
 
     def profile_hits(profile):
         def merge(a, x):

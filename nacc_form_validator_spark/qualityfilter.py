@@ -47,7 +47,7 @@ from nacc_form_validator_spark.functions.heuristics import words as _words_col
 from nacc_form_validator_spark.functions.langid import (langid_from_words,
                                                         make_langid_udf)
 from nacc_form_validator_spark.functions.perplexity import (
-    make_ppl_bigram_udf, ppl_unigram_expr)
+    make_ppl_bigram_udf, ppl_unigram_expr, with_ppl_unigram)
 from nacc_form_validator_spark.functions.scrub import scrub_expr, scrub_hits
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
 
@@ -148,7 +148,7 @@ class QualityFilterPipeline:
             df = df.withColumn(
                 "lang_pred",
                 langid_from_words(F.col("text"), F.col("__qf_wlc")))
-            df = df.withColumn("ppl", ppl_unigram_expr(F.col("text")))
+            df = with_ppl_unigram(df, "text", "ppl")
         df = df.withColumn(
             "lang_ok",
             F.when(F.col("lang").isNull() | (F.col("lang") == ""),

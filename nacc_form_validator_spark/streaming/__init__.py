@@ -18,6 +18,8 @@ at scale the sink is the same bucketed decisions layout as batch.
 """
 
 from nacc_form_validator_spark.streaming.pipeline import (
-    stateful_recrawl_monitor, stream_quality_filter)
+    stateful_recrawl_monitor, stream_quality_filter,
+    windowed_metrics_stream)
 
-__all__ = ["stream_quality_filter", "stateful_recrawl_monitor"]
+__all__ = ["stream_quality_filter", "stateful_recrawl_monitor",
+           "windowed_metrics_stream"]

@@ -50,6 +50,32 @@ def stream_quality_filter(spark: SparkSession, input_path: str,
     return writer.start()
 
 
+def windowed_metrics_stream(pages_stream: DataFrame,
+                            rules: Optional[dict] = None,
+                            window: str = "10 minutes",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Streaming analogue of the per-partition validation summaries
+    (docs/validate_csv_records.py:88-133): per event-time window, per
+    error code, rule-hit counts — watermarked on ``warc_ts`` so late
+    crawls are folded in until the watermark passes and state is evicted.
+
+    append-output-safe (aggregation over a watermarked event-time
+    window); composes with the same compiled rule plan as batch.
+    """
+    if rules is None:
+        from nacc_form_validator_spark.qualityfilter import DEFAULT_RULES
+        rules = {k: v for k, v in DEFAULT_RULES.items() if k != "text"}
+    qf = QualityFilterPipeline(rules=rules)
+    decisions = qf.run(pages_stream.withWatermark("warc_ts", watermark))
+    return (decisions
+            .select("warc_ts", F.explode("findings").alias("f"))
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     F.col("f.code").alias("code"))
+            .agg(F.count("*").alias("hits"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "code", "hits"))
+
+
 RECRAWL_STATE = T.StructType([
     T.StructField("last_n_words", T.LongType()),
     T.StructField("n_crawls", T.LongType()),

@@ -9,7 +9,8 @@ from nacc_form_validator_spark.qualityfilter import (DEFAULT_RULES,
                                                      QualityFilterPipeline)
 from nacc_form_validator_spark.sources.pages import pages_from_documents
 from nacc_form_validator_spark.streaming import (stateful_recrawl_monitor,
-                                                 stream_quality_filter)
+                                                 stream_quality_filter,
+                                                 windowed_metrics_stream)
 from nacc_form_validator_spark.streaming.pipeline import PAGES_SCHEMA
 
 
@@ -36,6 +37,50 @@ def test_stream_matches_batch(spark, tmp_path):
         "url", "warc_ts", "passed", F.size("findings").alias("n_findings"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_windowed_metrics_stream(spark, tmp_path):
+    """Watermarked event-time window aggregation of rule hits matches the
+    equivalent batch aggregation once the stream drains."""
+    pages = _pages(spark)
+    inp = str(tmp_path / "pages_in3")
+    out = str(tmp_path / "metrics_out")
+    ckpt = str(tmp_path / "ckpt3")
+    pages.write.parquet(inp)
+
+    def run_stream():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+        m = windowed_metrics_stream(stream, window="1 hour",
+                                    watermark="1 minute")
+        q = (m.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1 advances the watermark to (max ts - 1 min) and checkpoints it;
+    # run 2's first batch then closes and emits every run-1 window — the
+    # late-data eviction path exercised across restarts
+    run_stream()
+    (pages.withColumn("warc_ts",
+                      F.col("warc_ts") + F.expr("INTERVAL 2 YEARS"))
+     .write.mode("append").parquet(inp))
+    run_stream()
+
+    got = spark.read.parquet(out)
+    rules = {k: v for k, v in DEFAULT_RULES.items() if k != "text"}
+    qf = QualityFilterPipeline(rules=rules)
+    want = (qf.run(spark.read.schema(PAGES_SCHEMA).parquet(inp))
+            .select("warc_ts", F.explode("findings").alias("f"))
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"),
+                     F.col("f.code").alias("code"))
+            .agg(F.count("*").alias("hits"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "code", "hits"))
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match batch, and the final watermark closes all but at most
+    # the last open window
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0
 
 
 def test_stateful_recrawl_monitor(spark, tmp_path):
