@@ -104,6 +104,17 @@ def q_langid(spark, sf_dir):
         langid_expr(F.col("text")).alias("lang_pred")).orderBy("doc_id")
 
 
+def q_langid_udf(spark, sf_dir):
+    """Broadcast-model Arrow pandas-UDF language-ID (the fastText-shaped
+    scale path) — output-identical to the expr variant, so it shares the
+    same DuckDB oracle: the UDF plumbing itself sits under the
+    correctness gate."""
+    from nacc_form_validator_spark.functions.langid import make_langid_udf
+    udf = make_langid_udf(spark)
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
 def q_ppl(spark, sf_dir):
     from nacc_form_validator_spark.functions.perplexity import (
         with_ppl_unigram)
@@ -462,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qf_doc_stats": q_doc_stats,
         "qf_langid": q_langid,
+        "qf_langid_udf": q_langid_udf,
         "qf_ppl_unigram": q_ppl,
         "qf_scrub": q_scrub,
         "qf_keep_drop": q_keep_drop,
@@ -495,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
+        "qf_langid_udf": oracle.langid_query_sql(),
         "qf_ppl_unigram": oracle.ppl_query_sql(),
         "qf_scrub": oracle.scrub_query_sql(),
         "qf_keep_drop": oracle.keep_drop_sql(),
