@@ -147,6 +147,14 @@ def q_metrics(spark, sf_dir):
     return m
 
 
+def q_host_stats(spark, sf_dir):
+    """Salted two-phase host aggregation over the skewed pages corpus
+    (explicit skew handling — SURVEY.md §4.3)."""
+    from nacc_form_validator_spark.qualityfilter import host_page_stats
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return host_page_stats(pages)
+
+
 def q_temporal_events(spark, sf_dir):
     """compare_with previous_record over the events stream: value must be
     >= half the previous value; first events pass via ignore_empty
@@ -479,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_keep_drop": q_keep_drop,
         "qf_metrics": q_metrics,
         "temporal_events": q_temporal_events,
+        "qf_host_stats": q_host_stats,
         "rules_compatibility": q_rules_compatibility,
         "rules_logic": q_rules_logic,
         "rules_compare_with": q_rules_compare_with,
@@ -513,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
         "temporal_events": oracle.temporal_events_sql(),
+        "qf_host_stats": oracle.host_stats_sql(),
         "rules_compatibility": oracle.rules_compatibility_sql(),
         "rules_logic": oracle.rules_logic_sql(),
         "rules_compare_with": oracle.rules_compare_with_sql(),

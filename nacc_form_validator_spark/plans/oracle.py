@@ -399,3 +399,15 @@ def rules_membership_sql() -> str:
     c_nationkey must be a known reference id 0..19."""
     return ("SELECT c_custkey, (c_nationkey BETWEEN 0 AND 19) AS passed "
             "FROM customer ORDER BY c_custkey")
+
+
+def host_stats_sql() -> str:
+    """Per-host page/url counts, derived directly from the deterministic
+    pages_from_documents mapping (sources/pages.py): host bucket =
+    floor(sqrt(doc_id % 256)), crawls per doc = doc_id % 3 + 1."""
+    host = ("'host' || CAST(CAST(floor(sqrt(doc_id % 256)) AS INTEGER) "
+            "AS VARCHAR) || '.example'")
+    return (f"SELECT {host} AS host, "
+            f"CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_pages, "
+            f"CAST(count(*) AS BIGINT) AS n_urls "
+            f"FROM documents GROUP BY 1 ORDER BY host")

@@ -187,3 +187,28 @@ def salted_host_key(url: Column, n_salts: int = 16) -> Column:
     host = F.parse_url(url, F.lit("HOST"))
     return F.concat(host, F.lit("#"),
                     F.pmod(F.hash(url), F.lit(n_salts)).cast("string"))
+
+
+def host_page_stats(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host page/url counts via salted two-phase aggregation.
+
+    The pages corpus is host-skewed by construction (Zipf-ish, one host
+    absorbs ~sqrt of the id space — sources/pages.py), so a naive
+    groupBy(host) sends the hot host's entire traffic to ONE reducer.
+    Phase 1 aggregates on (host, salt) — n_salts reducers share the hot
+    host; phase 2 merges the tiny per-salt partials.  Same result, no
+    straggler task; the second shuffle moves only |hosts| x n_salts
+    rows.  A url's salt is a function of the url, so per-salt distinct
+    url counts are disjoint and sum exactly.
+    """
+    partial = (pages
+               .withColumn("__hsalt", salted_host_key(F.col("url"),
+                                                      n_salts))
+               .groupBy("__hsalt")
+               .agg(F.count("*").alias("c"),
+                    F.countDistinct("url").alias("u")))
+    host = F.substring_index(F.col("__hsalt"), "#", 1)
+    return (partial.groupBy(host.alias("host"))
+            .agg(F.sum("c").alias("n_pages"),
+                 F.sum("u").alias("n_urls"))
+            .orderBy("host"))

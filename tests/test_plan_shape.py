@@ -69,3 +69,23 @@ def test_parquet_pushdown(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_salted_host_agg_matches_direct(spark):
+    """Two-phase salted aggregation == naive groupBy(host) — same
+    result, but the hot host's rows spread over n_salts reducers in
+    phase 1 instead of one straggler task."""
+    from nacc_form_validator_spark.qualityfilter import host_page_stats
+    pages = pages_from_documents(spark.read.parquet(DOCS))
+    two_phase = host_page_stats(pages, n_salts=8)
+    direct = (pages
+              .groupBy(F.parse_url(F.col("url"),
+                                   F.lit("HOST")).alias("host"))
+              .agg(F.count("*").alias("n_pages"),
+                   F.countDistinct("url").alias("n_urls")))
+    assert two_phase.exceptAll(direct).count() == 0
+    assert direct.exceptAll(two_phase).count() == 0
+    # shuffle structure: salted phase-1 agg costs 2 exchanges (distinct
+    # aggregation is itself two-step), merge costs 1, final sort 1 —
+    # and crucially NONE of them hash-partitions on bare `host`
+    assert count_exchanges(two_phase) == 4
