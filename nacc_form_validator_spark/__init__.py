@@ -9,6 +9,9 @@ Catalyst/Tungsten at web scale.
 
 from nacc_form_validator_spark.errors import Codes, RuleCompileError
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
+from nacc_form_validator_spark.records import (records_to_df,
+                                               validate_records)
 
-__all__ = ["SparkQualityCheck", "Codes", "RuleCompileError"]
+__all__ = ["SparkQualityCheck", "Codes", "RuleCompileError",
+           "records_to_df", "validate_records"]
 __version__ = "0.1.0"

@@ -1,0 +1,120 @@
+"""Dict-record convenience surface — the reference's entry-point shape.
+
+The reference validates one ``Dict[str, Any]`` at a time and returns
+``(passed, sys_failure, errors)`` (quality_check.py:97-134).  A user
+migrating from it gets the same call shape here: records in, per-record
+verdicts + field-keyed error messages out — except the schema compiles
+ONCE and the whole batch is one Spark job, not a Python loop.
+
+System errors (engine misconfiguration) surface at
+:class:`SparkQualityCheck` construction as ``RuleCompileError`` — before
+any record is touched — so ``sys_failure`` is False for every record
+that reaches evaluation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Dict, List, Tuple
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nacc_form_validator_spark.types import (DTYPE_TO_SPARK,
+                                             populate_data_types)
+
+
+def _spark_type_for(value) -> T.DataType:
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, dt.datetime):
+        return T.TimestampType()
+    if isinstance(value, dt.date):
+        return T.DateType()
+    return T.StringType()
+
+
+def records_to_df(spark: SparkSession, schema: Dict[str, dict],
+                  records: List[Dict[str, Any]],
+                  all_strings: bool = False):
+    """Dict records -> DataFrame typed per the rule spec's dtype map.
+
+    ``all_strings=True`` models the CSV-ingestion path where every value
+    arrives as a string and the cast stage applies the reference's
+    cast_record semantics (nacc_validator.py:207-257).
+    """
+    dtypes = populate_data_types(schema)
+    fields: Dict[str, T.DataType] = {}
+    for r in records:
+        for k, v in r.items():
+            if k in fields:
+                continue
+            if all_strings:
+                fields[k] = T.StringType()
+            elif k in dtypes:
+                fields[k] = DTYPE_TO_SPARK[dtypes[k]]
+            elif v is not None:
+                fields[k] = _spark_type_for(v)
+    for r in records:
+        for k in r:
+            if k not in fields:
+                fields[k] = T.StringType()
+    if not fields:
+        fields["__dummy"] = T.LongType()
+        records = [{"__dummy": 0} for _ in records]
+    st = T.StructType([T.StructField(k, v, True) for k, v in fields.items()])
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        if isinstance(t, T.DoubleType) and isinstance(v, int) and \
+                not isinstance(v, bool):
+            return float(v)
+        if isinstance(t, T.LongType) and isinstance(v, bool):
+            return int(v)
+        return v
+
+    rows = [tuple(coerce(r.get(k), fields[k]) for k in fields)
+            for r in records]
+    return spark.createDataFrame(rows, st)
+
+
+def validate_records(
+        qc, spark: SparkSession, records: List[Dict[str, Any]],
+        cast: bool = False,
+        all_strings: bool = False) -> List[Tuple[bool, bool,
+                                                 Dict[str, List[str]]]]:
+    """Reference-shaped batch validation: one (passed, sys_failure,
+    errors-by-field) tuple per input record, in input order.
+
+    Records are grouped by key-set (and per-key python type) so
+    missing-key vs explicit-null semantics match the reference's dict
+    records exactly — a key absent from the dict is absent from that
+    group's DataFrame schema and is nulled by the cast stage with
+    ``required``-firing semantics (nacc_validator.py:253-256).
+    """
+    def group_sig(r):
+        return tuple(sorted((k, type(v).__name__) for k, v in r.items()))
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, r in enumerate(records):
+        groups.setdefault(group_sig(r), []).append(i)
+
+    out_by_index: Dict[int, Tuple[bool, bool, Dict[str, List[str]]]] = {}
+    for _sig, idxs in groups.items():
+        batch = [records[i] for i in idxs]
+        df = records_to_df(spark, qc.schema, batch,
+                           all_strings=all_strings)
+        df = df.withColumn("__row", F.monotonically_increasing_id())
+        res = qc.validate(df, cast=cast).orderBy("__row").collect()
+        for i, row in zip(idxs, res):
+            errors: Dict[str, List[str]] = {}
+            for f in (row["findings"] or []):
+                errors.setdefault(f["field"], []).append(f["msg"])
+            out_by_index[i] = (bool(row["passed"]), False, errors)
+    return [out_by_index[i] for i in range(len(records))]

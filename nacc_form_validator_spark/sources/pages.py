@@ -93,3 +93,17 @@ def synthetic_pages(spark: SparkSession, n_docs: int = 10000,
     d = d.withColumn("n_chars", F.length("text")).withColumn(
         "source", F.concat(F.lit("src"), (F.col("doc_id") % 20)))
     return pages_from_documents(d, recrawls=recrawls)
+
+
+def pages_from_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV record source (the reference's bulk-ingestion shape,
+    docs/validate_csv_records.py:90-100): every value arrives as a
+    string — exactly the contract the cast stage expects
+    (nacc_validator.py:207-257) — so ``html`` is carried as its
+    base64/utf8 string form and ``warc_ts`` parses via the engine's
+    dateutil-parity cast, not Spark's CSV timestamp inference."""
+    return (spark.read.option("header", "true")
+            .option("inferSchema", "false")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
-from nacc_form_validator_spark.types import DTYPE_TO_SPARK, populate_data_types
+from nacc_form_validator_spark.records import records_to_df
 
 
 @pytest.fixture(scope="session")
@@ -30,58 +30,11 @@ def spark():
     yield s
 
 
-def _spark_type_for(value) -> T.DataType:
-    if isinstance(value, bool):
-        return T.BooleanType()
-    if isinstance(value, int):
-        return T.LongType()
-    if isinstance(value, float):
-        return T.DoubleType()
-    if isinstance(value, dt.datetime):
-        return T.TimestampType()
-    if isinstance(value, dt.date):
-        return T.DateType()
-    return T.StringType()
-
-
 def build_df(spark, schema: Dict[str, dict], records: List[Dict[str, Any]],
              all_strings: bool = False):
-    """Records -> DataFrame typed per the rule spec's dtype map."""
-    dtypes = populate_data_types(schema)
-    fields: Dict[str, T.DataType] = {}
-    for r in records:
-        for k, v in r.items():
-            if k in fields:
-                continue
-            if all_strings:
-                fields[k] = T.StringType()
-            elif k in dtypes:
-                fields[k] = DTYPE_TO_SPARK[dtypes[k]]
-            elif v is not None:
-                fields[k] = _spark_type_for(v)
-    # second pass for None-only columns
-    for r in records:
-        for k in r:
-            if k not in fields:
-                fields[k] = T.StringType()
-    if not fields:
-        fields["__dummy"] = T.LongType()
-        records = [{"__dummy": 0} for _ in records]
-    st = T.StructType([T.StructField(k, v, True) for k, v in fields.items()])
-
-    def coerce(v, t):
-        if v is None:
-            return None
-        if isinstance(t, T.DoubleType) and isinstance(v, int) and \
-                not isinstance(v, bool):
-            return float(v)
-        if isinstance(t, T.LongType) and isinstance(v, bool):
-            return int(v)
-        return v
-
-    rows = [tuple(coerce(r.get(k), fields[k]) for k in fields)
-            for r in records]
-    return spark.createDataFrame(rows, st)
+    """Records -> DataFrame typed per the rule spec's dtype map (public
+    path: nacc_form_validator_spark.records)."""
+    return records_to_df(spark, schema, records, all_strings=all_strings)
 
 
 def run_check(spark,

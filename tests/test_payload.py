@@ -124,3 +124,47 @@ def test_checkpoint_resume(spark, tmp_path, docs):
     # second run: everything already committed -> nothing written
     n2 = run_checkpointed(qf, pages, target)
     assert n2 == 0
+
+
+def test_pages_from_csv_roundtrip(spark, tmp_path):
+    """CSV ingestion: all-string records through the cast stage give the
+    same verdicts as the typed parquet path."""
+    from nacc_form_validator_spark.pipeline import SparkQualityCheck
+    from nacc_form_validator_spark.sources.pages import pages_from_csv
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    p = str(tmp_path / "docs_csv")
+    (docs.select("doc_id", "text", "lang", "n_chars")
+     .withColumn("n_chars", F.col("n_chars").cast("string"))
+     .write.option("header", "true").option("escape", '"')
+     .mode("overwrite").csv(p))
+
+    rules = {"n_chars": {"type": "integer", "min": 50},
+             "lang": {"type": "string", "nullable": True,
+                      "allowed": ["en", "es", "de", "fr", "zh"]}}
+    qc = SparkQualityCheck(None, rules)
+    got = (qc.validate(pages_from_csv(spark, p), cast=True)
+           .select("doc_id", "passed"))
+    want = qc.validate(docs, cast=False).select("doc_id", "passed")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_validate_records_reference_shape(spark):
+    """Public dict-record API returns the reference's
+    (passed, sys_failure, errors-by-field) tuples in input order."""
+    from nacc_form_validator_spark import SparkQualityCheck, validate_records
+
+    rules = {"a": {"type": "integer", "required": True, "min": 5},
+             "b": {"type": "string", "nullable": True}}
+    qc = SparkQualityCheck(None, rules)
+    out = validate_records(qc, spark, [
+        {"a": 10, "b": "x"},
+        {"a": 1, "b": "x"},
+        {"b": "only"},
+    ])
+    assert [p for p, _, _ in out] == [True, False, False]
+    assert all(sf is False for _, sf, _ in out)
+    assert "a" in out[1][2] and len(out[1][2]["a"]) == 1
+    assert "a" in out[2][2]  # missing key -> required fires
