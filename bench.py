@@ -95,7 +95,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
     # warmup run first so the number is steady-state throughput, not
     # Janino/JIT compilation of a fresh plan shape
     qmap = entry.queries()
-    for name in ["qf_keep_drop", "qf_scrub", "rules_gds",
+    for name in ["qf_keep_drop", "qf_scrub", "qf_host_stats", "rules_gds",
                  "rules_compare_with", "dedup_exact",
                  "dedup_minhash_lsh", "dedup_ngram_jaccard",
                  "simhash_signatures", "simhash_pairs", "simsearch_topk",

@@ -90,3 +90,45 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.length(F.col("html")) % 100 + 1).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.withColumn("frame_indices", idx)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_image_batch(df: DataFrame, bin_col: str = "html",
+                       url_col: str = "url", width: int = 64,
+                       height: int = 64,
+                       deterministic_fake: bool = False) -> DataFrame:
+    """mapInPandas resize stage (stubbed decode, real plumbing).
+
+    Real shape: Arrow batch of payloads in, batch of resized payloads +
+    target dimensions out.  The fake path emits a deterministic
+    byte-slice sized to the target (width*height*3 cap) so batch shape,
+    schema, and partition sizing are exercised end-to-end; swap the body
+    for PIL `Image.resize` at deploy.
+    """
+    cap = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resize requires PIL; not available in this "
+                    "environment — pass deterministic_fake=True for the "
+                    "plumbing test path")
+            yield pd.DataFrame({
+                "url": pdf[url_col],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "resized": [bytes(x)[:cap] for x in pdf[bin_col]],
+            })
+
+    return (df.select(url_col, bin_col)
+            .repartition(max(df.sparkSession.sparkContext.defaultParallelism,
+                             1))
+            .mapInPandas(run, RESIZED_SCHEMA))

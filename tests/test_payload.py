@@ -168,3 +168,23 @@ def test_validate_records_reference_shape(spark):
     assert all(sf is False for _, sf, _ in out)
     assert "a" in out[1][2] and len(out[1][2]["a"]) == 1
     assert "a" in out[2][2]  # missing key -> required fires
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Resize stub: Arrow batch shape, schema, determinism."""
+    from nacc_form_validator_spark.operators.multimodal import (
+        resize_image_batch)
+    from nacc_form_validator_spark.sources.pages import pages_from_documents
+    import pytest as _pytest
+
+    pages = pages_from_documents(spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(20))
+    out = resize_image_batch(pages, width=4, height=4,
+                             deterministic_fake=True)
+    rows = out.collect()
+    assert len(rows) == pages.count()
+    assert all(len(r["resized"]) <= 4 * 4 * 3 for r in rows)
+    assert rows[0]["width"] == 4 and rows[0]["height"] == 4
+    # non-fake path raises the documented stub error at evaluation
+    with _pytest.raises(Exception):
+        resize_image_batch(pages).collect()
