@@ -179,6 +179,10 @@ class LogicCompiler:
             raise LogicCompileError(
                 f"{op} compiles to a constant only; unsupported in columns")
 
+        if op == "in" and len(values) == 2 and isinstance(
+                values[1], (list, tuple)):
+            return self._in_list(self.compile(values[0]), values[1])
+
         args = [self.compile(v) for v in values]
         return self._apply(op, args)
 
@@ -284,6 +288,35 @@ class LogicCompiler:
         if out is None:
             return F.lit(None), "null"
         return out, _merge_kind_list(kinds)
+
+    def _in_list(self, left: Node, items) -> Node:
+        """`x in [literals]` — Python ``in`` uses exact ``==`` per element
+        (json_logic.py:224-225: plain ``a in b``), so no isclose here;
+        cross-type numeric/bool equality matches Python (1 == 1.0,
+        True == 1), string-vs-number is statically False, and a null
+        left matches only a null element."""
+        lc, lk = left
+        num = ("int", "float", "num", "bool")
+        terms = []
+        for item in items:
+            ic, ik = _lit_node(item)
+            if ik == "null":
+                terms.append(lc.isNull())
+            elif lk == "null":
+                continue
+            elif lk == "str" and ik == "str":
+                terms.append(lc.eqNullSafe(ic))
+            elif lk in num and ik in num:
+                a = lc.cast("int") if lk == "bool" else lc
+                b = ic.cast("int") if ik == "bool" else ic
+                terms.append(a.eqNullSafe(b))
+            # statically incomparable -> Python == is False; no term
+        if not terms:
+            return F.lit(False), "bool"
+        out = terms[0]
+        for t in terms[1:]:
+            out = out | t
+        return F.coalesce(out, F.lit(False)), "bool"
 
     def _in(self, args: List[Node]) -> Node:
         (ca, ka), (cb, kb) = args[0], args[1]
