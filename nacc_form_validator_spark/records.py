@@ -57,7 +57,19 @@ def records_to_df(spark: SparkSession, schema: Dict[str, dict],
             if all_strings:
                 fields[k] = T.StringType()
             elif k in dtypes:
-                fields[k] = DTYPE_TO_SPARK[dtypes[k]]
+                t = DTYPE_TO_SPARK[dtypes[k]]
+                # the reference validates UNCAST values dynamically: an
+                # int in a float-typed field stays int (renders "8", not
+                # "8.0", in error messages) and vice versa — value type
+                # wins over the declared dtype for numeric mismatches
+                if v is not None and not isinstance(v, bool):
+                    vt = _spark_type_for(v)
+                    if (isinstance(t, T.DoubleType)
+                            and isinstance(vt, T.LongType)) or (
+                                isinstance(t, T.LongType)
+                                and isinstance(vt, T.DoubleType)):
+                        t = vt
+                fields[k] = t
             elif v is not None:
                 fields[k] = _spark_type_for(v)
     for r in records:
