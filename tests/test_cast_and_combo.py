@@ -133,3 +133,23 @@ def test_lots_of_rules(spark):
         "error in formula evaluation - value 0 does not satisfy the "
         "specified formula"
     ]
+
+
+def test_validate_formatting_invalid_field(spark):
+    """formatting on a non-string field is engine misconfiguration —
+    the reference raises ValidationException into sys_errors
+    (nacc_validator.py:393-417); here it fails at compile time, before
+    any job is submitted (the Cerberus-SchemaError-at-ctor analogue)."""
+    import pytest
+    from nacc_form_validator_spark.errors import RuleCompileError
+    from nacc_form_validator_spark.pipeline import SparkQualityCheck
+
+    qc = SparkQualityCheck(None, {
+        "dummy_int": {"type": "integer", "formatting": "date"},
+    })
+    df = build_df(spark, {"dummy_int": {"type": "integer"}},
+                  [{"dummy_int": 1}])
+    with pytest.raises(RuleCompileError,
+                       match="formatting definition not supported for "
+                             "non string types"):
+        qc.validate(df, cast=False)

@@ -330,3 +330,103 @@ def test_rxcui_adcid(spark):
     assert "Drug ID 99 is not a valid RXCUI" in r["msgs"]
     assert "Provided ADCID 1 does not match your center's ADCID" in r["msgs"]
     assert "Provided ADCID 3 is not in the valid list of ADCIDs" in r["msgs"]
+
+
+def test_check_rxcui_with_target_date_field(spark):
+    """Dated RXCUI variant (nacc_validator.py:1185-1227): (code, date)
+    validity against the broadcast reference set; only 2026-01-01 is an
+    active date in the test configuration (test datastore :45-56)."""
+    import datetime as dt
+    cfg = {"valid_rxcui": set(range(50)),
+           "rxcui_valid_date": dt.date(2026, 1, 1)}
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer"},
+        "drug": {"type": "integer",
+                 "function": {"name": "check_rxcui",
+                              "args": {"target_date_field": "visitdate"}}},
+        "visitdate": {"type": "string"},
+    }
+    base = {"patient_id": "PatientID1", "visit_num": 4}
+    r = run_longitudinal(spark, schema,
+                         dict(base, drug=24, visitdate="2026-01-01"),
+                         datastore_config=cfg)
+    assert r["passed"]
+    r = run_longitudinal(spark, schema,
+                         dict(base, drug=3, visitdate="2025-01-01"),
+                         datastore_config=cfg)
+    assert not r["passed"]
+    assert r["msgs"] == [
+        "Drug ID 3 is not a valid RXCUI for the target date 2025-01-01"
+    ]
+    r = run_longitudinal(spark, schema,
+                         dict(base, drug=3, visitdate="hello world"),
+                         datastore_config=cfg)
+    assert not r["passed"]
+    assert r["msgs"] == [
+        "failed to convert value hello world to a date: "
+        "Unknown string format: hello world"
+    ]
+
+
+def test_temporal_check_current_year(spark):
+    """Temporal rule with a current_year sentinel in the previous clause
+    (test_nacc_validator_datastore.py:708-764)."""
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer"},
+        "birthyr": {
+            "type": "integer",
+            "temporalrules": [{
+                "index": 0,
+                "previous": {"birthyr": {"min": 0,
+                                         "max": "current_year"}},
+                "current": {"birthyr": {"compare_with": {
+                    "comparator": "==", "base": "birthyr",
+                    "previous_record": True}}},
+            }],
+        },
+    }
+    base = {"patient_id": "PatientID1", "visit_num": 4}
+    assert run_longitudinal(spark, schema,
+                            dict(base, birthyr=1950))["passed"]
+    r = run_longitudinal(spark, schema, dict(base, birthyr=1949))
+    assert not r["passed"]
+    assert r["msgs"] == [
+        '(\'birthyr\', ["input value doesn\'t satisfy the condition '
+        'birthyr == birthyr (previous record)"]) for if {\'birthyr\': '
+        "{'min': 0, 'max': 'current_year'}} in previous visit then "
+        "{'birthyr': {'compare_with': {'comparator': '==', 'base': "
+        "'birthyr', 'previous_record': True}}} in current visit - "
+        'temporal rule no: 0'
+    ]
+
+
+def test_nested_compatibility_temporal_compare_with(spark):
+    """compare_with previous_record nested in temporalrules nested in
+    compatibility (test_nacc_validator_datastore.py:766-836)."""
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer"},
+        "birthyr": {
+            "type": "integer", "nullable": True,
+            "compatibility": [{
+                "index": 0,
+                "if": {"birthyr": {"min": 1000, "max": 2025}},
+                "then": {"birthyr": {"temporalrules": [{
+                    "index": 0,
+                    "previous": {"birthyr": {"min": 1000, "max": 2025}},
+                    "current": {"birthyr": {"compare_with": {
+                        "comparator": ">=", "base": "birthyr",
+                        "previous_record": True}}},
+                }]}},
+            }],
+        },
+    }
+    base = {"patient_id": "PatientID1", "visit_num": 4}
+    assert run_longitudinal(spark, schema,
+                            dict(base, birthyr=1950))["passed"]
+    assert run_longitudinal(spark, schema,
+                            dict(base, birthyr=1980))["passed"]
+    assert not run_longitudinal(spark, schema,
+                                dict(base, birthyr=1940))["passed"]
