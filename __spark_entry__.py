@@ -228,10 +228,17 @@ def q_ppl_bigram(spark, sf_dir):
 
 
 def q_multimodal(spark, sf_dir):
+    """mapInPandas decode plumbing with the deterministic-fake feature
+    body (operators/multimodal.py); the array<float> feature vector is
+    exploded to scalar doubles f0..f7 so the result is sortable/hashable
+    and the md5-arithmetic fake is value-checked against a DuckDB oracle."""
     pages = pages_from_documents(_docs(spark, sf_dir))
     meta = attach_media_meta(pages)
     feats = decode_image_batch(meta, deterministic_fake=True)
-    return feats.orderBy("url")
+    return feats.select(
+        "url", "n_bytes",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(8)]).orderBy("url")
 
 
 def q_rules_compatibility(spark, sf_dir):
@@ -540,7 +547,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "tokens_quality": oracle.tokens_quality_sql(),
+        "multimodal_features": oracle.multimodal_features_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),
-        # simsearch_lsh / ppl_bigram / multimodal_features: rows-only
-        # (approximate-index path, pandas-UDF model path, stubbed decode)
     }

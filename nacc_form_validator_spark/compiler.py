@@ -417,7 +417,12 @@ class RuleCompiler:
                               errmsg_override))
         if "regex" in rules:
             pattern = rules["regex"]
-            cond = normal & ~value.cast("string").rlike("^(?:" + pattern + ")")
+            # cerberus (>=1.3.5, lock resolves 1.3.8) validates with
+            # re.fullmatch — both ends anchored.  Java's `$` still matches
+            # before a trailing newline, so anchor with `\z` (absolute end
+            # of input) for byte parity with fullmatch.
+            cond = normal & ~value.cast("string").rlike(
+                "^(?:" + pattern + ")\\z")
             emit(cond, Codes.REGEX, "regex",
                  _fmt(BUILTIN_MESSAGES[Codes.REGEX], pattern))
         if "anyof" in rules:

@@ -401,6 +401,36 @@ def rules_membership_sql() -> str:
             "FROM customer ORDER BY c_custkey")
 
 
+def pages_cte() -> str:
+    """Reproduce pages_from_documents (sources/pages.py:23-54) in SQL:
+    url from the zipf-ish host bucket, 1..3 recrawls per doc with the
+    deterministic text drift, html = wrapped text."""
+    host = ("'host' || CAST(CAST(floor(sqrt(doc_id % 256)) AS INTEGER) "
+            "AS VARCHAR)")
+    return (
+        f"SELECT 'https://' || {host} || '.example/p/' || "
+        f"CAST(doc_id AS VARCHAR) AS url, "
+        f"CASE WHEN c = 0 THEN text ELSE text || ' update' || "
+        f"CAST(c AS VARCHAR) END AS text "
+        f"FROM documents CROSS JOIN unnest(range(0, doc_id % 3 + 1)) "
+        f"AS u(c)")
+
+
+def multimodal_features_sql(dim: int = 8) -> str:
+    """Oracle for the deterministic-fake decode stage
+    (operators/multimodal.py:51-84): feature i = round(md5_byte[i mod 16]
+    / 255, 6) over the html payload — pure md5 arithmetic, SQL-expressible."""
+    feats = ", ".join(
+        f"round(CAST(concat('0x', substr(md5(html), {2 * (i % 16) + 1}, 2)) "
+        f"AS INTEGER) / 255.0, 6) AS f{i}" for i in range(dim))
+    return (
+        f"WITH p AS ({pages_cte()}), "
+        f"h AS (SELECT url, '<html><body><p>' || text || "
+        f"'</p></body></html>' AS html FROM p) "
+        f"SELECT url, CAST(strlen(html) AS BIGINT) AS n_bytes, {feats} "
+        f"FROM h ORDER BY url")
+
+
 def host_stats_sql() -> str:
     """Per-host page/url counts, derived directly from the deterministic
     pages_from_documents mapping (sources/pages.py): host bucket =

@@ -85,6 +85,20 @@ def test_regex(spark):
     assert res[3]["msgs"] == [f"value does not match regex '{pat}'"]
 
 
+def test_regex_fullmatch_unanchored(spark):
+    """cerberus 1.3.8 _validate_regex uses re.fullmatch: an unanchored
+    pattern must still reject prefix matches and trailing garbage
+    (tests/test_rules_cerberus.py:91-120 shape)."""
+    pat = "00[6-9]"
+    schema = {"zip": {"type": "string", "nullable": True, "regex": pat}}
+    res = run_check(spark, schema, [
+        {"zip": "006"}, {"zip": "009"},
+        {"zip": "006x"}, {"zip": "x006"}, {"zip": "006\n"},
+    ])
+    assert [r["passed"] for r in res] == [True, True, False, False, False]
+    assert res[2]["msgs"] == [f"value does not match regex '{pat}'"]
+
+
 def test_anyof(spark):
     schema = {
         "dummy_var": {

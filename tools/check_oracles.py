@@ -18,10 +18,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    import json
+
+    df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            pass
+            # array/struct cells are unhashable and unsortable — serialize
+            # to a canonical JSON string before sorting/hashing
+            def is_seq(v):
+                return (isinstance(v, (list, tuple, dict, set))
+                        or type(v).__name__ == "ndarray")
+
+            if df[c].map(is_seq).any():
+                df[c] = df[c].map(
+                    lambda v: json.dumps(
+                        sorted(v) if isinstance(v, set) else (
+                            list(v) if not isinstance(v, dict) else v),
+                        default=str) if v is not None else None)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
