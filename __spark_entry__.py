@@ -178,6 +178,41 @@ def q_temporal_events(spark, sf_dir):
     return out.select("event_id", "user_id", "passed").orderBy("event_id")
 
 
+def q_rules_temporal(spark, sf_dir):
+    """temporalrules battery over the events stream (nacc_validator.py:
+    759-913): ignore_empty (rule 0, silent pass when no nonempty prior),
+    plain previous-record with NO_PREV_VISIT + abort-remaining-rules on
+    first visit (rule 1), swap_order (rule 2), initial_record (rule 3)."""
+    d = _events(spark, sf_dir).withColumn(
+        "value2",
+        F.when(F.col("event_id") % 5 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value")))
+    schema = {
+        "value": {"type": "float", "nullable": True},
+        "value2": {
+            "type": "float", "nullable": True,
+            "temporalrules": [
+                {"ignore_empty": "value2",
+                 "previous": {"value2": {"min": 5.0}},
+                 "current": {"value2": {"min": 0.5}}},
+                {"previous": {"value": {"max": 50.0}},
+                 "current": {"value": {"max": 80.0}}},
+                {"swap_order": True,
+                 "previous": {"value": {"min": 20.0}},
+                 "current": {"value": {"min": 90.0}}},
+                {"initial_record": True,
+                 "previous": {"value": {"max": 95.0}},
+                 "current": {"value": {"max": 99.0}}},
+            ],
+        },
+    }
+    qc = SparkQualityCheck(pk_field="user_id", schema=schema, orderby="ts")
+    out = qc.validate(d, cast=False)
+    return out.select("event_id", "user_id",
+                      F.size("findings").cast("long").alias("n_findings"),
+                      "passed").orderBy("event_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -494,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_keep_drop": q_keep_drop,
         "qf_metrics": q_metrics,
         "temporal_events": q_temporal_events,
+        "rules_temporal": q_rules_temporal,
         "qf_host_stats": q_host_stats,
         "rules_compatibility": q_rules_compatibility,
         "rules_logic": q_rules_logic,
@@ -529,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
         "temporal_events": oracle.temporal_events_sql(),
+        "rules_temporal": oracle.rules_temporal_sql(),
         "qf_host_stats": oracle.host_stats_sql(),
         "rules_compatibility": oracle.rules_compatibility_sql(),
         "rules_logic": oracle.rules_logic_sql(),
@@ -546,7 +583,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
+        "simsearch_lsh": oracle.lsh_topk_sql(),
         "tokens_quality": oracle.tokens_quality_sql(),
+        "ppl_bigram": oracle.ppl_bigram_query_sql(),
         "multimodal_features": oracle.multimodal_features_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),
     }

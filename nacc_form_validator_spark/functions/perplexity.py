@@ -178,6 +178,29 @@ def ppl_bigram_py(t: Optional[str], matrix: np.ndarray = BIGRAM_LP):
     return float(round(math.exp(-lps.mean()), 4))
 
 
+def ppl_bigram_sql(text_expr: str = "text",
+                   table: str = "documents",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB oracle for the bigram-perplexity UDF: the deterministic
+    BIGRAM_LP matrix embedded as a flat 784-double literal, char->index
+    via strpos over the same alphabet (:160-167; text is ASCII so SQL
+    chars == the UDF's utf-8 bytes), mean log-prob over adjacent pairs."""
+    flat = ", ".join(repr(float(v)) for v in BIGRAM_LP.ravel())
+    abc = ALPHABET + " "
+    n_sym = len(abc) + 1  # 28: letters + space + OOV
+    idx = (f"CASE WHEN strpos('{abc}', t[k]) > 0 "
+           f"THEN strpos('{abc}', t[k]) - 1 ELSE {n_sym - 1} END")
+    return (
+        f"WITH m(lp) AS (SELECT [{flat}]), "
+        f"ix AS (SELECT {id_col}, list_transform(range(1, length(t) + 1), "
+        f"k -> {idx}) AS ix FROM (SELECT {id_col}, lower({text_expr}) AS t "
+        f"FROM {table})) "
+        f"SELECT {id_col}, CASE WHEN len(ix) >= 2 THEN "
+        f"round(exp(-(list_sum(list_transform(range(1, len(ix)), "
+        f"k -> m.lp[ix[k] * {n_sym} + ix[k + 1] + 1])) / (len(ix) - 1))), 4) "
+        f"END AS ppl_bigram FROM ix, m ORDER BY {id_col}")
+
+
 def make_ppl_bigram_udf(spark: Optional[SparkSession] = None):
     """Arrow pandas UDF scoring char-bigram perplexity via a broadcast
     matrix — vectorized numpy per batch, no per-row python objects."""

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from nacc_form_validator_spark.functions.heuristics import gopher_sql
 from nacc_form_validator_spark.functions.langid import langid_sql
-from nacc_form_validator_spark.functions.perplexity import ppl_unigram_sql
+from nacc_form_validator_spark.functions.perplexity import (ppl_bigram_sql,
+                                                            ppl_unigram_sql)
 from nacc_form_validator_spark.functions.scrub import scrub_sql
 from nacc_form_validator_spark.operators.textstats import BPE_ISH_PATTERN
 
@@ -97,6 +98,10 @@ def langid_query_sql() -> str:
 def ppl_query_sql() -> str:
     return (f"SELECT doc_id, {ppl_unigram_sql('text')} AS ppl "
             f"FROM documents ORDER BY doc_id")
+
+
+def ppl_bigram_query_sql() -> str:
+    return ppl_bigram_sql("text", "documents", "doc_id")
 
 
 def scrub_query_sql() -> str:
@@ -201,6 +206,41 @@ def brute_topk_sql(k: int = 5, n_queries: int = 5) -> str:
         f"ORDER BY q_id, rank")
 
 
+def lsh_topk_sql(k: int = 5, n_queries: int = 5, dim: int = 64,
+                 n_planes: int = 8) -> str:
+    """Exact oracle for the hyperplane-LSH top-k path
+    (operators/simsearch.py:61-114): the md5-seeded planes are
+    deterministic, so bucket assignment, multi-probe expansion, and
+    within-bucket cosine ranking replicate fully in SQL."""
+    from nacc_form_validator_spark.operators.simsearch import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+    nested = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in pl) + "]" for pl in planes) + "]"
+    bucket_terms = []
+    for p in range(n_planes):
+        d = (f"list_sum(list_transform(range(1, {dim} + 1), "
+             f"i -> embedding[i]::DOUBLE * p[{p + 1}][i]))")
+        bucket_terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} "
+                            f"ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    probes = ", ".join(f"xor(qbucket, {1 << p})" for p in range(n_planes))
+    cos = _cosine_sql("c.embedding", "qe.q_vec")
+    return (
+        f"WITH pl AS (SELECT {nested} AS p), "
+        f"c AS (SELECT vec_id, embedding, {bucket} AS bucket "
+        f"FROM embeddings, pl), "
+        f"q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket AS "
+        f"qbucket FROM c WHERE vec_id < {n_queries}), "
+        f"qe AS (SELECT q_id, q_vec, unnest([qbucket, {probes}]) AS bucket "
+        f"FROM q), "
+        f"scored AS (SELECT DISTINCT qe.q_id, c.vec_id, {cos} AS cos "
+        f"FROM c JOIN qe USING (bucket)), "
+        f"ranked AS (SELECT q_id, vec_id, cos, row_number() OVER ("
+        f"PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+        f"SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY q_id, rank")
+
+
 def embedding_neardup_sql(threshold: float = 0.95) -> str:
     cos = _cosine_sql("a.embedding", "b.embedding")
     return (
@@ -244,6 +284,43 @@ def temporal_events_sql() -> str:
         "SELECT event_id, user_id, "
         "(prev_value IS NULL OR value >= prev_value * 0.5) AS passed "
         "FROM w ORDER BY event_id")
+
+
+def rules_temporal_sql() -> str:
+    """temporalrules battery (nacc_validator.py:759-913) over events.
+
+    Rule order matters: the ignore_empty rule (0) never aborts; the plain
+    previous-record rule (1) emits NO_PREV_VISIT on the first visit and
+    aborts rules 2-3 for that row (the reference `return`s,
+    nacc_validator.py:862-866).  Subschema semantics: a null value fails
+    the condition (nullable defaults False inside subschemas), so
+    prev/curr validity terms carry explicit IS NOT NULL guards.
+    """
+    return (
+        "WITH d AS (SELECT event_id, user_id, ts, value, "
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value2 "
+        "FROM events), "
+        "w AS (SELECT event_id, user_id, value, value2, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn, "
+        "first_value(value) OVER (PARTITION BY user_id ORDER BY ts) "
+        "AS init_value, "
+        "last_value(value2 IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "AS ne_value2 FROM d), "
+        "f AS (SELECT event_id, user_id, "
+        "(CASE WHEN ne_value2 IS NOT NULL AND ne_value2 >= 5.0 AND NOT "
+        "(value2 IS NOT NULL AND value2 >= 0.5) THEN 1 ELSE 0 END) + "
+        "(CASE WHEN rn = 1 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN rn > 1 AND prev_value <= 50.0 AND NOT "
+        "(value IS NOT NULL AND value <= 80.0) THEN 1 ELSE 0 END) + "
+        "(CASE WHEN rn > 1 AND value IS NOT NULL AND value >= 90.0 AND NOT "
+        "(prev_value >= 20.0) THEN 1 ELSE 0 END) + "
+        "(CASE WHEN rn > 1 AND init_value <= 95.0 AND NOT "
+        "(value IS NOT NULL AND value <= 99.0) THEN 1 ELSE 0 END) "
+        "AS n_findings FROM w) "
+        "SELECT event_id, user_id, CAST(n_findings AS BIGINT) AS "
+        "n_findings, (n_findings = 0) AS passed FROM f ORDER BY event_id")
 
 
 def tpch_q1_sql() -> str:
