@@ -500,6 +500,15 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.40)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: banded hyperplane-LSH candidate
+    buckets + exact cosine verify within buckets (operators/dedup.py);
+    the only shuffle joins (band, key), never all vector pairs."""
+    from nacc_form_validator_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh)
+    return embedding_neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.40)
+
+
 def q_simhash_pairs(spark, sf_dir):
     from nacc_form_validator_spark.operators.dedup import simhash_pairs
     return simhash_pairs(_docs(spark, sf_dir))
@@ -542,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_membership": q_rules_membership,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -578,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
         "rules_membership": oracle.rules_membership_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
+        "dedup_embedding_lsh": oracle.embedding_neardup_lsh_sql(
+            threshold=0.40),
         "simhash_pairs": oracle.simhash_pairs_sql(),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),

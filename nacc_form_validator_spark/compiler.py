@@ -195,6 +195,15 @@ class Binding:
 
         return resolve
 
+    def logic_has(self, extra: Optional[Dict[str, Tuple[Column, str]]] = None):
+        """Static key presence for jsonLogic missing/missing_some
+        (json_logic.py:150-176): the compiled record's key set is the
+        table schema."""
+        def has(name: str) -> bool:
+            return bool(extra and name in extra) or self.exists(name)
+
+        return has
+
 
 def get_value_for_key(ctx: CompileContext, binding: Binding, key,
                       return_self: bool = True) -> Tuple[Column, str]:
@@ -613,7 +622,8 @@ class RuleCompiler:
                extra_vars=None) -> List[Finding]:
         formula = logic[K.FORMULA]
         err_msg = logic.get(K.ERRMSG)
-        compiler = LogicCompiler(binding.logic_resolver(extra_vars))
+        compiler = LogicCompiler(binding.logic_resolver(extra_vars),
+                                 has_var=binding.logic_has(extra_vars))
         if err_msg:
             msg = F.lit(f"{field}: {errmsg_override}") if errmsg_override \
                 else _fmt(CUSTOM_MESSAGES[Codes.FORMULA], err_msg)

@@ -41,6 +41,29 @@ class LogicCompileError(ValueError):
 Node = Tuple[Column, str]
 
 
+class StaticList:
+    """A jsonLogic list value known at compile time.
+
+    The reference never evaluates list literals — ``jsonLogic`` returns a
+    non-dict argument verbatim (json_logic.py:256-258) — so list elements
+    stay raw Python values.  ``merge`` (:125-133) may splice in *evaluated*
+    scalars, so items are tagged: ``("lit", value)`` for raw literals,
+    ``("node", (Column, kind))`` for compiled expressions.
+    """
+
+    __slots__ = ("items", )
+
+    def __init__(self, items):
+        self.items = list(items)
+
+    @classmethod
+    def of_literals(cls, values) -> "StaticList":
+        return cls(("lit", v) for v in values)
+
+    def __bool__(self):  # python truthiness: non-empty list is truthy
+        return bool(self.items)
+
+
 def _lit_node(v: Any) -> Node:
     if v is None:
         return F.lit(None), "null"
@@ -155,13 +178,23 @@ class LogicCompiler:
 
     ``binding`` maps a var name to a (Column, kind) pair; names outside the
     binding resolve to null (json_logic.get_var default, :136-147).
+    ``has_var`` answers compile-time key presence for ``missing`` /
+    ``missing_some`` (:150-176) — in the compiled engine the record's key
+    set is the table schema, so presence is static (post-cast every schema
+    field exists as a column, nacc_validator.py:253-256).
     """
 
-    def __init__(self, resolve_var: Callable[[str], Node]):
+    def __init__(self, resolve_var: Callable[[str], Node],
+                 has_var: Callable[[str], bool] = None):
         self.resolve_var = resolve_var
+        self.has_var = has_var
 
     # -- public ----------------------------------------------------------
-    def compile(self, tree: Any) -> Node:
+    def compile(self, tree: Any):
+        if isinstance(tree, (list, tuple)):
+            # the reference returns non-dict values verbatim, elements
+            # unevaluated (json_logic.py:256-258)
+            return StaticList.of_literals(tree)
         if tree is None or not isinstance(tree, dict):
             return _lit_node(tree)
 
@@ -175,24 +208,82 @@ class LogicCompiler:
             if isinstance(name, dict):
                 raise LogicCompileError("dynamic var names not supported")
             return self.resolve_var(str(name))
-        if op in ("missing", "missing_some"):
-            raise LogicCompileError(
-                f"{op} compiles to a constant only; unsupported in columns")
-
-        if op == "in" and len(values) == 2 and isinstance(
-                values[1], (list, tuple)):
-            return self._in_list(self.compile(values[0]), values[1])
+        if op == "missing":
+            return self._missing(values)
+        if op == "missing_some":
+            return self._missing_some(values)
 
         args = [self.compile(v) for v in values]
         return self._apply(op, args)
 
     def compile_bool(self, tree: Any) -> Column:
         """Compile to a truthiness Column (the ``logic`` rule's contract)."""
-        col, kind = self.compile(tree)
-        return truthy(col, kind)
+        node = self.compile(tree)
+        return _truthy_node(node)
+
+    # -- missing / missing_some (json_logic.py:150-176) ------------------
+    def _static_names(self, values, op: str):
+        names = []
+        for v in values:
+            if isinstance(v, dict):
+                raise LogicCompileError(
+                    f"dynamic arguments to {op} not supported")
+            names.append(v)
+        return names
+
+    def _require_has_var(self, op: str):
+        if self.has_var is None:
+            raise LogicCompileError(
+                f"{op} requires key-presence information")
+
+    def _missing(self, values) -> StaticList:
+        self._require_has_var("missing")
+        args = list(values)
+        if args and isinstance(args[0], (list, tuple)):
+            args = list(args[0])
+        names = self._static_names(args, "missing")
+        return StaticList.of_literals(
+            n for n in names if not self.has_var(str(n)))
+
+    def _missing_some(self, values) -> StaticList:
+        self._require_has_var("missing_some")
+        if len(values) != 2 or isinstance(values[0], dict) or not \
+                isinstance(values[1], (list, tuple)):
+            raise LogicCompileError(
+                "missing_some expects [min_required, [vars]]")
+        min_required = values[0]
+        names = self._static_names(list(values[1]), "missing_some")
+        if not isinstance(min_required, int) or isinstance(
+                min_required, bool):
+            raise LogicCompileError(
+                "missing_some min_required must be an integer")
+        if min_required < 1:
+            return StaticList.of_literals([])
+        found = sum(1 for n in names if self.has_var(str(n)))
+        if found >= min_required:
+            return StaticList.of_literals([])
+        return StaticList.of_literals(
+            n for n in names if not self.has_var(str(n)))
 
     # -- op dispatch -----------------------------------------------------
-    def _apply(self, op: str, args: List[Node]) -> Node:
+    #: ops that accept StaticList arguments (everything else sees lists
+    #: as a compile error, surfaced as a constant FORMULA finding)
+    _LIST_OK = {"!", "!!", "and", "or", "?:", "if", "in", "merge", "log",
+                "count"}
+
+    def _apply(self, op: str, args: List) -> Node:
+        if op == "merge":
+            out = []
+            for a in args:
+                if isinstance(a, StaticList):
+                    out.extend(a.items)
+                else:
+                    out.append(("node", a))
+            return StaticList(out)
+        if any(isinstance(a, StaticList) for a in args) and \
+                op not in self._LIST_OK:
+            raise LogicCompileError(
+                f"list value unsupported for operation {op}")
         if op == "==":
             return _soft_equals(args[0], args[1]), "bool"
         if op == "!=":
@@ -210,9 +301,9 @@ class LogicCompiler:
         if op == ">=":
             return _leq_chain(list(reversed(args))), "bool"
         if op == "!":
-            return ~truthy(*args[0]), "bool"
+            return ~_truthy_node(args[0]), "bool"
         if op == "!!":
-            return truthy(*args[0]), "bool"
+            return _truthy_node(args[0]), "bool"
         if op == "%":
             a, b = _to_numeric(args[0])[0], _to_numeric(args[1])[0]
             # python modulo sign follows the divisor
@@ -220,12 +311,12 @@ class LogicCompiler:
         if op == "and":
             out = F.lit(True)
             for a in args:
-                out = out & truthy(*a)
+                out = out & _truthy_node(a)
             return out, "bool"
         if op == "or":
             out = F.lit(False)
             for a in args:
-                out = out | truthy(*a)
+                out = out | _truthy_node(a)
             return out, "bool"
         if op in ("?:", "if"):
             return self._if(args)
@@ -261,13 +352,13 @@ class LogicCompiler:
         if op == "count":
             out = F.lit(0)
             for a in args:
-                out = out + F.when(truthy(*a), 1).otherwise(0)
+                out = out + F.when(_truthy_node(a), 1).otherwise(0)
             return out, "int"
         if op == "count_exact":
             return self._count_exact(args)
         raise LogicCompileError(f"Unrecognized operation {op}")
 
-    def _if(self, args: List[Node]) -> Node:
+    def _if(self, args: List) -> Node:
         # if/elseif chains: (cond, val)*, [else]
         pairs = []
         i = 0
@@ -275,12 +366,18 @@ class LogicCompiler:
             pairs.append((args[i], args[i + 1]))
             i += 2
         else_node = args[-1] if len(args) % 2 else None
+        for _, val in pairs:
+            if isinstance(val, StaticList):
+                raise LogicCompileError(
+                    "list-valued if branches unsupported")
+        if isinstance(else_node, StaticList):
+            raise LogicCompileError("list-valued if branches unsupported")
         out = None
         for cond, val in pairs:
             if out is None:
-                out = F.when(truthy(*cond), val[0])
+                out = F.when(_truthy_node(cond), val[0])
             else:
-                out = out.when(truthy(*cond), val[0])
+                out = out.when(_truthy_node(cond), val[0])
         kinds = [v[1] for _, v in pairs]
         if else_node is not None:
             out = out.otherwise(else_node[0]) if out is not None else else_node[0]
@@ -289,17 +386,30 @@ class LogicCompiler:
             return F.lit(None), "null"
         return out, _merge_kind_list(kinds)
 
-    def _in_list(self, left: Node, items) -> Node:
-        """`x in [literals]` — Python ``in`` uses exact ``==`` per element
-        (json_logic.py:224-225: plain ``a in b``), so no isclose here;
+    def _in_list(self, left: Node, items: StaticList) -> Node:
+        """``x in list`` — Python ``in`` uses exact ``==`` per element
+        (json_logic.py:226-227: plain ``a in b``), so no isclose here;
         cross-type numeric/bool equality matches Python (1 == 1.0,
         True == 1), string-vs-number is statically False, and a null
-        left matches only a null element."""
+        left matches only a null element.  Elements may be raw literals
+        (unevaluated list contents) or compiled nodes spliced in by
+        ``merge``; dict/list elements never equal a scalar left."""
         lc, lk = left
         num = ("int", "float", "num", "bool")
+        if lk == "unknown":
+            # the compiled column has lost its static python type; a
+            # silent constant would diverge from the reference — error
+            # out (constant FORMULA finding) instead
+            raise LogicCompileError(
+                "'in' left operand has no static type")
         terms = []
-        for item in items:
-            ic, ik = _lit_node(item)
+        for tag, item in items.items:
+            if tag == "lit":
+                if isinstance(item, (dict, list, tuple)):
+                    continue  # never equal to a scalar
+                ic, ik = _lit_node(item)
+            else:
+                ic, ik = item
             if ik == "null":
                 terms.append(lc.isNull())
             elif lk == "null":
@@ -310,6 +420,15 @@ class LogicCompiler:
                 a = lc.cast("int") if lk == "bool" else lc
                 b = ic.cast("int") if ik == "bool" else ic
                 terms.append(a.eqNullSafe(b))
+            elif lk in ("date", "datetime") and ik == lk:
+                terms.append(lc.eqNullSafe(ic))
+            elif ik == "unknown" or ik == "num":
+                # evaluated element of unknown static type vs typed left:
+                # compare through a best-effort cast on the element side
+                if lk in num:
+                    terms.append(lc.eqNullSafe(ic.cast("double")))
+                elif lk == "str":
+                    terms.append(lc.eqNullSafe(ic.cast("string")))
             # statically incomparable -> Python == is False; no term
         if not terms:
             return F.lit(False), "bool"
@@ -318,12 +437,27 @@ class LogicCompiler:
             out = out | t
         return F.coalesce(out, F.lit(False)), "bool"
 
-    def _in(self, args: List[Node]) -> Node:
-        (ca, ka), (cb, kb) = args[0], args[1]
+    def _in(self, args: List) -> Node:
+        """json_logic 'in' (:226-227): ``a in b`` when b supports
+        __contains__, else False — so a null/numeric right side is a
+        constant False, a string right side is containment, and a list
+        right side is elementwise equality."""
+        left = args[0]
+        right = args[1]
+        if isinstance(left, StaticList):
+            raise LogicCompileError(
+                "list left operand for 'in' unsupported")
+        if isinstance(right, StaticList):
+            return self._in_list(left, right)
+        (ca, ka), (cb, kb) = left, right
         if kb == "str":
             return F.coalesce(cb.contains(python_str(ca, ka)),
                               F.lit(False)), "bool"
-        raise LogicCompileError("'in' against non-literal lists unsupported")
+        if kb in ("null", "int", "float", "num", "bool", "date",
+                  "datetime"):
+            return F.lit(False), "bool"
+        raise LogicCompileError(
+            "'in' right operand has no static type")
 
     def _count_exact(self, args: List[Node]) -> Node:
         if len(args) < 2:
@@ -340,6 +474,13 @@ class LogicCompiler:
                 eq = c.eqNullSafe(base_c)
             out = out + F.when(eq, 1).otherwise(0)
         return out, "int"
+
+
+def _truthy_node(node) -> Column:
+    """Python truthiness over a compiled node or a static list."""
+    if isinstance(node, StaticList):
+        return F.lit(bool(node))
+    return truthy(*node)
 
 
 def _merge_kind(args: List[Node]) -> str:

@@ -184,10 +184,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                              F.col("sh_ord").alias("sb")), "id_b"))
     shared = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - shared
-    return (ver.withColumn("jaccard", F.round(shared / union, 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-            .orderBy("id_a", "id_b"))
+    out = (ver.withColumn("jaccard", F.round(shared / union, 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard")
+           .orderBy("id_a", "id_b"))
+    # caller-owned cache lifecycle: the two persisted intermediates stay
+    # pinned until the result is materialized — call
+    # release_intermediates(result) afterwards (repeated calls in one
+    # session would otherwise accumulate cached partitions)
+    out._persisted_intermediates = [ex, ordered]
+    return out
+
+
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist the cached intermediates an operator attached to its
+    result (see ngram_jaccard_pairs); safe to call on any DataFrame."""
+    for c in getattr(df, "_persisted_intermediates", []):
+        c.unpersist()
 
 
 def token_hashes(text: Column) -> Column:
@@ -203,24 +216,25 @@ def simhash_from_hashes(hashes: Column, bits: int = 60) -> Column:
     """SimHash from a (materialized) token-hash array: per-bit majority
     vote, emitted as a bigint.
 
-    Pass a plain column reference: the 60 per-bit vote aggregates each walk
-    the array — inlining the md5 hashing here would recompute it 60x per
-    row."""
-
-    def bit_votes(mask):
-        def merge(a, h):
-            return a + F.when(h.bitwiseAND(F.lit(mask)) != 0,
-                              1).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), merge)
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = 1 << b
-        out = out + F.when(bit_votes(mask) > 0,
-                           F.lit(mask).cast("long")).otherwise(
-                               F.lit(0).cast("long"))
-    return out
+    Single-pass fold: ONE ``aggregate`` walks the token array once,
+    accumulating all per-bit vote counts in an int-array accumulator
+    (``zip_with`` against a constant mask array), instead of one full
+    array traversal per bit (60 aggregates).  Same votes, same hash
+    values — the array walk count drops from O(bits·n) to O(n) with a
+    length-``bits`` combine per element."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zeros = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                    1).otherwise(-1)))
+    return F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(
+                       F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
@@ -239,31 +253,55 @@ def simhash(text: Column, bits: int = 60) -> Column:
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top prefix bits, then exact
-    hamming distance within buckets (multi-probe via band rotation is the
-    100 TB extension; one prefix band keeps the oracle simple)."""
-    sig = with_simhash(df, text_col=text_col, id_col=id_col)
-    sig = sig.withColumn("bucket",
-                         F.shiftrightunsigned(F.col("sig"),
-                                              60 - prefix_bits))
-    a = sig.alias("a")
-    b = sig.alias("b")
+                  bands: int = 4, bits: int = 60) -> DataFrame:
+    """Near-dup pairs by SimHash: multi-band bucket join + exact hamming
+    verify.
+
+    The signature splits into ``bands`` disjoint slices (default 4x15
+    bits); by pigeonhole any pair with hamming <= bands - 1 shares at
+    least one unchanged band, so with max_hamming=3 and 4 bands the
+    banded join finds EVERY qualifying pair — the result is identical to
+    the all-pairs kernel (which the oracle computes), but the only join
+    is on (band, 15-bit key): no quadratic blowup, and a hot band bucket
+    stays bounded by true near-duplicate clusters rather than a shared
+    16-bit prefix."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"guaranteed recall needs bands > max_hamming "
+            f"({bands} bands, max_hamming={max_hamming})")
+    rows = bits // bands
+    sig = with_simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sig"),
+                                 b * rows).bitwiseAND(
+                                     F.lit((1 << rows) - 1)).alias("key"))
+        for b in range(bands)
+    ]
+    banded = (sig.select("id", "sig",
+                         F.explode(F.array(*band_cols)).alias("bk"))
+              .select("id", "sig", "bk.band", "bk.key"))
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (a.join(b, "bucket")
+    return (a.join(b, ["band", "key"])
             .where(F.col("a.id") < F.col("b.id"))
-            .withColumn("hamming", ham)
-            .where(F.col("hamming") <= max_hamming)
             .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"), "hamming")
+                    F.col("b.id").alias("id_b"), ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
             .orderBy("id_a", "id_b"))
 
 
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force kernel — compose
-    with LSH bucketing from simsearch for the scale path)."""
+    """Embedding-cosine near-duplicate pairs — brute-force EXACT kernel.
+
+    This is the oracle/verifier for small candidate sets; the scale path
+    is :func:`embedding_neardup_pairs_lsh`, which generates candidates
+    through banded hyperplane-LSH buckets and runs this cosine verify
+    only within buckets."""
     from nacc_form_validator_spark.operators.simsearch import cosine
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("va"))
@@ -273,3 +311,48 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (pairs.withColumn("cos", sim).where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos").orderBy("id_a", "id_b"))
+
+
+def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.95, dim: int = 64,
+                                n_planes: int = 8,
+                                bands: int = 2) -> DataFrame:
+    """Embedding near-dup at scale: banded hyperplane-LSH candidates +
+    exact cosine verify within buckets.
+
+    The ``n_planes``-bit hyperplane signature (deterministic md5-seeded
+    planes, shared with simsearch.lsh_bucket) splits into ``bands``
+    slices; candidate pairs share at least one band key, so the only
+    shuffle joins (band, key) — never all vector pairs.  Result is the
+    LSH-recall subset of :func:`embedding_neardup_pairs`; recall rises
+    with more bands (more probes) and falls with stricter bands.  The
+    bucketing is deterministic, so the whole operator stays under the
+    value-level oracle gate."""
+    from nacc_form_validator_spark.operators.simsearch import (cosine,
+                                                               lsh_bucket)
+    rows = n_planes // bands
+    sig = emb.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("vec"),
+                     lsh_bucket(F.col(vec_col), dim,
+                                n_planes).alias("bucket"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("bucket"),
+                                 b * rows).bitwiseAND(
+                                     F.lit((1 << rows) - 1)).alias("key"))
+        for b in range(bands)
+    ]
+    banded = (sig.select("id", "vec",
+                         F.explode(F.array(*band_cols)).alias("bk"))
+              .select("id", "vec", "bk.band", "bk.key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    return (a.join(b, ["band", "key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), sim.alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .distinct()
+            .orderBy("id_a", "id_b"))

@@ -73,14 +73,25 @@ def _static_check(schema: Dict[str, dict]):
 class SparkQualityCheck:
     """Compile a rule spec once; validate arbitrarily many records."""
 
+    #: cerberus UNKNOWN_FIELD (ErrorDefinition 0x03) — the error strict
+    #: mode raises for document keys outside the schema
+    #: (quality_check.py:74-95: strict=True => allow_unknown=False)
+    UNKNOWN_FIELD_CODE = 0x03
+
     def __init__(self,
                  pk_field: Optional[str],
                  schema: Dict[str, dict],
                  orderby: Optional[str] = None,
-                 strict: bool = True,
+                 strict: bool = False,
                  datastore_config: Optional[dict] = None,
                  functions: Optional[dict] = None,
                  as_of: Optional[_dt.date] = None):
+        """``strict=True`` mirrors the reference's ``allow_unknown=False``:
+        every input column outside the rule schema (other than the
+        pk/orderby carrier columns) yields an ``unknown field`` finding.
+        The default deviates from the reference's ``strict=True`` because
+        a DataFrame naturally carries context columns (ids, timestamps)
+        that a per-record dict would not."""
         _static_check(schema)
         self.pk_field = pk_field
         self.schema = schema
@@ -120,6 +131,17 @@ class SparkQualityCheck:
         ctx.table_columns = set(df.columns)
 
         per_field = compiler.compile()
+        if self.strict:
+            carriers = {self.pk_field, self.orderby} if not isinstance(
+                self.orderby, (list, tuple)) else (
+                    {self.pk_field} | set(self.orderby))
+            for col in input_cols:
+                if col in self.schema or col in carriers or \
+                        col.endswith(RAW_SUFFIX) or col.startswith("__"):
+                    continue
+                per_field.setdefault(col, []).append(
+                    Finding(F.lit(True), self.UNKNOWN_FIELD_CODE,
+                            "unknown", F.lit("unknown field")))
         findings_col = assemble_findings(per_field)
         df = df.withColumn("findings", findings_col)
         df = df.withColumn("passed", F.size("findings") == 0)

@@ -171,15 +171,17 @@ def simhash_sql(bits: int = 60) -> str:
             f"documents) SELECT id, ({sig}) AS sig FROM h ORDER BY id")
 
 
-def simhash_pairs_sql(max_hamming: int = 3, prefix_bits: int = 16,
-                      bits: int = 60) -> str:
+def simhash_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """EXACT all-pairs hamming oracle: the Spark side joins only on
+    4x15-bit band buckets, but pigeonhole guarantees every hamming<=3
+    pair shares a band, so banded == all-pairs — this oracle proves it
+    on real data."""
     base = simhash_sql(bits)
     return (
         f"WITH sigs AS ({base.replace(' ORDER BY id', '')}) "
         f"SELECT a.id AS id_a, b.id AS id_b, "
         f"bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) AS hamming "
-        f"FROM sigs a JOIN sigs b ON (a.sig >> {bits - prefix_bits}) = "
-        f"(b.sig >> {bits - prefix_bits}) AND a.id < b.id "
+        f"FROM sigs a JOIN sigs b ON a.id < b.id "
         f"WHERE bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) <= "
         f"{max_hamming} ORDER BY id_a, id_b")
 
@@ -206,23 +208,34 @@ def brute_topk_sql(k: int = 5, n_queries: int = 5) -> str:
         f"ORDER BY q_id, rank")
 
 
+def _lsh_planes_literal(dim: int, n_planes: int) -> str:
+    from nacc_form_validator_spark.operators.simsearch import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in pl) + "]" for pl in planes) + "]"
+
+
+def _lsh_bucket_expr(dim: int, n_planes: int,
+                     vec: str = "embedding") -> str:
+    """Hyperplane signature as SQL (simsearch.lsh_bucket mirror); expects
+    a one-row CTE exposing the plane matrix as ``p``."""
+    bucket_terms = []
+    for p in range(n_planes):
+        d = (f"list_sum(list_transform(range(1, {dim} + 1), "
+             f"i -> {vec}[i]::DOUBLE * p[{p + 1}][i]))")
+        bucket_terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} "
+                            f"ELSE 0 END)")
+    return " + ".join(bucket_terms)
+
+
 def lsh_topk_sql(k: int = 5, n_queries: int = 5, dim: int = 64,
                  n_planes: int = 8) -> str:
     """Exact oracle for the hyperplane-LSH top-k path
     (operators/simsearch.py:61-114): the md5-seeded planes are
     deterministic, so bucket assignment, multi-probe expansion, and
     within-bucket cosine ranking replicate fully in SQL."""
-    from nacc_form_validator_spark.operators.simsearch import _hyperplanes
-    planes = _hyperplanes(dim, n_planes)
-    nested = "[" + ", ".join(
-        "[" + ", ".join(repr(v) for v in pl) + "]" for pl in planes) + "]"
-    bucket_terms = []
-    for p in range(n_planes):
-        d = (f"list_sum(list_transform(range(1, {dim} + 1), "
-             f"i -> embedding[i]::DOUBLE * p[{p + 1}][i]))")
-        bucket_terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} "
-                            f"ELSE 0 END)")
-    bucket = " + ".join(bucket_terms)
+    nested = _lsh_planes_literal(dim, n_planes)
+    bucket = _lsh_bucket_expr(dim, n_planes)
     probes = ", ".join(f"xor(qbucket, {1 << p})" for p in range(n_planes))
     cos = _cosine_sql("c.embedding", "qe.q_vec")
     return (
@@ -246,6 +259,30 @@ def embedding_neardup_sql(threshold: float = 0.95) -> str:
     return (
         f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos "
         f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {threshold} ORDER BY id_a, id_b")
+
+
+def embedding_neardup_lsh_sql(threshold: float = 0.95, dim: int = 64,
+                              n_planes: int = 8, bands: int = 2) -> str:
+    """Oracle for the banded-LSH embedding near-dup scale path
+    (operators/dedup.py embedding_neardup_pairs_lsh): deterministic
+    planes -> band keys -> bucket join -> exact cosine verify."""
+    nested = _lsh_planes_literal(dim, n_planes)
+    rows = n_planes // bands
+    bucket = _lsh_bucket_expr(dim, n_planes)
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, embedding, {b} AS band, "
+        f"(bucket >> {b * rows}) & {(1 << rows) - 1} AS key FROM sig"
+        for b in range(bands))
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return (
+        f"WITH pl AS (SELECT {nested} AS p), "
+        f"sig AS (SELECT vec_id AS id, embedding, {bucket} AS bucket "
+        f"FROM embeddings, pl), "
+        f"banded AS ({band_rows}) "
+        f"SELECT DISTINCT a.id AS id_a, b.id AS id_b, {cos} AS cos "
+        f"FROM banded a JOIN banded b ON a.band = b.band AND "
+        f"a.key = b.key AND a.id < b.id "
         f"WHERE {cos} >= {threshold} ORDER BY id_a, id_b")
 
 

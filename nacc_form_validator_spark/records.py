@@ -49,29 +49,41 @@ def records_to_df(spark: SparkSession, schema: Dict[str, dict],
     cast_record semantics (nacc_validator.py:207-257).
     """
     dtypes = populate_data_types(schema)
-    fields: Dict[str, T.DataType] = {}
+    # per-key value-type summary across the WHOLE batch: typing from the
+    # first record alone breaks a batch mixing int and float for one key
+    # (LongType chosen, float rows then fail createDataFrame)
+    seen: Dict[str, list] = {}
     for r in records:
         for k, v in r.items():
-            if k in fields:
-                continue
-            if all_strings:
-                fields[k] = T.StringType()
-            elif k in dtypes:
-                t = DTYPE_TO_SPARK[dtypes[k]]
-                # the reference validates UNCAST values dynamically: an
-                # int in a float-typed field stays int (renders "8", not
-                # "8.0", in error messages) and vice versa — value type
-                # wins over the declared dtype for numeric mismatches
-                if v is not None and not isinstance(v, bool):
-                    vt = _spark_type_for(v)
-                    if (isinstance(t, T.DoubleType)
-                            and isinstance(vt, T.LongType)) or (
-                                isinstance(t, T.LongType)
-                                and isinstance(vt, T.DoubleType)):
-                        t = vt
-                fields[k] = t
-            elif v is not None:
-                fields[k] = _spark_type_for(v)
+            seen.setdefault(k, [])
+            if v is not None:
+                seen[k].append(v)
+    fields: Dict[str, T.DataType] = {}
+    for k, vals in seen.items():
+        nonbool = [v for v in vals if not isinstance(v, bool)]
+        if all_strings:
+            fields[k] = T.StringType()
+        elif k in dtypes:
+            t = DTYPE_TO_SPARK[dtypes[k]]
+            # the reference validates UNCAST values dynamically: an
+            # int in a float-typed field stays int (renders "8", not
+            # "8.0", in error messages) and vice versa — value type
+            # wins over the declared dtype for numeric mismatches,
+            # but only when every value agrees (a mixed int/float
+            # batch keeps the float side so all rows fit one column)
+            if nonbool:
+                vts = {type(_spark_type_for(v)) for v in nonbool}
+                if isinstance(t, T.DoubleType) and vts == {T.LongType}:
+                    t = T.LongType()
+                elif isinstance(t, T.LongType) and T.DoubleType in vts:
+                    t = T.DoubleType()
+            fields[k] = t
+        elif vals:
+            vts = {type(_spark_type_for(v)) for v in nonbool}
+            if vts == {T.LongType, T.DoubleType}:
+                fields[k] = T.DoubleType()
+            else:
+                fields[k] = _spark_type_for(vals[0])
     for r in records:
         for k in r:
             if k not in fields:

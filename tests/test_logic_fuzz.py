@@ -113,6 +113,27 @@ def ev(tree, doc):
         return sum(1 if x else 0 for x in a)
     if op == "in":
         return a[0] in a[1] if hasattr(a[1], "__contains__") else False
+    if op == "merge":
+        out = []
+        for x in a:
+            if isinstance(x, (list, tuple)):
+                out += list(x)
+            else:
+                out.append(x)
+        return out
+    if op == "missing":
+        args = a
+        if args and isinstance(args[0], list):
+            args = args[0]
+        return [x for x in args if x not in doc]
+    if op == "missing_some":
+        min_required, names = a[0], a[1]
+        if min_required < 1:
+            return []
+        found = sum(1 for n in names if n in doc)
+        if found >= min_required:
+            return []
+        return [n for n in names if n not in doc]
     raise ValueError(op)
 
 
@@ -164,12 +185,28 @@ def gen_bool(rng, depth):
     if r < 0.85:
         return {"if": [gen_bool(rng, depth - 1), gen_bool(rng, depth - 1),
                        gen_bool(rng, depth - 1)]}
-    if r < 0.93:
+    if r < 0.90:
         return {">=": [{"count": [gen_bool(rng, depth - 1),
                                   gen_bool(rng, depth - 1),
                                   gen_bool(rng, depth - 1)]},
                        rng.randint(0, 3)]}
-    return {"in": [{"var": "s1"}, ["alpha", "beta", "gamma"]]}
+    if r < 0.93:
+        return {"in": [{"var": "s1"}, ["alpha", "beta", "gamma"]]}
+    if r < 0.95:
+        # in over an evaluated (merged) list, numeric + string elements
+        return {"in": [{"var": rng.choice(["i1", "s1"])},
+                       {"merge": [[rng.randint(-20, 20), "alpha"],
+                                  rng.randint(-20, 20),
+                                  [rng.choice(["beta", "delta", ""])]]}]}
+    if r < 0.975:
+        # missing: truthy iff any named key is absent from the record
+        names = rng.sample(["i1", "f1", "s1", "zz", "qq", "i2"],
+                           rng.randint(1, 3))
+        tree = {"missing": names if rng.random() < 0.5 else [names]}
+        return {"!": [tree]} if rng.random() < 0.5 else {"!!": [tree]}
+    names = rng.sample(["i1", "f1", "s1", "zz", "qq", "i2"],
+                       rng.randint(2, 4))
+    return {"!": [{"missing_some": [rng.randint(1, 3), names]}]}
 
 
 def gen_records(rng, n):
@@ -207,7 +244,7 @@ def test_logic_compiler_fuzz(spark):
             return F.col(name), VAR_KINDS[name]
         return F.lit(None), "null"
 
-    lc = LogicCompiler(resolve)
+    lc = LogicCompiler(resolve, has_var=lambda n: n in VAR_KINDS)
     cols = [lc.compile_bool(f).alias(f"q{i}")
             for i, f in enumerate(formulas)]
     got = (df.withColumn("__r", F.monotonically_increasing_id())
