@@ -1,10 +1,14 @@
 """Dict-record convenience surface — the reference's entry-point shape.
 
 The reference validates one ``Dict[str, Any]`` at a time and returns
-``(passed, sys_failure, errors)`` (quality_check.py:97-134).  A user
-migrating from it gets the same call shape here: records in, per-record
-verdicts + field-keyed error messages out — except the schema compiles
-ONCE and the whole batch is one Spark job, not a Python loop.
+``(passed, sys_failure, errors, error_tree)`` (quality_check.py:97-134).
+A user migrating from it gets the same call shape here: records in,
+per-record verdicts + field-keyed error messages out — except the schema
+compiles ONCE and the whole batch is one Spark job, not a Python loop.
+The cerberus ``DocumentErrorTree`` channel is intentionally dropped
+(recast simplification): its content is derivable from the flat
+``findings`` lineage (field + code + message per hit), which is the
+form a columnar engine can carry.
 
 System errors (engine misconfiguration) surface at
 :class:`SparkQualityCheck` construction as ``RuleCompileError`` — before
