@@ -246,6 +246,19 @@ def q_simsearch_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, dim=64)
 
 
+def q_simsearch_ivf(spark, sf_dir):
+    """IVF coarse-quantizer approximate top-k (operators/simsearch.py):
+    corpus grouped by nearest md5-seeded unit centroid, queries probe
+    their nprobe nearest cells — the trained-quantizer scale shape with a
+    deterministic stand-in centroid table."""
+    from nacc_form_validator_spark.operators.simsearch import ivf_topk
+    emb = _emb(spark, sf_dir)
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return ivf_topk(emb, queries, k=5, dim=64)
+
+
 def q_tokens_quality(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -558,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
+        "simsearch_ivf": q_simsearch_ivf,
         "tokens_quality": q_tokens_quality,
         "ppl_bigram": q_ppl_bigram,
         "multimodal_features": q_multimodal,
@@ -596,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "simsearch_lsh": oracle.lsh_topk_sql(),
+        "simsearch_ivf": oracle.ivf_topk_sql(),
         "tokens_quality": oracle.tokens_quality_sql(),
         "ppl_bigram": oracle.ppl_bigram_query_sql(),
         "multimodal_features": oracle.multimodal_features_sql(),

@@ -99,7 +99,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "rules_compare_with", "dedup_exact",
                  "dedup_minhash_lsh", "dedup_ngram_jaccard",
                  "simhash_signatures", "simhash_pairs", "simsearch_topk",
-                 "simsearch_lsh", "dedup_embedding", "dedup_embedding_lsh",
+                 "simsearch_lsh", "simsearch_ivf", "dedup_embedding",
+                 "dedup_embedding_lsh",
                  "tokens_quality", "temporal_events", "rules_temporal",
                  "multimodal_features", "ppl_bigram", "tpch_q1"]:
         force(qmap[name](spark, sf_dir))

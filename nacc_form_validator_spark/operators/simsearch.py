@@ -83,6 +83,82 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def _centroids(dim: int, n_centroids: int) -> List[List[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids (md5-seeded —
+    the structural stand-in for trained k-means centroids; swap the
+    literal table for a trained artifact at deploy, the plan shape is
+    identical)."""
+    import hashlib
+    out = []
+    for c in range(n_centroids):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"centroid{c}:{d}".encode()).hexdigest()
+            vals.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        out.append([v / norm for v in vals])
+    return out
+
+
+def _centroid_scores(vec: Column, cents: List[List[float]]) -> List[Column]:
+    """round(dot(vec, centroid_c), 6) per centroid — unit centroids, so
+    dot order == cosine order for ranking."""
+    vd = F.transform(vec, lambda v: v.cast("double"))
+    return [
+        F.round(dot(vd, F.array(*[F.lit(x) for x in c])), 6) for c in cents
+    ]
+
+
+def ivf_assign(vec: Column, dim: int, n_centroids: int = 16) -> Column:
+    """Nearest-centroid cell id (ties -> lowest id)."""
+    cents = _centroids(dim, n_centroids)
+    entries = [
+        F.struct(s.alias("score"), F.lit(-i).alias("neg_i"),
+                 F.lit(i).alias("cell"))
+        for i, s in enumerate(_centroid_scores(vec, cents))
+    ]
+    return F.array_max(F.array(*entries))["cell"]
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_centroids: int = 16, nprobe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their nearest
+    coarse cell; each query probes its ``nprobe`` nearest cells and scores
+    only those members.
+
+    Scale shape: the corpus is grouped by cell (a 16-way partition at this
+    config; thousands of cells at 100 TB), the probe side is tiny and
+    broadcast, and the join key is the cell id — the brute-force
+    cross-join never forms.  Recall/latency trades via ``nprobe``."""
+    cents = _centroids(dim, n_centroids)
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("vec"),
+                        ivf_assign(F.col(vec_col), dim,
+                                   n_centroids).alias("cell"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("q_vec"))
+    entries = [
+        F.struct(s.alias("score"), F.lit(-i).alias("neg_i"),
+                 F.lit(i).alias("cell"))
+        for i, s in enumerate(_centroid_scores(F.col("q_vec"), cents))
+    ]
+    probes = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, nprobe)
+    qexp = q.select("q_id", "q_vec",
+                    F.explode(F.transform(probes,
+                                          lambda e: e["cell"])).alias(
+                                              "cell"))
+    joined = corpus.join(F.broadcast(qexp), "cell")
+    sim = F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
+    scored = joined.select("q_id", "vec_id", sim.alias("cos")).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str = "q_id",

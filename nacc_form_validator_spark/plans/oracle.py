@@ -254,6 +254,41 @@ def lsh_topk_sql(k: int = 5, n_queries: int = 5, dim: int = 64,
         f"ORDER BY q_id, rank")
 
 
+def ivf_topk_sql(k: int = 5, n_queries: int = 5, dim: int = 64,
+                 n_centroids: int = 16, nprobe: int = 3) -> str:
+    """Exact oracle for the IVF coarse-quantizer top-k path
+    (operators/simsearch.py:ivf_topk): md5-seeded unit centroids are
+    deterministic, so cell assignment (ties -> lowest id), nprobe
+    expansion, and within-cell ranking replicate fully in SQL."""
+    from nacc_form_validator_spark.operators.simsearch import _centroids
+    cents = _centroids(dim, n_centroids)
+    nested = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in cents) + "]"
+    scores = (f"list_transform(range(1, {n_centroids} + 1), j -> "
+              f"round(list_sum(list_transform(range(1, {dim} + 1), "
+              f"i -> embedding[i]::DOUBLE * c[j][i])), 6))")
+    probes = (f"list_transform(list_slice(list_reverse_sort("
+              f"list_transform(range(0, {n_centroids}), "
+              f"i -> {{'s': scores[i + 1], 'nk': -i}})), 1, {nprobe}), "
+              f"e -> -e.nk)")
+    cos = _cosine_sql("c2.embedding", "qe.q_vec")
+    return (
+        f"WITH ce AS (SELECT {nested} AS c), "
+        f"sc AS (SELECT vec_id, embedding, {scores} AS scores "
+        f"FROM embeddings, ce), "
+        f"corpus AS (SELECT vec_id, embedding, "
+        f"list_position(scores, list_max(scores)) - 1 AS cell FROM sc), "
+        f"q AS (SELECT vec_id AS q_id, embedding AS q_vec, scores "
+        f"FROM sc WHERE vec_id < {n_queries}), "
+        f"qe AS (SELECT q_id, q_vec, unnest({probes}) AS cell FROM q), "
+        f"scored AS (SELECT DISTINCT qe.q_id, c2.vec_id, {cos} AS cos "
+        f"FROM corpus c2 JOIN qe USING (cell)), "
+        f"ranked AS (SELECT q_id, vec_id, cos, row_number() OVER ("
+        f"PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored) "
+        f"SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY q_id, rank")
+
+
 def embedding_neardup_sql(threshold: float = 0.95) -> str:
     cos = _cosine_sql("a.embedding", "b.embedding")
     return (
