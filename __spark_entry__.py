@@ -178,6 +178,23 @@ def q_temporal_events(spark, sf_dir):
     return out.select("event_id", "user_id", "passed").orderBy("event_id")
 
 
+def q_qf_pipeline(spark, sf_dir):
+    """The NORTH-RULE workload end-to-end under the value oracle: pages
+    (with recrawls) -> heuristic stats + langid + unigram perplexity +
+    compiled rule engine (incl. the temporal recrawl rule over the
+    url-hash window) + scrub lineage.  ``passed`` is the rule-engine
+    keep/drop decision; ``n_findings`` includes scrub hits
+    (qualityfilter.py:run)."""
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    qf = QualityFilterPipeline()
+    out = qf.run(pages)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.size("findings").cast("long").alias("n_findings"),
+        "passed").orderBy("url", "ts")
+
+
 def q_rules_temporal(spark, sf_dir):
     """temporalrules battery over the events stream (nacc_validator.py:
     759-913): ignore_empty (rule 0, silent pass when no nonempty prior),
@@ -550,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_scrub": q_scrub,
         "qf_keep_drop": q_keep_drop,
         "qf_metrics": q_metrics,
+        "qf_pipeline": q_qf_pipeline,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
         "qf_host_stats": q_host_stats,
@@ -588,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_scrub": oracle.scrub_query_sql(),
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
+        "qf_pipeline": oracle.qf_pipeline_sql(),
         "temporal_events": oracle.temporal_events_sql(),
         "rules_temporal": oracle.rules_temporal_sql(),
         "qf_host_stats": oracle.host_stats_sql(),

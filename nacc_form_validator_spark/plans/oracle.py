@@ -550,19 +550,69 @@ def rules_membership_sql() -> str:
             "FROM customer ORDER BY c_custkey")
 
 
-def pages_cte() -> str:
+def pages_cte(with_ts: bool = False) -> str:
     """Reproduce pages_from_documents (sources/pages.py:23-54) in SQL:
     url from the zipf-ish host bucket, 1..3 recrawls per doc with the
-    deterministic text drift, html = wrapped text."""
+    deterministic text drift, html = wrapped text; ``with_ts`` adds the
+    warc_ts recrawl timestamp and the declared lang."""
     host = ("'host' || CAST(CAST(floor(sqrt(doc_id % 256)) AS INTEGER) "
             "AS VARCHAR)")
+    ts = (", TIMESTAMP '2025-01-01 00:00:00' + (c * 7) * INTERVAL 1 DAY "
+          "+ (doc_id % 1440) * INTERVAL 1 MINUTE AS warc_ts, lang"
+          if with_ts else "")
     return (
         f"SELECT 'https://' || {host} || '.example/p/' || "
         f"CAST(doc_id AS VARCHAR) AS url, "
         f"CASE WHEN c = 0 THEN text ELSE text || ' update' || "
-        f"CAST(c AS VARCHAR) END AS text "
+        f"CAST(c AS VARCHAR) END AS text{ts} "
         f"FROM documents CROSS JOIN unnest(range(0, doc_id % 3 + 1)) "
         f"AS u(c)")
+
+
+def qf_pipeline_sql() -> str:
+    """Full-pipeline oracle (QualityFilterPipeline.run over
+    pages_from_documents): heuristic stats + langid + unigram ppl +
+    DEFAULT_RULES (incl. the ignore_empty temporal recrawl rule over the
+    per-url window) + scrub lineage counts.
+
+    ``passed`` mirrors the engine exactly: rule findings only
+    (qualityfilter.py:run computes passed before concatenating scrub
+    findings); ``n_findings`` counts rule + scrub hits.
+    """
+    from nacc_form_validator_spark.functions.scrub import PII_PATTERNS
+    g = gopher_sql("text")
+    stat_keys = ["n_words", "mean_word_len", "symbol_ratio",
+                 "stopword_ratio", "dup_line_ratio", "word_rep_ratio"]
+    stats = ", ".join(f"{g[k]} AS {k}" for k in stat_keys)
+    rule_terms = []
+    for preds in VIOLATIONS.values():
+        rule_terms += [f"CASE WHEN {p} THEN 1 ELSE 0 END" for p in preds]
+    # temporal recrawl rule (ignore_empty [n_words]): previous nonempty
+    # n_words >= 5 => current n_words >= 5; n_words is never null, so the
+    # nonempty view is a plain lag over the url window
+    rule_terms.append(
+        "CASE WHEN prev_nw IS NOT NULL AND prev_nw >= 5 AND "
+        "NOT (n_words >= 5) THEN 1 ELSE 0 END")
+    n_rules = " + ".join(rule_terms)
+    scrub_terms = []
+    for _, pat, _rep in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        scrub_terms.append(
+            f"CASE WHEN len(regexp_extract_all(text, '{sql_pat}')) > 0 "
+            f"THEN 1 ELSE 0 END")
+    n_scrub = " + ".join(scrub_terms)
+    return (
+        f"WITH p AS ({pages_cte(with_ts=True)}), "
+        f"s AS (SELECT url, warc_ts, text, lang, {stats}, "
+        f"{langid_sql('text')} AS lang_pred, "
+        f"{ppl_unigram_sql('text')} AS ppl FROM p), "
+        f"w AS (SELECT *, lag(n_words) OVER (PARTITION BY url "
+        f"ORDER BY warc_ts) AS prev_nw FROM s), "
+        f"f AS (SELECT url, warc_ts, ({n_rules}) AS nr, ({n_scrub}) AS ns "
+        f"FROM w) "
+        f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+        f"CAST(nr + ns AS BIGINT) AS n_findings, (nr = 0) AS passed "
+        f"FROM f ORDER BY url, ts")
 
 
 def multimodal_features_sql(dim: int = 8) -> str:
