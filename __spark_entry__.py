@@ -192,6 +192,31 @@ def q_qf_pipeline(spark, sf_dir):
         "url",
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.size("findings").cast("long").alias("n_findings"),
+        "passed",
+        "scrubbed_text").orderBy("url", "ts")
+
+
+def q_qf_streaming(spark, sf_dir):
+    """Structured Streaming under the correctness gate: the SAME compiled
+    stateless rule plan runs per micro-batch (readStream parquet ->
+    availableNow -> parquet sink), and the materialized decisions must
+    value-hash-match the batch oracle (streaming/pipeline.py:24-50)."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        stream_quality_filter)
+    base = tempfile.mkdtemp(prefix="qf_stream_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    pages.write.mode("overwrite").parquet(inp)
+    q = stream_quality_filter(spark, inp, outp, ck, available_now=True)
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("n_findings").cast("long").alias("n_findings"),
         "passed").orderBy("url", "ts")
 
 
@@ -304,6 +329,36 @@ def q_multimodal(spark, sf_dir):
         "url", "n_bytes",
         *[F.col("feature")[i].cast("double").alias(f"f{i}")
           for i in range(8)]).orderBy("url")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """mapInPandas resize plumbing (operators/multimodal.py): fake body =
+    deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
+    enough that truncation actually occurs on this corpus); md5 digest of
+    the output payload makes byte identity hash-checkable."""
+    from nacc_form_validator_spark.operators.multimodal import (
+        resize_image_batch)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    out = resize_image_batch(pages, deterministic_fake=True, width=8,
+                             height=8)
+    return out.select(
+        "url", "width", "height",
+        F.length("resized").cast("long").alias("n_out"),
+        F.md5("resized").alias("digest")).orderBy("url")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan (operators/multimodal.py:87-92): per-page
+    frame-index sequence, checked via count and last index."""
+    from nacc_form_validator_spark.operators.multimodal import (
+        frame_sample_plan)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    out = frame_sample_plan(pages, every_n=10)
+    return out.select(
+        "url",
+        F.size("frame_indices").cast("long").alias("n_samples"),
+        F.element_at("frame_indices", -1).cast("long").alias("last_idx")
+    ).orderBy("url")
 
 
 def q_rules_compatibility(spark, sf_dir):
@@ -568,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_keep_drop": q_keep_drop,
         "qf_metrics": q_metrics,
         "qf_pipeline": q_qf_pipeline,
+        "qf_streaming": q_qf_streaming,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
         "qf_host_stats": q_host_stats,
@@ -593,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_quality": q_tokens_quality,
         "ppl_bigram": q_ppl_bigram,
         "multimodal_features": q_multimodal,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -607,6 +665,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
         "qf_pipeline": oracle.qf_pipeline_sql(),
+        "qf_streaming": oracle.qf_pipeline_sql(temporal=False,
+                                               scrubbed_text=False),
         "temporal_events": oracle.temporal_events_sql(),
         "rules_temporal": oracle.rules_temporal_sql(),
         "qf_host_stats": oracle.host_stats_sql(),
@@ -633,5 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_quality": oracle.tokens_quality_sql(),
         "ppl_bigram": oracle.ppl_bigram_query_sql(),
         "multimodal_features": oracle.multimodal_features_sql(),
+        "multimodal_resize": oracle.multimodal_resize_sql(),
+        "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),
     }

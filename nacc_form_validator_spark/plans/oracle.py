@@ -569,15 +569,18 @@ def pages_cte(with_ts: bool = False) -> str:
         f"AS u(c)")
 
 
-def qf_pipeline_sql() -> str:
+def qf_pipeline_sql(temporal: bool = True,
+                    scrubbed_text: bool = True) -> str:
     """Full-pipeline oracle (QualityFilterPipeline.run over
     pages_from_documents): heuristic stats + langid + unigram ppl +
-    DEFAULT_RULES (incl. the ignore_empty temporal recrawl rule over the
-    per-url window) + scrub lineage counts.
+    DEFAULT_RULES (incl., when ``temporal``, the ignore_empty temporal
+    recrawl rule over the per-url window) + scrub lineage counts.
 
     ``passed`` mirrors the engine exactly: rule findings only
     (qualityfilter.py:run computes passed before concatenating scrub
     findings); ``n_findings`` counts rule + scrub hits.
+    ``temporal=False`` is the stateless-rule subset the streaming path
+    runs per micro-batch (streaming/pipeline.py:24-50).
     """
     from nacc_form_validator_spark.functions.scrub import PII_PATTERNS
     g = gopher_sql("text")
@@ -587,12 +590,13 @@ def qf_pipeline_sql() -> str:
     rule_terms = []
     for preds in VIOLATIONS.values():
         rule_terms += [f"CASE WHEN {p} THEN 1 ELSE 0 END" for p in preds]
-    # temporal recrawl rule (ignore_empty [n_words]): previous nonempty
-    # n_words >= 5 => current n_words >= 5; n_words is never null, so the
-    # nonempty view is a plain lag over the url window
-    rule_terms.append(
-        "CASE WHEN prev_nw IS NOT NULL AND prev_nw >= 5 AND "
-        "NOT (n_words >= 5) THEN 1 ELSE 0 END")
+    if temporal:
+        # temporal recrawl rule (ignore_empty [n_words]): previous
+        # nonempty n_words >= 5 => current n_words >= 5; n_words is never
+        # null, so the nonempty view is a plain lag over the url window
+        rule_terms.append(
+            "CASE WHEN prev_nw IS NOT NULL AND prev_nw >= 5 AND "
+            "NOT (n_words >= 5) THEN 1 ELSE 0 END")
     n_rules = " + ".join(rule_terms)
     scrub_terms = []
     for _, pat, _rep in PII_PATTERNS:
@@ -601,18 +605,22 @@ def qf_pipeline_sql() -> str:
             f"CASE WHEN len(regexp_extract_all(text, '{sql_pat}')) > 0 "
             f"THEN 1 ELSE 0 END")
     n_scrub = " + ".join(scrub_terms)
+    lagged = ("w AS (SELECT *, lag(n_words) OVER (PARTITION BY url "
+              "ORDER BY warc_ts) AS prev_nw FROM s), " if temporal
+              else "w AS (SELECT * FROM s), ")
+    scrub_col = (f", {scrub_sql('text')} AS scrubbed_text"
+                 if scrubbed_text else "")
     return (
         f"WITH p AS ({pages_cte(with_ts=True)}), "
         f"s AS (SELECT url, warc_ts, text, lang, {stats}, "
         f"{langid_sql('text')} AS lang_pred, "
         f"{ppl_unigram_sql('text')} AS ppl FROM p), "
-        f"w AS (SELECT *, lag(n_words) OVER (PARTITION BY url "
-        f"ORDER BY warc_ts) AS prev_nw FROM s), "
-        f"f AS (SELECT url, warc_ts, ({n_rules}) AS nr, ({n_scrub}) AS ns "
-        f"FROM w) "
+        f"{lagged}"
+        f"f AS (SELECT url, warc_ts, text, ({n_rules}) AS nr, "
+        f"({n_scrub}) AS ns FROM w) "
         f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
-        f"CAST(nr + ns AS BIGINT) AS n_findings, (nr = 0) AS passed "
-        f"FROM f ORDER BY url, ts")
+        f"CAST(nr + ns AS BIGINT) AS n_findings, (nr = 0) AS passed"
+        f"{scrub_col} FROM f ORDER BY url, ts")
 
 
 def multimodal_features_sql(dim: int = 8) -> str:
@@ -628,6 +636,31 @@ def multimodal_features_sql(dim: int = 8) -> str:
         f"'</p></body></html>' AS html FROM p) "
         f"SELECT url, CAST(strlen(html) AS BIGINT) AS n_bytes, {feats} "
         f"FROM h ORDER BY url")
+
+
+def multimodal_resize_sql(width: int = 8, height: int = 8) -> str:
+    """Oracle for the fake resize stage: output = first width*height*3
+    bytes of the payload (ASCII html, so char slice == byte slice)."""
+    cap = width * height * 3
+    return (
+        f"WITH p AS ({pages_cte()}), "
+        f"h AS (SELECT url, '<html><body><p>' || text || "
+        f"'</p></body></html>' AS html FROM p) "
+        f"SELECT url, {width} AS width, {height} AS height, "
+        f"CAST(least(strlen(html), {cap}) AS BIGINT) AS n_out, "
+        f"md5(substr(html, 1, {cap})) AS digest FROM h ORDER BY url")
+
+
+def multimodal_frames_sql(every_n: int = 10) -> str:
+    """Oracle for the frame-sampling plan: n_frames = len(html) mod 100
+    + 1, indices 0..n_frames-1 step every_n."""
+    return (
+        f"WITH p AS ({pages_cte()}), "
+        f"h AS (SELECT url, strlen('<html><body><p>' || text || "
+        f"'</p></body></html>') % 100 + 1 AS nf FROM p) "
+        f"SELECT url, CAST(floor((nf - 1) / {every_n}) + 1 AS BIGINT) AS "
+        f"n_samples, CAST(({every_n}) * floor((nf - 1) / {every_n}) AS "
+        f"BIGINT) AS last_idx FROM h ORDER BY url")
 
 
 def host_stats_sql() -> str:
