@@ -33,3 +33,13 @@ def assert_no_python_udf(df: DataFrame) -> None:
         if marker in text:
             raise AssertionError(
                 f"plan unexpectedly contains {marker}:\n{text}")
+
+
+def assert_no_allpairs_join(df: DataFrame) -> None:
+    """Scale-path contract: candidate generation must join on bucket/band
+    keys, never degrade to an all-pairs strategy."""
+    text = _plan_text(df)
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if marker in text:
+            raise AssertionError(
+                f"plan unexpectedly contains {marker}:\n{text}")

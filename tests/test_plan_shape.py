@@ -61,6 +61,33 @@ def test_full_pipeline_one_exchange_no_python(spark):
     assert count_exchanges(out) == 1
 
 
+def test_scale_path_candidates_join_on_keys(spark):
+    """Every banded/bucketed dedup & ANN scale path must join on its
+    band/bucket/cell key — an all-pairs physical strategy (cartesian or
+    broadcast-nested-loop) in any of these plans is a 100 TB regression.
+    The exact kernels (embedding_neardup_pairs, brute_force_topk) are
+    excluded: all-pairs is their documented role as oracles/verifiers."""
+    from nacc_form_validator_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh, minhash_lsh_pairs, simhash_pairs)
+    from nacc_form_validator_spark.operators.simsearch import (ivf_topk,
+                                                               lsh_topk)
+    from nacc_form_validator_spark.plans.inspect import (
+        assert_no_allpairs_join)
+    docs = spark.read.parquet(DOCS)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    for plan_df in (
+            simhash_pairs(docs),
+            minhash_lsh_pairs(docs),
+            embedding_neardup_pairs_lsh(emb, threshold=0.4),
+            lsh_topk(emb, queries, dim=64),
+            ivf_topk(emb, queries, dim=64),
+    ):
+        assert_no_allpairs_join(plan_df)
+
+
 def test_parquet_pushdown(spark):
     """Filters and projections reach the parquet scan."""
     df = (spark.read.parquet(DOCS)
