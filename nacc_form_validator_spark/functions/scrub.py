@@ -27,6 +27,11 @@ PII_PATTERNS: List[Tuple[str, str, str]] = [
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
 ]
 
+#: literal each pattern REQUIRES in any match — a cheap indexOf pre-gate
+#: that skips the regex engine entirely on the (overwhelming) majority of
+#: documents carrying no such character; cannot change any result
+_NEEDLES = {"email": "@", "ssn": "-"}
+
 #: deterministic toxicity lexicon stand-in (swap for a real list at deploy)
 TOXIC_WORDS = ("badword1", "badword2", "slur1")
 TOXIC_PATTERN = ("(?i)\\b(" + "|".join(TOXIC_WORDS) + ")\\b", "<TOX>")
@@ -34,8 +39,13 @@ TOXIC_PATTERN = ("(?i)\\b(" + "|".join(TOXIC_WORDS) + ")\\b", "<TOX>")
 
 def scrub_expr(text: Column, include_toxic: bool = True) -> Column:
     out = text
-    for _, pat, rep in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, rep)
+    for name, pat, rep in PII_PATTERNS:
+        needle = _NEEDLES.get(name)
+        rep_col = F.regexp_replace(out, pat, rep)
+        if needle:
+            out = F.when(out.contains(needle), rep_col).otherwise(out)
+        else:
+            out = rep_col
     if include_toxic:
         out = F.regexp_replace(out, TOXIC_PATTERN[0], TOXIC_PATTERN[1])
     return out
@@ -48,8 +58,12 @@ def scrub_hits(text: Column) -> Column:
     for i, (name, pat, _rep) in enumerate(PII_PATTERNS):
         # regexp_count == size(regexp_extract_all(...)) without
         # materializing the match array — same value, one less allocation
-        # per pattern per row
+        # per pattern per row; the indexOf pre-gate skips the regex scan
+        # when the required literal is absent
         cnt = F.regexp_count(text, F.lit(pat))
+        needle = _NEEDLES.get(name)
+        if needle:
+            cnt = F.when(text.contains(needle), cnt).otherwise(0)
         entries.append(
             F.when(
                 cnt > 0,
