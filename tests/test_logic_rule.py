@@ -194,3 +194,59 @@ def test_logic_count_exact_invalid_list(spark):
         "error in formula evaluation - count_exact needs a base and at "
         "least 1 value to compare to"
     ]
+
+
+def test_logic_in_over_merged_list(spark):
+    """'in' against an evaluated (merge-built) list
+    (json_logic.py:125-133, 226-227)."""
+    schema = {
+        "grade": {
+            "type": "integer", "nullable": True,
+            "logic": {
+                "formula": {"in": [{"var": "grade"},
+                                   {"merge": [[1, 2], 3, [5]]}]},
+            },
+        },
+    }
+    res = run_check(spark, schema, [
+        {"grade": 1}, {"grade": 3}, {"grade": 5},
+        {"grade": 4}, {"grade": None},
+    ])
+    assert [r["passed"] for r in res] == [True, True, True, False, False]
+
+
+def test_logic_missing_gates_formula(spark):
+    """missing returns the statically-absent keys; truthiness of the
+    (non-)empty list drives the formula (json_logic.py:150-163)."""
+    schema = {
+        "a": {
+            "type": "integer", "nullable": True,
+            # passes iff nothing is missing: 'a' exists, 'ghost' doesn't
+            "logic": {"formula": {"!": [{"missing": ["a"]}]}},
+        },
+        "b": {
+            "type": "integer", "nullable": True,
+            "logic": {"formula": {"!": [{"missing": ["a", "ghost"]}]}},
+        },
+    }
+    res = run_check(spark, schema, [{"a": 1, "b": 2}])
+    assert not res[0]["passed"]
+    assert res[0]["fields"] == ["b"]  # only the ghost-referencing rule
+
+
+def test_logic_missing_some(spark):
+    """missing_some: enough present keys -> empty list -> falsy
+    (json_logic.py:165-176)."""
+    schema = {
+        "a": {"type": "integer", "nullable": True,
+              # 1 of [a, ghost] present -> [] -> "!" makes it pass
+              "logic": {"formula": {"!": [
+                  {"missing_some": [1, ["a", "ghost"]]}]}}},
+        "b": {"type": "integer", "nullable": True,
+              # 2 required, only 'b' exists -> missing list truthy -> fail
+              "logic": {"formula": {"!": [
+                  {"missing_some": [2, ["b", "ghost"]]}]}}},
+    }
+    res = run_check(spark, schema, [{"a": 1, "b": 2}])
+    assert not res[0]["passed"]
+    assert res[0]["fields"] == ["b"]
