@@ -270,7 +270,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             f"guaranteed recall needs bands > max_hamming "
             f"({bands} bands, max_hamming={max_hamming})")
     rows = bits // bands
-    sig = with_simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    # both sides of the self-join consume the signature table; without a
+    # materialization point the 60-bit token fold runs twice per doc
+    sig = with_simhash(df, text_col=text_col, id_col=id_col,
+                       bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -284,13 +287,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
               .select("id", "sig", "bk.band", "bk.key"))
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (a.join(b, ["band", "key"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"), ham.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct()
-            .orderBy("id_a", "id_b"))
+    out = (a.join(b, ["band", "key"])
+           .where(F.col("a.id") < F.col("b.id"))
+           .select(F.col("a.id").alias("id_a"),
+                   F.col("b.id").alias("id_b"), ham.alias("hamming"))
+           .where(F.col("hamming") <= max_hamming)
+           .distinct()
+           .orderBy("id_a", "id_b"))
+    # caller-owned lifecycle, same contract as ngram_jaccard_pairs
+    out._persisted_intermediates = [sig]
+    return out
 
 
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
