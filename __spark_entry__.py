@@ -196,6 +196,20 @@ def q_qf_pipeline(spark, sf_dir):
         "scrubbed_text").orderBy("url", "ts")
 
 
+def q_qf_pipeline_udf(spark, sf_dir):
+    """The pandas-UDF pipeline variant (use_udf_stages=True: broadcast-
+    model langid UDF + broadcast-matrix BIGRAM perplexity UDF) under the
+    same value-level gate as the expr pipeline."""
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    qf = QualityFilterPipeline(use_udf_stages=True)
+    out = qf.run(pages)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.size("findings").cast("long").alias("n_findings"),
+        "passed").orderBy("url", "ts")
+
+
 def q_qf_streaming(spark, sf_dir):
     """Structured Streaming under the correctness gate: the SAME compiled
     stateless rule plan runs per micro-batch (readStream parquet ->
@@ -623,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_keep_drop": q_keep_drop,
         "qf_metrics": q_metrics,
         "qf_pipeline": q_qf_pipeline,
+        "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_streaming": q_qf_streaming,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
@@ -665,6 +680,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
         "qf_pipeline": oracle.qf_pipeline_sql(),
+        "qf_pipeline_udf": oracle.qf_pipeline_sql(scrubbed_text=False,
+                                                  ppl_mode="bigram"),
         "qf_streaming": oracle.qf_pipeline_sql(temporal=False,
                                                scrubbed_text=False),
         "temporal_events": oracle.temporal_events_sql(),

@@ -570,7 +570,8 @@ def pages_cte(with_ts: bool = False) -> str:
 
 
 def qf_pipeline_sql(temporal: bool = True,
-                    scrubbed_text: bool = True) -> str:
+                    scrubbed_text: bool = True,
+                    ppl_mode: str = "unigram") -> str:
     """Full-pipeline oracle (QualityFilterPipeline.run over
     pages_from_documents): heuristic stats + langid + unigram ppl +
     DEFAULT_RULES (incl., when ``temporal``, the ignore_empty temporal
@@ -581,6 +582,10 @@ def qf_pipeline_sql(temporal: bool = True,
     findings); ``n_findings`` counts rule + scrub hits.
     ``temporal=False`` is the stateless-rule subset the streaming path
     runs per micro-batch (streaming/pipeline.py:24-50).
+    ``ppl_mode='bigram'`` mirrors the pandas-UDF pipeline variant
+    (use_udf_stages=True): the ppl column scores the broadcast bigram
+    matrix instead of the unigram expression — langid and every other
+    stage are output-identical between the variants.
     """
     from nacc_form_validator_spark.functions.scrub import PII_PATTERNS
     g = gopher_sql("text")
@@ -610,11 +615,36 @@ def qf_pipeline_sql(temporal: bool = True,
               else "w AS (SELECT * FROM s), ")
     scrub_col = (f", {scrub_sql('text')} AS scrubbed_text"
                  if scrubbed_text else "")
+    if ppl_mode == "bigram":
+        from nacc_form_validator_spark.functions.perplexity import (
+            ALPHABET, BIGRAM_LP)
+        flat = ", ".join(repr(float(v)) for v in BIGRAM_LP.ravel())
+        abc = ALPHABET + " "
+        n_sym = len(abc) + 1
+        idx = (f"CASE WHEN strpos('{abc}', t[k]) > 0 "
+               f"THEN strpos('{abc}', t[k]) - 1 ELSE {n_sym - 1} END")
+        ppl = (f"CASE WHEN len(ix) >= 2 THEN round(exp(-("
+               f"list_sum(list_transform(range(1, len(ix)), "
+               f"k -> m.lp[ix[k] * {n_sym} + ix[k + 1] + 1])) "
+               f"/ (len(ix) - 1))), 4) END")
+        s_ctes = (
+            f"m(lp) AS (SELECT [{flat}]), "
+            f"pl AS (SELECT p.*, lower(text) AS t FROM p), "
+            f"s1 AS (SELECT url, warc_ts, text, lang, {stats}, "
+            f"{langid_sql('text')} AS lang_pred, "
+            f"list_transform(range(1, length(t) + 1), k -> {idx}) AS ix "
+            f"FROM pl), "
+            f"s AS (SELECT url, warc_ts, text, lang, "
+            f"{', '.join(stat_keys)}, lang_pred, {ppl} AS ppl "
+            f"FROM s1, m), ")
+    else:
+        s_ctes = (
+            f"s AS (SELECT url, warc_ts, text, lang, {stats}, "
+            f"{langid_sql('text')} AS lang_pred, "
+            f"{ppl_unigram_sql('text')} AS ppl FROM p), ")
     return (
         f"WITH p AS ({pages_cte(with_ts=True)}), "
-        f"s AS (SELECT url, warc_ts, text, lang, {stats}, "
-        f"{langid_sql('text')} AS lang_pred, "
-        f"{ppl_unigram_sql('text')} AS ppl FROM p), "
+        f"{s_ctes}"
         f"{lagged}"
         f"f AS (SELECT url, warc_ts, text, ({n_rules}) AS nr, "
         f"({n_scrub}) AS ns FROM w) "
