@@ -47,6 +47,39 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def force_release(df) -> None:
+    """force() + unpersist any operator-attached cached intermediates so
+    repeated bench invocations don't accumulate cached partitions."""
+    from nacc_form_validator_spark.operators.dedup import (
+        release_intermediates)
+    force(df)
+    release_intermediates(df)
+
+
+#: single-thread sha256 MB/s on this machine when idle (measured
+#: 2026-08-17); the sentinel compares against this to stamp whether a
+#: bench run was host-contended (BENCH_r02 read 2-4x slow under
+#: contention and cost a round of diagnosis)
+IDLE_SHA256_MB_S = 1300.0
+
+
+def contention_probe() -> float:
+    """Single-thread sha256 throughput in MB/s — a pure-CPU probe that
+    drops under host contention / vCPU steal, independent of Spark."""
+    import hashlib
+    buf = b"\xab" * (1 << 20)
+    for _ in range(20):
+        hashlib.sha256(buf).digest()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(100):
+            hashlib.sha256(buf).digest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(100 / best, 1)
+
+
 def run_bench(spark, sf_dir: str, sf: float) -> dict:
     import __spark_entry__ as entry
     from nacc_form_validator_spark.qualityfilter import QualityFilterPipeline
@@ -103,8 +136,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "dedup_embedding_lsh",
                  "tokens_quality", "temporal_events", "rules_temporal",
                  "multimodal_features", "ppl_bigram", "tpch_q1"]:
-        force(qmap[name](spark, sf_dir))
-        timed(name, lambda n=name: force(qmap[n](spark, sf_dir)))
+        force_release(qmap[name](spark, sf_dir))
+        timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
@@ -173,13 +206,22 @@ def main() -> None:
                 sf = float(tok[2:])
             except ValueError:
                 pass
+    probe_before = contention_probe()
     spark = build_spark(cpus)
     try:
         result = run_bench(spark, sf_dir, sf)
         result["cpus"] = int(cpus)
-        print(json.dumps(result))
     finally:
         spark.stop()
+    probe_after = contention_probe()
+    mbs = min(probe_before, probe_after)
+    result["contention"] = {
+        "sha256_mb_s": mbs,
+        "idle_ref_mb_s": IDLE_SHA256_MB_S,
+        "slowdown": round(IDLE_SHA256_MB_S / mbs, 2),
+        "contended": mbs < IDLE_SHA256_MB_S / 1.25,
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

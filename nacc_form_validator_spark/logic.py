@@ -246,13 +246,19 @@ class LogicCompiler:
             n for n in names if not self.has_var(str(n)))
 
     def _missing_some(self, values) -> StaticList:
+        # Reference binding (json_logic.py:162-176, 278-279):
+        # missing_some(data, *values) -> values[0] is the var LIST and
+        # values[1] (default 1) is min_required.
         self._require_has_var("missing_some")
-        if len(values) != 2 or isinstance(values[0], dict) or not \
-                isinstance(values[1], (list, tuple)):
+        if len(values) not in (1, 2) or isinstance(values[0], dict) or \
+                not isinstance(values[0], (list, tuple)):
             raise LogicCompileError(
-                "missing_some expects [min_required, [vars]]")
-        min_required = values[0]
-        names = self._static_names(list(values[1]), "missing_some")
+                "missing_some expects [[vars], min_required]")
+        min_required = values[1] if len(values) == 2 else 1
+        if isinstance(min_required, dict):
+            raise LogicCompileError(
+                "dynamic arguments to missing_some not supported")
+        names = self._static_names(list(values[0]), "missing_some")
         if not isinstance(min_required, int) or isinstance(
                 min_required, bool):
             raise LogicCompileError(
@@ -422,13 +428,19 @@ class LogicCompiler:
                 terms.append(a.eqNullSafe(b))
             elif lk in ("date", "datetime") and ik == lk:
                 terms.append(lc.eqNullSafe(ic))
-            elif ik == "unknown" or ik == "num":
-                # evaluated element of unknown static type vs typed left:
-                # compare through a best-effort cast on the element side
+            elif ik == "num":
+                # evaluated element known-numeric but int/float unsure:
+                # numeric left compares through double; a str/date left
+                # vs a number is Python == False -> no term
                 if lk in num:
                     terms.append(lc.eqNullSafe(ic.cast("double")))
-                elif lk == "str":
-                    terms.append(lc.eqNullSafe(ic.cast("string")))
+            elif ik == "unknown":
+                # element column lost its static python type; a silent
+                # best-effort cast can diverge from the reference
+                # (str "3.0" vs evaluated 3.0) — error out like an
+                # unknown left
+                raise LogicCompileError(
+                    "'in' list element has no static type")
             # statically incomparable -> Python == is False; no term
         if not terms:
             return F.lit(False), "bool"

@@ -251,42 +251,115 @@ def simhash(text: Column, bits: int = 60) -> Column:
     return simhash_from_hashes(token_hashes(text), bits)
 
 
+def simhash_band_plan(corpus_size: int, max_hamming: int = 3,
+                      target_bucket: int = 256):
+    """(bands, width) sized to the corpus: expected band-bucket occupancy
+    is ~ corpus_size / 2**width (band slices of a simhash are ~uniform),
+    so pick the smallest width whose buckets stay under ``target_bucket``
+    unrelated docs.  bands is pinned at max_hamming + 1 (the pigeonhole
+    recall requirement); width is clamped to [15, 32] — 32-bit keys give
+    4e9 buckets, ~250 rows/bucket even at 10^12 docs."""
+    import math as _m
+    bands = max_hamming + 1
+    width = _m.ceil(_m.log2(max(corpus_size, 2) / target_bucket))
+    width = max(15, min(32, width))
+    if bands * _m.ceil(width / 4) * 4 > 128:
+        # one md5 per token yields 128 bits of hash material; narrower
+        # bands keep us inside it (only reachable for max_hamming > 6)
+        width = (128 // bands) // 4 * 4
+    return bands, width
+
+
+def with_simhash_bands(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bands: int = 4,
+                       width: int = 20) -> DataFrame:
+    """(id, sig) where sig is an array of ``bands`` independent
+    ``width``-bit simhash words — band b's token-hash family is hex chars
+    [b*ceil(width/4), ...) of ONE md5 per token, so widening bands adds
+    no hashing cost.  Total signature = bands*width bits."""
+    import math as _m
+    hexlen = _m.ceil(width / 4)
+    if bands * hexlen > 32:
+        raise ValueError(
+            f"bands*ceil(width/4) hex chars must fit one md5 "
+            f"({bands}x{hexlen} > 32)")
+    mask = (1 << width) - 1
+    w = F.array_distinct(
+        F.filter(F.split(normalized(F.col(text_col)), " "),
+                 lambda s: s != ""))
+    hx = F.transform(w, lambda t: F.md5(t))
+    words = [
+        simhash_from_hashes(
+            F.transform(
+                F.col("hx"),
+                lambda x: F.conv(
+                    F.substring(x, 1 + b * hexlen, hexlen), 16,
+                    10).cast("long").bitwiseAND(F.lit(mask))),
+            bits=width).alias(f"w{b}")
+        for b in range(bands)
+    ]
+    return (df.select(F.col(id_col).alias("id"), hx.alias("hx"))
+            .select("id", F.array(*words).alias("sig")))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bands: int = 4, bits: int = 60) -> DataFrame:
+                  bands: int = 4, width: int = None,
+                  corpus_size: int = None,
+                  target_bucket: int = 256,
+                  bucket_guard: int = None) -> DataFrame:
     """Near-dup pairs by SimHash: multi-band bucket join + exact hamming
     verify.
 
-    The signature splits into ``bands`` disjoint slices (default 4x15
-    bits); by pigeonhole any pair with hamming <= bands - 1 shares at
-    least one unchanged band, so with max_hamming=3 and 4 bands the
-    banded join finds EVERY qualifying pair — the result is identical to
-    the all-pairs kernel (which the oracle computes), but the only join
-    is on (band, 15-bit key): no quadratic blowup, and a hot band bucket
-    stays bounded by true near-duplicate clusters rather than a shared
-    16-bit prefix."""
+    The signature is ``bands`` independent ``width``-bit simhash words
+    (one md5 per token feeds all bands); hamming distance is over the
+    concatenated bands*width bits.  By pigeonhole any pair with
+    hamming <= bands - 1 leaves at least one word unchanged, so with
+    max_hamming=3 and 4 bands the banded join finds EVERY qualifying
+    pair — identical to the all-pairs kernel (which the oracle
+    computes) — while the only join is on (band, width-bit key).
+
+    Scale sizing: expected bucket occupancy ~ n / 2**width, so width
+    must grow with the corpus — pass ``corpus_size`` to derive it via
+    :func:`simhash_band_plan` (10^12 docs -> 32-bit keys, ~250
+    rows/bucket), or set ``width`` explicitly.  The default width=20
+    (1M buckets) suits up to ~10^8-doc partitions.  ``bucket_guard``
+    (optional, eager) raises if any band bucket exceeds the bound —
+    the quadratic-blowup tripwire a plan-shape assert can't see."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"guaranteed recall needs bands > max_hamming "
             f"({bands} bands, max_hamming={max_hamming})")
-    rows = bits // bands
+    if corpus_size is not None and width is None:
+        bands, width = simhash_band_plan(corpus_size, max_hamming,
+                                         target_bucket)
+    width = 20 if width is None else width
     # both sides of the self-join consume the signature table; without a
-    # materialization point the 60-bit token fold runs twice per doc
-    sig = with_simhash(df, text_col=text_col, id_col=id_col,
-                       bits=bits).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialization point the per-band token folds run twice per doc
+    sig = with_simhash_bands(df, text_col=text_col, id_col=id_col,
+                             bands=bands, width=width
+                             ).persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("sig"),
-                                 b * rows).bitwiseAND(
-                                     F.lit((1 << rows) - 1)).alias("key"))
+        F.struct(F.lit(b).alias("band"), F.col("sig")[b].alias("key"))
         for b in range(bands)
     ]
     banded = (sig.select("id", "sig",
                          F.explode(F.array(*band_cols)).alias("bk"))
               .select("id", "sig", "bk.band", "bk.key"))
+    if bucket_guard is not None:
+        occ = (banded.groupBy("band", "key").count()
+               .agg(F.max("count")).first()[0]) or 0
+        if occ > bucket_guard:
+            sig.unpersist()
+            raise ValueError(
+                f"simhash band bucket holds {occ} rows > guard "
+                f"{bucket_guard}; expected ~n/2**width = "
+                f"{'n'}/2**{width} — widen the keys (pass corpus_size "
+                f"or a larger width)")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    ham = sum(
+        F.bit_count(F.col("a.sig")[i].bitwiseXOR(F.col("b.sig")[i]))
+        for i in range(bands))
     out = (a.join(b, ["band", "key"])
            .where(F.col("a.id") < F.col("b.id"))
            .select(F.col("a.id").alias("id_a"),
@@ -319,11 +392,30 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cos").orderBy("id_a", "id_b"))
 
 
+def lsh_band_plan(corpus_size: int, bands: int = 4,
+                  target_bucket: int = 1024):
+    """(n_planes, bands) for hyperplane-LSH sized to the corpus: band
+    key space is 2**(n_planes/bands) and hyperplane bits are ~uniform
+    on webtext embeddings, so expected bucket occupancy is
+    ~ corpus_size / 2**width.  Width clamps to [4, 24] (24-bit keys ->
+    16M buckets, ~60k rows/bucket at 10^12 — pair with a coarser
+    pre-partition or more bands beyond that); recall for a given cosine
+    t is 1-(1-p**width)**bands with p = 1 - acos(t)/pi, so more bands
+    buy back what wider keys cost."""
+    import math as _m
+    width = _m.ceil(_m.log2(max(corpus_size, 2) / target_bucket))
+    width = max(4, min(24, width))
+    return bands * width, bands
+
+
 def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 threshold: float = 0.95, dim: int = 64,
-                                n_planes: int = 8,
-                                bands: int = 2) -> DataFrame:
+                                n_planes: int = 32,
+                                bands: int = 4,
+                                corpus_size: int = None,
+                                target_bucket: int = 1024,
+                                bucket_guard: int = None) -> DataFrame:
     """Embedding near-dup at scale: banded hyperplane-LSH candidates +
     exact cosine verify within buckets.
 
@@ -332,11 +424,19 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
     slices; candidate pairs share at least one band key, so the only
     shuffle joins (band, key) — never all vector pairs.  Result is the
     LSH-recall subset of :func:`embedding_neardup_pairs`; recall rises
-    with more bands (more probes) and falls with stricter bands.  The
+    with more bands (more probes) and falls with wider bands.  The
+    default 4x8-bit bands keep true near-dups (cos>=0.98, per-plane
+    agreement p>=0.96: 1-(1-p**8)**4 ~ 0.99) while giving 256 buckets
+    per band; pass ``corpus_size`` to widen keys via
+    :func:`lsh_band_plan` (expected bucket ~ n/2**width), and
+    ``bucket_guard`` (eager) to trip on quadratic buckets.  The
     bucketing is deterministic, so the whole operator stays under the
     value-level oracle gate."""
     from nacc_form_validator_spark.operators.simsearch import (cosine,
                                                                lsh_bucket)
+    if corpus_size is not None:
+        n_planes, bands = lsh_band_plan(corpus_size, bands,
+                                        target_bucket)
     rows = n_planes // bands
     sig = emb.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("vec"),
@@ -353,6 +453,15 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
     banded = (sig.select("id", "vec",
                          F.explode(F.array(*band_cols)).alias("bk"))
               .select("id", "vec", "bk.band", "bk.key"))
+    if bucket_guard is not None:
+        occ = (banded.groupBy("band", "key").count()
+               .agg(F.max("count")).first()[0]) or 0
+        if occ > bucket_guard:
+            raise ValueError(
+                f"embedding LSH band bucket holds {occ} rows > guard "
+                f"{bucket_guard}; expected ~n/2**(n_planes/bands) = "
+                f"n/2**{rows} — widen the keys (pass corpus_size or "
+                f"more planes)")
     a, b = banded.alias("a"), banded.alias("b")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
     return (a.join(b, ["band", "key"])

@@ -171,19 +171,48 @@ def simhash_sql(bits: int = 60) -> str:
             f"documents) SELECT id, ({sig}) AS sig FROM h ORDER BY id")
 
 
-def simhash_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
-    """EXACT all-pairs hamming oracle: the Spark side joins only on
-    4x15-bit band buckets, but pigeonhole guarantees every hamming<=3
-    pair shares a band, so banded == all-pairs — this oracle proves it
-    on real data."""
-    base = simhash_sql(bits)
+def simhash_pairs_sql(max_hamming: int = 3, bands: int = 4,
+                      width: int = 20) -> str:
+    """EXACT all-pairs hamming oracle for the banded simhash operator:
+    the Spark side joins only on (band, width-bit key) buckets, but
+    pigeonhole guarantees every hamming<=bands-1 pair shares a band, so
+    banded == all-pairs — this oracle proves it on real data.  The
+    signature is ``bands`` independent ``width``-bit simhash words,
+    band b's token hashes taken from hex chars [b*ceil(width/4)...] of
+    one md5 per token (operators/dedup.py with_simhash_bands)."""
+    import math as _m
+    hexlen = _m.ceil(width / 4)
+    mask = (1 << width) - 1
+    w = (f"list_distinct(list_filter(string_split({NORM}, ' '), "
+         f"x -> x <> ''))")
+    hx = f"list_transform({w}, t -> md5(t))"
+    word_exprs = []
+    for b in range(bands):
+        hb = (f"list_transform(hx, x -> CAST(concat('0x', "
+              f"substr(x, {1 + b * hexlen}, {hexlen})) AS BIGINT) "
+              f"& {mask})")
+        bit_terms = []
+        for p in range(width):
+            m = 1 << p
+            vote = (f"list_sum(list_transform(h{b}, x -> CASE WHEN "
+                    f"(x & {m}) <> 0 THEN 1 ELSE -1 END))")
+            bit_terms.append(f"CASE WHEN coalesce({vote}, 0) > 0 THEN "
+                             f"{m}::BIGINT ELSE 0::BIGINT END")
+        word_exprs.append((hb, " + ".join(bit_terms)))
+    hsel = ", ".join(f"{hb} AS h{b}"
+                     for b, (hb, _) in enumerate(word_exprs))
+    wsel = ", ".join(f"({expr}) AS w{b}"
+                     for b, (_, expr) in enumerate(word_exprs))
+    ham = " + ".join(
+        f"bit_count(xor(a.w{b}::UBIGINT, b.w{b}::UBIGINT))"
+        for b in range(bands))
     return (
-        f"WITH sigs AS ({base.replace(' ORDER BY id', '')}) "
-        f"SELECT a.id AS id_a, b.id AS id_b, "
-        f"bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) AS hamming "
+        f"WITH hx AS (SELECT doc_id AS id, {hx} AS hx FROM documents), "
+        f"hs AS (SELECT id, {hsel} FROM hx), "
+        f"sigs AS (SELECT id, {wsel} FROM hs) "
+        f"SELECT a.id AS id_a, b.id AS id_b, ({ham}) AS hamming "
         f"FROM sigs a JOIN sigs b ON a.id < b.id "
-        f"WHERE bit_count(xor(a.sig::UBIGINT, b.sig::UBIGINT)) <= "
-        f"{max_hamming} ORDER BY id_a, id_b")
+        f"WHERE ({ham}) <= {max_hamming} ORDER BY id_a, id_b")
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -298,7 +327,7 @@ def embedding_neardup_sql(threshold: float = 0.95) -> str:
 
 
 def embedding_neardup_lsh_sql(threshold: float = 0.95, dim: int = 64,
-                              n_planes: int = 8, bands: int = 2) -> str:
+                              n_planes: int = 32, bands: int = 4) -> str:
     """Oracle for the banded-LSH embedding near-dup scale path
     (operators/dedup.py embedding_neardup_pairs_lsh): deterministic
     planes -> band keys -> bucket join -> exact cosine verify."""

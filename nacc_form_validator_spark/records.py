@@ -84,8 +84,24 @@ def records_to_df(spark: SparkSession, schema: Dict[str, dict],
             fields[k] = t
         elif vals:
             vts = {type(_spark_type_for(v)) for v in nonbool}
+            has_bool = len(nonbool) != len(vals)
             if vts == {T.LongType, T.DoubleType}:
                 fields[k] = T.DoubleType()
+            elif len(vts) > 1:
+                raise ValueError(
+                    f"cannot infer a single Spark type for key {k!r}: "
+                    f"mixed value types "
+                    f"{sorted(t.__name__ for t in vts)}")
+            elif has_bool and vts:
+                # bools mixed with one other type: bool widens into a
+                # numeric column; anything else is heterogeneous
+                t = next(iter(vts))
+                if t in (T.LongType, T.DoubleType):
+                    fields[k] = t()
+                else:
+                    raise ValueError(
+                        f"cannot infer a single Spark type for key "
+                        f"{k!r}: bool mixed with {t.__name__}")
             else:
                 fields[k] = _spark_type_for(vals[0])
     for r in records:
@@ -100,9 +116,8 @@ def records_to_df(spark: SparkSession, schema: Dict[str, dict],
     def coerce(v, t):
         if v is None:
             return None
-        if isinstance(t, T.DoubleType) and isinstance(v, int) and \
-                not isinstance(v, bool):
-            return float(v)
+        if isinstance(t, T.DoubleType) and isinstance(v, int):
+            return float(v)  # covers bool -> 1.0/0.0 too
         if isinstance(t, T.LongType) and isinstance(v, bool):
             return int(v)
         return v

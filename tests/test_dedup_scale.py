@@ -1,9 +1,11 @@
 """Scale-path dedup operators: banded candidate generation must not lose
 the pairs the exact kernels find.
 
-- simhash_pairs: 4x15-bit bands + hamming<=3 verify is EXACT by
-  pigeonhole (any pair differing in <=3 bits shares an unchanged band) —
-  asserted against the all-pairs kernel here on synthetic near-dup docs;
+- simhash_pairs: bands x width-bit band words + hamming<=3 verify is
+  EXACT by pigeonhole (any pair differing in <=3 bits leaves a band word
+  unchanged) — asserted against the all-pairs kernel here on synthetic
+  near-dup docs; band width scales with corpus size (simhash_band_plan)
+  and a bucket_guard trips on quadratic buckets;
 - embedding_neardup_pairs_lsh: banded hyperplane-LSH is approximate; on
   genuinely near-duplicate vectors (cos >= ~0.99) recall vs the exact
   all-pairs kernel must stay high, and the banded result must always be
@@ -19,7 +21,8 @@ from pyspark.sql import types as T
 
 from nacc_form_validator_spark.operators.dedup import (
     embedding_neardup_pairs, embedding_neardup_pairs_lsh,
-    ngram_jaccard_pairs, release_intermediates, simhash_pairs, with_simhash)
+    lsh_band_plan, ngram_jaccard_pairs, release_intermediates,
+    simhash_band_plan, simhash_pairs, with_simhash_bands)
 
 
 def _synth_docs(n=60):
@@ -45,12 +48,13 @@ def test_simhash_banded_equals_allpairs(spark):
     df = spark.createDataFrame(_synth_docs(), ["doc_id", "text"])
     banded = {(r.id_a, r.id_b, r.hamming)
               for r in simhash_pairs(df, max_hamming=3).collect()}
-    sig = {r.id: r.sig for r in with_simhash(df).collect()}
+    sig = {r.id: r.sig for r in with_simhash_bands(df).collect()}
     ids = sorted(sig)
     exact = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            h = bin(sig[a] ^ sig[b]).count("1")
+            h = sum(bin(wa ^ wb).count("1")
+                    for wa, wb in zip(sig[a], sig[b]))
             if h <= 3:
                 exact.add((a, b, h))
     assert banded == exact
@@ -105,3 +109,66 @@ def test_ngram_jaccard_releases_caches(spark):
     release_intermediates(out)
     for c in out._persisted_intermediates:
         assert not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+
+
+def test_simhash_band_plan_scales_with_corpus():
+    # small corpus floors at 15-bit keys; 10^12 docs demand 32-bit keys
+    assert simhash_band_plan(100_000) == (4, 15)
+    assert simhash_band_plan(10**12) == (4, 32)
+    # expected occupancy n/2**width stays under ~4x target at the cap
+    bands, width = simhash_band_plan(10**12, target_bucket=256)
+    assert 10**12 / 2**width <= 256
+    # recall requirement: bands tracks max_hamming
+    assert simhash_band_plan(10**9, max_hamming=5)[0] == 6
+
+
+def test_lsh_band_plan_scales_with_corpus():
+    n_planes, bands = lsh_band_plan(10**12)
+    assert bands == 4 and n_planes // bands >= 24
+    n_planes, bands = lsh_band_plan(2_000)
+    assert n_planes // bands == 4
+
+
+def test_simhash_bucket_guard_trips_on_boilerplate(spark):
+    """Boilerplate-heavy near-identical docs co-bucket by design — the
+    guard is the tripwire that makes the quadratic risk visible instead
+    of silently joining n^2 rows."""
+    base = " ".join(f"boilerplate{i}" for i in range(40))
+    docs = [(i, base + f" tail{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="band bucket holds"):
+        simhash_pairs(df, bucket_guard=30)
+
+
+def test_simhash_bucket_guard_passes_on_distinct_docs(spark):
+    """Unrelated docs spread across the 2**width key space: with
+    20-bit default keys and 60 docs, max occupancy is ~1 per bucket."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(25)))
+         for i in range(60)], ["doc_id", "text"])
+    out = simhash_pairs(df, bucket_guard=4)
+    assert out.count() == 0
+    release_intermediates(out)
+
+
+def test_embedding_lsh_bucket_guard(spark):
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    # 40 copies of one vector -> one hot bucket per band
+    v = [1.0] + [0.0] * 63
+    emb = spark.createDataFrame([(i, v) for i in range(40)], schema)
+    with pytest.raises(ValueError, match="band bucket holds"):
+        embedding_neardup_pairs_lsh(emb, bucket_guard=10)
+
+
+def test_simhash_corpus_size_widens_keys(spark):
+    """corpus_size drives key width: a corpus declared at 10^12 rows
+    compiles to 32-bit band keys (4e9 buckets)."""
+    df = spark.createDataFrame(_synth_docs(9), ["doc_id", "text"])
+    out = simhash_pairs(df, corpus_size=10**12)
+    # all band keys must fit 32 bits and the query must still run
+    rows = out.collect()
+    release_intermediates(out)
+    assert isinstance(rows, list)

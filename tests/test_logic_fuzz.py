@@ -127,7 +127,8 @@ def ev(tree, doc):
             args = args[0]
         return [x for x in args if x not in doc]
     if op == "missing_some":
-        min_required, names = a[0], a[1]
+        names = a[0]
+        min_required = a[1] if len(a) == 2 else 1
         if min_required < 1:
             return []
         found = sum(1 for n in names if n in doc)
@@ -206,7 +207,9 @@ def gen_bool(rng, depth):
         return {"!": [tree]} if rng.random() < 0.5 else {"!!": [tree]}
     names = rng.sample(["i1", "f1", "s1", "zz", "qq", "i2"],
                        rng.randint(2, 4))
-    return {"!": [{"missing_some": [rng.randint(1, 3), names]}]}
+    if rng.random() < 0.2:
+        return {"!": [{"missing_some": [names]}]}
+    return {"!": [{"missing_some": [names, rng.randint(1, 3)]}]}
 
 
 def gen_records(rng, n):

@@ -236,17 +236,45 @@ def test_logic_missing_gates_formula(spark):
 
 def test_logic_missing_some(spark):
     """missing_some: enough present keys -> empty list -> falsy
-    (json_logic.py:165-176)."""
+    (json_logic.py:162-176: values[0]=[vars], values[1]=min_required)."""
     schema = {
         "a": {"type": "integer", "nullable": True,
               # 1 of [a, ghost] present -> [] -> "!" makes it pass
               "logic": {"formula": {"!": [
-                  {"missing_some": [1, ["a", "ghost"]]}]}}},
+                  {"missing_some": [["a", "ghost"], 1]}]}}},
         "b": {"type": "integer", "nullable": True,
               # 2 required, only 'b' exists -> missing list truthy -> fail
               "logic": {"formula": {"!": [
-                  {"missing_some": [2, ["b", "ghost"]]}]}}},
+                  {"missing_some": [["b", "ghost"], 2]}]}}},
     }
     res = run_check(spark, schema, [{"a": 1, "b": 2}])
     assert not res[0]["passed"]
     assert res[0]["fields"] == ["b"]
+
+
+def test_logic_missing_some_default_min(spark):
+    """One-arg form: min_required defaults to 1 (json_logic.py:162)."""
+    schema = {
+        "a": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"!": [
+                  {"missing_some": [["a", "ghost"]]}]}}},
+    }
+    res = run_check(spark, schema, [{"a": 1}])
+    assert res[0]["passed"]
+
+
+def test_logic_in_str_left_vs_num_element(spark):
+    """str left vs evaluated numeric element: Python == is False in the
+    reference, so 'in' must not match across the str/num divide even
+    when the element comes from merge-spliced arithmetic."""
+    schema = {
+        "s": {"type": "string", "nullable": True,
+              # merge splices the evaluated {"+":[1,2]} (=3, numeric)
+              # into the list; "3.0" in [3] is False in Python
+              "logic": {"formula": {"in": [
+                  {"var": "s"},
+                  {"merge": [[{"+": [1, 2]}], ["x"]]}]}}},
+    }
+    res = run_check(spark, schema, [{"s": "3.0"}, {"s": "3"},
+                                    {"s": "x"}])
+    assert [r["passed"] for r in res] == [False, False, True]

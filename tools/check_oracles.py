@@ -70,7 +70,11 @@ def main():
         if ONLY and name not in ONLY:
             continue
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            df = fn(spark, SF_DIR)
+            sdf = df.toPandas()
+            from nacc_form_validator_spark.operators.dedup import (
+                release_intermediates)
+            release_intermediates(df)
         except Exception as e:  # noqa
             print(f"{name}: SPARK ERROR {e}")
             fails.append(name)
