@@ -234,6 +234,47 @@ def q_qf_streaming(spark, sf_dir):
         "passed").orderBy("url", "ts")
 
 
+def q_qf_recrawl_stateful(spark, sf_dir):
+    """STATEFUL streaming under the correctness gate: the per-url
+    applyInPandasWithState recrawl monitor (vectorized numpy chain,
+    streaming/pipeline.py _recrawl_fn) must value-hash-match a batch
+    lag() window oracle.  The input adds one 'tiny doc' recrawl per url
+    100 days out so genuine collapses occur."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, stateful_recrawl_monitor)
+    base = tempfile.mkdtemp(prefix="qf_recrawl_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    extra = (pages.groupBy("url")
+             .agg(F.min("warc_ts").alias("warc_ts0"))
+             .select("url",
+                     (F.col("warc_ts0") +
+                      F.expr("INTERVAL 100 DAYS")).alias("warc_ts"),
+                     F.lit(None).cast("binary").alias("html"),
+                     F.lit("tiny doc").alias("text"),
+                     F.lit("en").alias("lang")))
+    pages.unionByName(extra).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    q = (stateful_recrawl_monitor(stream)
+         .writeStream.format("parquet")
+         .option("path", outp)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("prev_n_words").cast("long").alias("prev_n_words"),
+        "collapsed").orderBy("url", "ts")
+
+
 def q_rules_temporal(spark, sf_dir):
     """temporalrules battery over the events stream (nacc_validator.py:
     759-913): ignore_empty (rule 0, silent pass when no nonempty prior),
@@ -639,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_streaming": q_qf_streaming,
+        "qf_recrawl_stateful": q_qf_recrawl_stateful,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
         "qf_host_stats": q_host_stats,
@@ -684,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
                                                   ppl_mode="bigram"),
         "qf_streaming": oracle.qf_pipeline_sql(temporal=False,
                                                scrubbed_text=False),
+        "qf_recrawl_stateful": oracle.recrawl_collapse_sql(),
         "temporal_events": oracle.temporal_events_sql(),
         "rules_temporal": oracle.rules_temporal_sql(),
         "qf_host_stats": oracle.host_stats_sql(),

@@ -376,6 +376,28 @@ def tokens_quality_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def recrawl_collapse_sql() -> str:
+    """Batch oracle for the STATEFUL streaming recrawl monitor
+    (streaming/pipeline.py _recrawl_fn): per-url crawl chain == lag()
+    window; collapse = word count halved vs the previous crawl.  The
+    input is pages_from_documents plus one extra 'tiny doc' recrawl per
+    url 100 days later, so real collapses occur."""
+    nw = "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    return (
+        f"WITH p AS ({pages_cte(with_ts=True)}), "
+        f"p2 AS (SELECT url, warc_ts, text FROM p UNION ALL "
+        f"SELECT url, min(warc_ts) + INTERVAL 100 DAY, 'tiny doc' "
+        f"FROM p GROUP BY url), "
+        f"nw AS (SELECT url, warc_ts, CAST({nw} AS BIGINT) AS n_words "
+        f"FROM p2), "
+        f"lagd AS (SELECT url, warc_ts, n_words, lag(n_words) OVER "
+        f"(PARTITION BY url ORDER BY warc_ts) AS prev_n_words FROM nw) "
+        f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+        f"n_words, prev_n_words, "
+        f"coalesce(n_words * 2 < prev_n_words, false) AS collapsed "
+        f"FROM lagd ORDER BY url, ts")
+
+
 def temporal_events_sql() -> str:
     """compare_with previous_record (ignore_empty) over events: value must
     not drop below half the previous value; first event passes."""

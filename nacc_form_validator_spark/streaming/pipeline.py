@@ -93,24 +93,40 @@ RECRAWL_OUT = T.StructType([
 def _recrawl_fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     """Per-url state: previous crawl's word count; emits a row per crawl
-    flagging collapse (recrawl shrank below half the previous size)."""
+    flagging collapse (recrawl shrank below half the previous size).
+
+    Vectorized: one sort + numpy shift over the whole batch — the
+    "previous crawl" chain within the batch is just n_words shifted by
+    one, seeded from the state store; no per-row Python loop."""
+    import numpy as np
     (url, ) = key
     if state.exists:
         last_n, n_crawls = state.get
     else:
         last_n, n_crawls = None, 0
-    rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("warc_ts")
-        for _, r in pdf.iterrows():
-            n_words = int(len(str(r["text"]).split()))
-            collapsed = (last_n is not None and n_words * 2 < last_n)
-            rows.append((url, r["warc_ts"], n_words, last_n, collapsed))
-            last_n = n_words
-            n_crawls += 1
-    state.update((last_n, n_crawls))
-    yield pd.DataFrame(rows, columns=["url", "warc_ts", "n_words",
-                                      "prev_n_words", "collapsed"])
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        state.update((last_n, n_crawls))
+        yield pd.DataFrame(columns=["url", "warc_ts", "n_words",
+                                    "prev_n_words", "collapsed"])
+        return
+    pdf = (pd.concat(frames) if len(frames) > 1 else
+           frames[0]).sort_values("warc_ts")
+    n_words = (pdf["text"].astype(str).str.split().str.len()
+               .to_numpy(dtype="int64"))
+    seed = -1 if last_n is None else int(last_n)
+    prev = np.concatenate(([seed], n_words[:-1]))
+    has_prev = np.ones(len(n_words), dtype=bool)
+    has_prev[0] = last_n is not None
+    collapsed = has_prev & (n_words * 2 < prev)
+    prev_col = pd.array(prev, dtype="Int64")
+    prev_col[~has_prev] = pd.NA
+    state.update((int(n_words[-1]), n_crawls + len(n_words)))
+    yield pd.DataFrame({"url": url,
+                        "warc_ts": pdf["warc_ts"].to_numpy(),
+                        "n_words": n_words,
+                        "prev_n_words": prev_col,
+                        "collapsed": collapsed})
 
 
 def stateful_recrawl_monitor(pages_stream: DataFrame) -> DataFrame:
