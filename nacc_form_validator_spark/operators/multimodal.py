@@ -4,11 +4,12 @@ Image/audio/video travel as ``binary`` columns with a metadata struct; the
 decode / feature-extract kernels run as Arrow ``mapInPandas`` stages so a
 whole batch of payloads crosses the JVM/Python boundary once.
 
-The decode bodies are STUBBED (no imaging/audio libs in this container):
-``decode_image_batch`` raises NotImplementedError unless
-``deterministic_fake=True``, which produces a seeded fake feature vector
-from the bytes — the Spark-side plumbing (schema, batching, partition
-sizing) is real and tested; swap the body for PIL/ffmpeg at deploy.
+Decode is REAL for PNG/BMP/PPM via the pure-stdlib/numpy codec
+(operators/imagecodec.py — no PIL/ffmpeg in this container, so the
+public container formats are implemented directly); JPEG and video
+still raise NotImplementedError.  ``deterministic_fake=True`` keeps the
+seeded fake-feature path used by the DuckDB value oracles (md5 is
+replicable in SQL; a real decoded pixel array is not).
 """
 
 from __future__ import annotations
@@ -60,18 +61,23 @@ def decode_image_batch(df: DataFrame, bin_col: str = "html",
                        dim: int = 8) -> DataFrame:
     """mapInPandas decode/feature-extract stage.
 
-    Real shape: one Arrow batch in, one Arrow batch out, feature vector per
-    payload.  Body is stubbed — decode libs are not in this container.
+    One Arrow batch in, one Arrow batch out, feature vector per payload.
+    Real path: PNG/BMP/PPM decode (imagecodec.py) + log-dims/channel
+    moments feature; fake path: md5-seeded vector (the oracle path).
     """
+    if not deterministic_fake and dim != 8:
+        raise ValueError("real image_feature is 8-dim")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nacc_form_validator_spark.operators.imagecodec import (
+            decode_image, image_feature)
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/ffmpeg; not available in "
-                    "this environment — pass deterministic_fake=True for "
-                    "the plumbing test path")
-            feats = [_fake_feature(bytes(x), dim) for x in pdf[bin_col]]
+            if deterministic_fake:
+                feats = [_fake_feature(bytes(x), dim)
+                         for x in pdf[bin_col]]
+            else:
+                feats = [image_feature(decode_image(bytes(x)))
+                         for x in pdf[bin_col]]
             yield pd.DataFrame({
                 "url": pdf[url_col],
                 "n_bytes": [len(bytes(x)) for x in pdf[bin_col]],
@@ -104,28 +110,32 @@ def resize_image_batch(df: DataFrame, bin_col: str = "html",
                        url_col: str = "url", width: int = 64,
                        height: int = 64,
                        deterministic_fake: bool = False) -> DataFrame:
-    """mapInPandas resize stage (stubbed decode, real plumbing).
+    """mapInPandas resize stage.
 
-    Real shape: Arrow batch of payloads in, batch of resized payloads +
-    target dimensions out.  The fake path emits a deterministic
-    byte-slice sized to the target (width*height*3 cap) so batch shape,
-    schema, and partition sizing are exercised end-to-end; swap the body
-    for PIL `Image.resize` at deploy.
+    Arrow batch of payloads in, batch of resized payloads + target
+    dimensions out.  Real path: decode (PNG/BMP/PPM) -> nearest-neighbor
+    resample -> re-encode as PNG, so ``resized`` is a REAL image payload;
+    fake path: deterministic byte-slice sized to the target (the oracle
+    path — replicable in SQL).
     """
     cap = width * height * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nacc_form_validator_spark.operators.imagecodec import (
+            decode_image, encode_png, resize_nearest)
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image resize requires PIL; not available in this "
-                    "environment — pass deterministic_fake=True for the "
-                    "plumbing test path")
+            if deterministic_fake:
+                resized = [bytes(x)[:cap] for x in pdf[bin_col]]
+            else:
+                resized = [
+                    encode_png(resize_nearest(decode_image(bytes(x)),
+                                              width, height))
+                    for x in pdf[bin_col]]
             yield pd.DataFrame({
                 "url": pdf[url_col],
                 "width": [width] * len(pdf),
                 "height": [height] * len(pdf),
-                "resized": [bytes(x)[:cap] for x in pdf[bin_col]],
+                "resized": resized,
             })
 
     return (df.select(url_col, bin_col)

@@ -133,10 +133,12 @@ class QualityFilterPipeline:
             langid_udf = make_langid_udf()
             ppl_udf = make_ppl_bigram_udf()
             if self.gate_expensive:
-                # cheap native gate: docs already failing hard length gates
-                # skip model scoring (findings-completeness changes only for
-                # already-dropped docs)
-                alive = (F.col("n_words") >= 5) & (F.col("n_words") <= 200000)
+                # cheap native gate: a doc failing ANY numeric min/max
+                # bound on a natively-derived stat column is dropped by
+                # the rule engine regardless of model scores, so it
+                # skips model scoring entirely (findings-completeness
+                # changes only for already-dropped docs)
+                alive = self._cheap_alive(set(stats.keys()))
                 df = df.withColumn("lang_pred",
                                    F.when(alive, langid_udf(F.col("text"))))
                 df = df.withColumn("ppl",
@@ -155,6 +157,26 @@ class QualityFilterPipeline:
                    F.lit(True)).otherwise(
                        F.col("lang_pred").eqNullSafe(F.col("lang"))))
         return df.drop("__qf_w", "__qf_lines", "__qf_wlc")
+
+    # ------------------------------------------------------------------
+    def _cheap_alive(self, stat_fields) -> Column:
+        """AND of every numeric min/max bound the rule spec places on a
+        natively-derived stat column (the full cheap-heuristic verdict,
+        not just the n_words bounds).  Null stats pass the gate — they
+        cannot prove a violation."""
+        cond = F.lit(True)
+        for field, spec in self.rules.items():
+            if field not in stat_fields or not isinstance(spec, dict):
+                continue
+            c = F.col(field)
+            for key in ("min", "max"):
+                bound = spec.get(key)
+                if isinstance(bound, bool) or not isinstance(
+                        bound, (int, float)):
+                    continue  # date/current_* sentinels are not cheap
+                term = (c >= bound) if key == "min" else (c <= bound)
+                cond = cond & (c.isNull() | term)
+        return cond
 
     # ------------------------------------------------------------------
     def run(self, pages: DataFrame) -> DataFrame:

@@ -12,8 +12,8 @@ UDF (different values by design), so:
   (code 0x2003) verdict recomputed against the bigram score.
 
 gate_expensive=True may only change lang_pred/ppl (to null) on docs the
-cheap n_words gate already drops — every surviving doc scores
-identically.
+cheap heuristic rules (ALL numeric min/max stat bounds, not just
+n_words) already drop — every surviving doc scores identically.
 """
 
 from pyspark.sql import functions as F
@@ -26,11 +26,31 @@ DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 PPL_CODE = 0x2003
 
+#: the cheap-gate bounds (mirrors GOPHER_RULES numeric min/max)
+GATE_BOUNDS = {
+    "n_words": (5, 200000),
+    "mean_word_len": (2.0, 12.0),
+    "symbol_ratio": (None, 0.3),
+    "stopword_ratio": (0.002, None),
+    "dup_line_ratio": (None, 0.5),
+    "word_rep_ratio": (None, 0.9),
+}
+
+
+def _cheap_alive(row):
+    for f, (mn, mx) in GATE_BOUNDS.items():
+        v = row[f]
+        if v is None:
+            continue
+        if (mn is not None and v < mn) or (mx is not None and v > mx):
+            return False
+    return True
+
 
 def _collect(qf, pages):
     out = qf.run(pages).select(
         "url", "warc_ts", "text", "lang_pred", "ppl", "passed", "findings",
-        "scrubbed_text")
+        "scrubbed_text", *GATE_BOUNDS)
     return {(r["url"], r["warc_ts"]): r for r in out.collect()}
 
 
@@ -74,7 +94,12 @@ def test_gated_mode_only_affects_dropped_docs(spark):
     # the sf corpus has no sub-5-word docs; add some so the gate fires
     shorts = spark.createDataFrame(
         [(f"https://short.example/{i}", dt.datetime(2025, 1, 1, i),
-          b"<p>tiny</p>", "tiny doc", "en") for i in range(3)],
+          b"<p>tiny</p>", "tiny doc", "en") for i in range(3)] +
+        # >=5 words but symbol-heavy: caught only by the DEEP gate
+        [(f"https://symbols.example/{i}", dt.datetime(2025, 1, 2, i),
+          b"<p>s</p>",
+          "alpha beta gamma delta epsilon " + "$#@!%^&*" * 20, "en")
+         for i in range(3)],
         pages.schema)
     pages = pages.unionByName(shorts)
     full = _collect(QualityFilterPipeline(use_udf_stages=True), pages)
@@ -83,10 +108,10 @@ def test_gated_mode_only_affects_dropped_docs(spark):
         pages)
     assert full.keys() == gated.keys()
     n_gated_out = 0
+    n_deep_gated = 0
     for key, g in gated.items():
         f = full[key]
-        n_words = len([w for w in (g["text"] or "").split() if w])
-        alive = 5 <= n_words <= 200000
+        alive = _cheap_alive(g)
         if alive:
             assert g["lang_pred"] == f["lang_pred"], key
             assert g["ppl"] == f["ppl"], key
@@ -94,6 +119,9 @@ def test_gated_mode_only_affects_dropped_docs(spark):
                 sorted(x["code"] for x in f["findings"]), key
         else:
             n_gated_out += 1
+            if g["n_words"] is not None and 5 <= g["n_words"] <= 200000:
+                n_deep_gated += 1  # old n_words-only gate missed this
             assert g["lang_pred"] is None and g["ppl"] is None, key
-            assert not g["passed"], key  # already dropped by n_words
+            assert not g["passed"], key  # already dropped by cheap rules
     assert n_gated_out > 0, "fixture must exercise the gate"
+    assert n_deep_gated > 0, "fixture must exercise the deepened gate"
