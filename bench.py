@@ -150,6 +150,39 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
     }
 
 
+def run_skew_probe(spark, n_docs: int = 100_000) -> dict:
+    """Hot-url window evidence: same corpus, but 10% of all pages
+    collapse onto ONE url — the temporal window's per-url partition
+    becomes a single huge sorted group.  Reports uniform vs hot wall
+    time; the window must degrade gracefully (spill-backed sort, one
+    bounded straggler), since salting cannot apply to temporalrules
+    (the previous-record chain must see every recrawl of a url in
+    order)."""
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.qualityfilter import (
+        QualityFilterPipeline)
+    from nacc_form_validator_spark.sources.pages import synthetic_pages
+    qf = QualityFilterPipeline()
+    base = synthetic_pages(spark, n_docs=n_docs, recrawls=2).cache()
+    n = base.count()
+    hot = base.withColumn(
+        "url",
+        F.when(F.pmod(F.hash("url"), F.lit(10)) == 0,
+               F.lit("https://hot.example/p/0")).otherwise(F.col("url")))
+    out = {}
+    for name, df in (("uniform", base), ("hot_url", hot)):
+        force(qf.run(df))  # warm
+        t0 = time.perf_counter()
+        force(qf.run(df))
+        out[name] = round(time.perf_counter() - t0, 3)
+    base.unpersist()
+    out["n_pages"] = n
+    out["hot_rows"] = int(n // 10)
+    out["slowdown"] = round(out["hot_url"] / out["uniform"], 2)
+    return out
+
+
 def run_scaling() -> None:
     """Same job, same input, local[N] vs local[4N] in fresh JVMs.
 
@@ -196,6 +229,13 @@ def run_scaling() -> None:
 def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--skew" in sys.argv:
+        spark = build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        try:
+            print(json.dumps({"skew_probe": run_skew_probe(spark)}))
+        finally:
+            spark.stop()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

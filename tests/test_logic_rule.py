@@ -278,3 +278,34 @@ def test_logic_in_str_left_vs_num_element(spark):
     res = run_check(spark, schema, [{"s": "3.0"}, {"s": "3"},
                                     {"s": "x"}])
     assert [r["passed"] for r in res] == [False, False, True]
+
+
+def test_malformed_formula_error_message_parity(spark):
+    """Byte-exact FORMULA findings for malformed formulas: the reference
+    surfaces the interpreter's ValueError text via
+    _error(field, ErrorDefs.FORMULA, str(error))
+    (json_logic.py:281-282 -> nacc_validator.py:944-945).  Verified
+    against the live reference interpreter:
+      {"frobnicate": ...}    -> "Unrecognized operation frobnicate"
+      {"count_exact": [1]}   -> "count_exact needs a base and at least 1
+                                 value to compare to"
+    A malformed missing_some ([min, [vars]] — the reverse of the
+    reference binding) raises an uncaught TypeError in the reference;
+    here it becomes a constant FORMULA finding (documented recast)."""
+    schema = {
+        "a": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"frobnicate": [1, 2]}}},
+        "b": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"count_exact": [1]}}},
+        "c": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"missing_some": [2, ["c", "x"]]}}},
+    }
+    res = run_check(spark, schema, [{"a": 1, "b": 2, "c": 3}])
+    assert not res[0]["passed"]
+    msgs = dict(zip(res[0]["fields"], res[0]["msgs"]))
+    assert msgs["a"] == ("error in formula evaluation - "
+                         "Unrecognized operation frobnicate")
+    assert msgs["b"] == ("error in formula evaluation - count_exact "
+                         "needs a base and at least 1 value to compare to")
+    assert msgs["c"].startswith("error in formula evaluation - "
+                                "missing_some expects")
