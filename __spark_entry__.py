@@ -386,6 +386,49 @@ def q_multimodal(spark, sf_dir):
           for i in range(8)]).orderBy("url")
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL image decode under the value oracle: per doc, a 4x4 BMP is
+    built with the pure-numpy codec (md5 digest tiled into RGB pixels),
+    decoded back through decode_image_batch's real path (BMP container
+    parse, BGR->RGB, bottom-up flip), and the channel-moment features
+    must match DuckDB md5-arithmetic (gcd(3,16)=1 => each channel sees
+    every digest byte once, so channel moments == digest moments)."""
+    from pyspark.sql import types as T
+
+    gen_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("img", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from nacc_form_validator_spark.operators.imagecodec import (
+            encode_bmp)
+        for pdf in batches:
+            urls, payloads = [], []
+            for did in pdf["doc_id"]:
+                key = f"img{int(did)}"
+                dig = hashlib.md5(key.encode()).digest()
+                arr = np.frombuffer(dig * 3, dtype=np.uint8).reshape(
+                    4, 4, 3)
+                urls.append(key)
+                payloads.append(encode_bmp(arr))
+            yield pd.DataFrame({"url": urls, "img": payloads})
+
+    imgs = (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(gen, gen_schema))
+    feats = decode_image_batch(imgs, bin_col="img",
+                               deterministic_fake=False)
+    return feats.select(
+        "url", "n_bytes",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(8)]).orderBy("url")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing (operators/multimodal.py): fake body =
     deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
@@ -706,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_quality": q_tokens_quality,
         "ppl_bigram": q_ppl_bigram,
         "multimodal_features": q_multimodal,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "tpch_q1": q_tpch_q1,
@@ -753,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_quality": oracle.tokens_quality_sql(),
         "ppl_bigram": oracle.ppl_bigram_query_sql(),
         "multimodal_features": oracle.multimodal_features_sql(),
+        "multimodal_real_decode": oracle.multimodal_real_decode_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),

@@ -381,13 +381,17 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
     is :func:`embedding_neardup_pairs_lsh`, which generates candidates
     through banded hyperplane-LSH buckets and runs this cosine verify
     only within buckets."""
-    from nacc_form_validator_spark.operators.simsearch import cosine
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("vb"))
+    from nacc_form_validator_spark.operators.simsearch import (
+        cosine_prepped, vec_prep)
+    prep = vec_prep(emb.select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("vec")), "vec")
+    a = prep.select(F.col("id").alias("id_a"), F.col("vd").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = prep.select(F.col("id").alias("id_b"), F.col("vd").alias("vb"),
+                    F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    sim = F.round(cosine_prepped(F.col("va"), F.col("vb"),
+                                 F.col("na"), F.col("nb")), 6)
     return (pairs.withColumn("cos", sim).where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos").orderBy("id_a", "id_b"))
 
@@ -432,16 +436,17 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
     ``bucket_guard`` (eager) to trip on quadratic buckets.  The
     bucketing is deterministic, so the whole operator stays under the
     value-level oracle gate."""
-    from nacc_form_validator_spark.operators.simsearch import (cosine,
-                                                               lsh_bucket)
+    from nacc_form_validator_spark.operators.simsearch import (
+        cosine_prepped, lsh_bucket, vec_prep)
     if corpus_size is not None:
         n_planes, bands = lsh_band_plan(corpus_size, bands,
                                         target_bucket)
     rows = n_planes // bands
-    sig = emb.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).alias("vec"),
-                     lsh_bucket(F.col(vec_col), dim,
-                                n_planes).alias("bucket"))
+    sig = vec_prep(
+        emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).alias("vec"),
+                   lsh_bucket(F.col(vec_col), dim,
+                              n_planes).alias("bucket")), "vec")
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -450,9 +455,9 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
                                      F.lit((1 << rows) - 1)).alias("key"))
         for b in range(bands)
     ]
-    banded = (sig.select("id", "vec",
+    banded = (sig.select("id", "vd", "nrm",
                          F.explode(F.array(*band_cols)).alias("bk"))
-              .select("id", "vec", "bk.band", "bk.key"))
+              .select("id", "vd", "nrm", "bk.band", "bk.key"))
     if bucket_guard is not None:
         occ = (banded.groupBy("band", "key").count()
                .agg(F.max("count")).first()[0]) or 0
@@ -463,7 +468,8 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
                 f"n/2**{rows} — widen the keys (pass corpus_size or "
                 f"more planes)")
     a, b = banded.alias("a"), banded.alias("b")
-    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    sim = F.round(cosine_prepped(F.col("a.vd"), F.col("b.vd"),
+                                 F.col("a.nrm"), F.col("b.nrm")), 6)
     return (a.join(b, ["band", "key"])
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"),

@@ -34,6 +34,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+def vec_prep(df: DataFrame, vec_col: str, vd: str = "vd",
+             nrm: str = "nrm") -> DataFrame:
+    """Materialize the double-cast vector and its norm ONCE per row, so
+    pairwise cosine inside a join computes only the dot product.
+
+    ``cosine`` walks both arrays three times per PAIR (cast+dot, two
+    norms); in an n x m candidate join that is O(n*m*d) norm work for
+    norms that only need O((n+m)*d).  The hoisted form is
+    double-identical (same expression tree ``dot/(na*nb)``, same
+    operation order) so every value oracle stays green."""
+    d = df.withColumn(
+        vd, F.transform(F.col(vec_col), lambda v: v.cast("double")))
+    return d.withColumn(nrm, norm(F.col(vd)))
+
+
+def cosine_prepped(va: Column, vb: Column, na: Column,
+                   nb: Column) -> Column:
+    """Cosine from pre-materialized double vectors + norms (vec_prep)."""
+    return dot(va, vb) / (na * nb)
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id",
@@ -44,11 +65,15 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     At 1000 executors this is a broadcast-nested-loop over the corpus with
     a partial top-k — no all-to-all shuffle of the corpus.
     """
-    q = F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
-                                   F.col(q_vec_col).alias("q_vec")))
-    joined = emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("vec")).crossJoin(q)
-    sim = F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
+    q = F.broadcast(
+        vec_prep(queries.select(F.col(q_id_col).alias("q_id"),
+                                F.col(q_vec_col).alias("q_vec")),
+                 "q_vec", vd="qvd", nrm="qnrm"))
+    corpus = vec_prep(emb.select(F.col(id_col).alias("vec_id"),
+                                 F.col(vec_col).alias("vec")), "vec")
+    joined = corpus.crossJoin(q)
+    sim = F.round(cosine_prepped(F.col("vd"), F.col("qvd"),
+                                 F.col("nrm"), F.col("qnrm")), 6)
     scored = joined.select("q_id", "vec_id", sim.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("vec_id"))
@@ -133,24 +158,27 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     broadcast, and the join key is the cell id — the brute-force
     cross-join never forms.  Recall/latency trades via ``nprobe``."""
     cents = _centroids(dim, n_centroids)
-    corpus = emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("vec"),
-                        ivf_assign(F.col(vec_col), dim,
-                                   n_centroids).alias("cell"))
-    q = queries.select(F.col(q_id_col).alias("q_id"),
-                       F.col(q_vec_col).alias("q_vec"))
+    corpus = vec_prep(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("vec"),
+                   ivf_assign(F.col(vec_col), dim,
+                              n_centroids).alias("cell")), "vec")
+    q = vec_prep(queries.select(F.col(q_id_col).alias("q_id"),
+                                F.col(q_vec_col).alias("q_vec")),
+                 "q_vec", vd="qvd", nrm="qnrm")
     entries = [
         F.struct(s.alias("score"), F.lit(-i).alias("neg_i"),
                  F.lit(i).alias("cell"))
         for i, s in enumerate(_centroid_scores(F.col("q_vec"), cents))
     ]
     probes = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, nprobe)
-    qexp = q.select("q_id", "q_vec",
+    qexp = q.select("q_id", "qvd", "qnrm",
                     F.explode(F.transform(probes,
                                           lambda e: e["cell"])).alias(
                                               "cell"))
     joined = corpus.join(F.broadcast(qexp), "cell")
-    sim = F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
+    sim = F.round(cosine_prepped(F.col("vd"), F.col("qvd"),
+                                 F.col("nrm"), F.col("qnrm")), 6)
     scored = joined.select("q_id", "vec_id", sim.alias("cos")).distinct()
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("vec_id"))
@@ -166,22 +194,26 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored.  Recall grows with multi-probe (flip one bit) — included so
     singleton buckets still return candidates."""
-    corpus = emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("vec"),
-                        lsh_bucket(F.col(vec_col), dim,
-                                   n_planes).alias("bucket"))
-    qb = queries.select(F.col(q_id_col).alias("q_id"),
-                        F.col(q_vec_col).alias("q_vec"),
-                        lsh_bucket(F.col(q_vec_col), dim,
-                                   n_planes).alias("qbucket"))
+    corpus = vec_prep(
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("vec"),
+                   lsh_bucket(F.col(vec_col), dim,
+                              n_planes).alias("bucket")), "vec")
+    qb = vec_prep(
+        queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).alias("q_vec"),
+                       lsh_bucket(F.col(q_vec_col), dim,
+                                  n_planes).alias("qbucket")),
+        "q_vec", vd="qvd", nrm="qnrm")
     # multi-probe: query bucket plus its 1-bit neighbors
     probes = F.array(*([F.col("qbucket")] +
                        [F.col("qbucket").bitwiseXOR(F.lit(1 << p))
                         for p in range(n_planes)]))
-    qexp = qb.select("q_id", "q_vec",
+    qexp = qb.select("q_id", "qvd", "qnrm",
                      F.explode(probes).alias("bucket"))
     joined = corpus.join(F.broadcast(qexp), "bucket")
-    sim = F.round(cosine(F.col("vec"), F.col("q_vec")), 6)
+    sim = F.round(cosine_prepped(F.col("vd"), F.col("qvd"),
+                                 F.col("nrm"), F.col("qnrm")), 6)
     scored = joined.select("q_id", "vec_id", sim.alias("cos")).distinct()
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("vec_id"))

@@ -719,6 +719,34 @@ def multimodal_features_sql(dim: int = 8) -> str:
         f"FROM h ORDER BY url")
 
 
+def multimodal_real_decode_sql() -> str:
+    """Oracle for the REAL decode path (operators/imagecodec.py): the
+    Spark side encodes a deterministic 4x4 BMP per doc (md5('img'||id)
+    digest tiled x3 into 48 RGB bytes), decodes it back through
+    decode_image_batch's real path, and extracts channel-moment
+    features.  Because gcd(3, 16) = 1, every channel sees each digest
+    byte exactly once, so the per-channel mean/std equal the digest
+    moments — pure md5 arithmetic, SQL-expressible.  n_bytes = 54-byte
+    BMP header + 4 rows x 12 data bytes (row stride already 4-aligned)
+    = 102."""
+    f01 = "round(ln(5.0), 6)"  # log1p(width=4) == log1p(height=4)
+    return (
+        "WITH d AS (SELECT 'img' || CAST(doc_id AS VARCHAR) AS url, "
+        "md5('img' || CAST(doc_id AS VARCHAR)) AS hx FROM documents), "
+        "b AS (SELECT url, list_transform(range(0, 16), i -> "
+        "CAST(concat('0x', substr(hx, 1 + 2*i, 2)) AS INTEGER)) AS bs "
+        "FROM d), "
+        "m AS (SELECT url, bs, list_avg(bs) AS mu FROM b), "
+        "s AS (SELECT url, mu, sqrt(list_avg(list_transform(bs, "
+        "x -> (x - mu) * (x - mu)))) AS sd FROM m) "
+        f"SELECT url, CAST(102 AS BIGINT) AS n_bytes, "
+        f"{f01} AS f0, {f01} AS f1, "
+        "round(mu / 255.0, 6) AS f2, round(mu / 255.0, 6) AS f3, "
+        "round(mu / 255.0, 6) AS f4, round(sd / 255.0, 6) AS f5, "
+        "round(sd / 255.0, 6) AS f6, round(sd / 255.0, 6) AS f7 "
+        "FROM s ORDER BY url")
+
+
 def multimodal_resize_sql(width: int = 8, height: int = 8) -> str:
     """Oracle for the fake resize stage: output = first width*height*3
     bytes of the payload (ASCII html, so char slice == byte slice)."""
