@@ -61,9 +61,7 @@ def scrub_hits(text: Column) -> Column:
         # per pattern per row; the indexOf pre-gate skips the regex scan
         # when the required literal is absent
         cnt = F.regexp_count(text, F.lit(pat))
-        needle = _NEEDLES.get(name)
-        if needle:
-            cnt = F.when(text.contains(needle), cnt).otherwise(0)
+        cnt = F.when(_scrub_gates(text)[name], cnt).otherwise(0)
         entries.append(
             F.when(
                 cnt > 0,
@@ -76,10 +74,50 @@ def scrub_hits(text: Column) -> Column:
     return F.array_compact(F.array(*entries))
 
 
+#: sound cheap gates per pattern, probed on the ORIGINAL text: every
+#: replacement token (<EMAIL>/<SSN>/<PHONE>/<IP>/<TOX>) introduces no
+#: digit, '@', '-', '.', or toxic needle, so "original text lacks the
+#: required character class" implies "no later step can match" — the
+#: gate over-approximates matches and can never change a value
+_DIGITS = "0123456789"
+
+
+def _scrub_gates(text: Column) -> dict:
+    has_digit = F.length(F.translate(text, _DIGITS, "")) < F.length(text)
+    lt = F.lower(text)
+    return {
+        "email": text.contains("@"),
+        "ssn": text.contains("-") & has_digit,
+        "phone": has_digit,
+        "ipv4": text.contains(".") & has_digit,
+        "toxic": lt.contains("badword") | lt.contains("slur"),
+    }
+
+
 def with_scrub(df: DataFrame, text_col: str = "text",
                out_col: str = "scrubbed_text",
                include_toxic: bool = True) -> DataFrame:
-    return df.withColumn(out_col, scrub_expr(F.col(text_col), include_toxic))
+    """Stepped scrub: each pattern is its own projection, so per-step
+    gates reference plain column attributes — no nested-when expression
+    blowup (see BENCH.md negative result) — and a doc lacking the
+    required character class pays ZERO regex for that step.  Byte-
+    identical to ``scrub_expr`` (same chain, same patterns)."""
+    gates = _scrub_gates(F.col(text_col))
+    cur = text_col
+    steps = list(PII_PATTERNS)
+    if include_toxic:
+        steps = steps + [("toxic", TOXIC_PATTERN[0], TOXIC_PATTERN[1])]
+    for i, (name, pat, rep) in enumerate(steps):
+        nxt = out_col if i == len(steps) - 1 else f"__scrub{i}"
+        df = df.withColumn(
+            nxt,
+            F.when(gates[name],
+                   F.regexp_replace(F.col(cur), pat, rep)).otherwise(
+                       F.col(cur)))
+        if cur.startswith("__scrub"):
+            df = df.drop(cur)
+        cur = nxt
+    return df
 
 
 def scrub_sql(text_expr: str = "text", include_toxic: bool = True) -> str:

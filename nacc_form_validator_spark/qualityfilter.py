@@ -48,7 +48,8 @@ from nacc_form_validator_spark.functions.langid import (langid_from_words,
                                                         make_langid_udf)
 from nacc_form_validator_spark.functions.perplexity import (
     make_ppl_bigram_udf, ppl_unigram_expr, with_ppl_unigram)
-from nacc_form_validator_spark.functions.scrub import scrub_expr, scrub_hits
+from nacc_form_validator_spark.functions.scrub import (scrub_hits,
+                                                       with_scrub)
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
 
 RULE_SCHEMA_VERSION = "1"
@@ -192,7 +193,7 @@ class QualityFilterPipeline:
         hot-url slowdown drops ~3.3x -> ~1.1x, bench.py --skew)."""
         df = self.derive(pages)
         df = df.withColumn("scrub_findings", scrub_hits(F.col("text")))
-        df = df.withColumn("scrubbed_text", scrub_expr(F.col("text")))
+        df = with_scrub(df, "text", "scrubbed_text")
         df = self.qc.validate(df, cast=False)
         df = df.withColumn("findings",
                            F.concat(F.col("findings"),

@@ -188,3 +188,33 @@ def test_multimodal_resize_plumbing(spark):
     # non-fake path raises the documented stub error at evaluation
     with _pytest.raises(Exception):
         resize_image_batch(pages).collect()
+
+
+def test_records_heterogeneous_type_inference(spark):
+    """Non-schema keys: numeric pair widens to double, bool widens into
+    a numeric column, and anything else heterogeneous raises a clear
+    error naming the key (instead of failing deep inside
+    createDataFrame)."""
+    import pytest
+
+    from nacc_form_validator_spark.records import records_to_df
+
+    schema = {"a": {"type": "integer"}}
+    # bool + int -> Long column, bools coerced
+    df = records_to_df(spark, schema,
+                       [{"a": 1, "extra": True}, {"a": 2, "extra": 7}])
+    assert dict(df.dtypes)["extra"] == "bigint"
+    assert {r["extra"] for r in df.collect()} == {1, 7}
+    # bool + float -> Double
+    df = records_to_df(spark, schema,
+                       [{"a": 1, "x": False}, {"a": 2, "x": 1.5}])
+    assert dict(df.dtypes)["x"] == "double"
+    assert {r["x"] for r in df.collect()} == {0.0, 1.5}
+    # str + int -> clear error naming the key
+    with pytest.raises(ValueError, match="'bad'"):
+        records_to_df(spark, schema,
+                      [{"a": 1, "bad": "s"}, {"a": 2, "bad": 3}])
+    # bool + str -> clear error too
+    with pytest.raises(ValueError, match="'b2'"):
+        records_to_df(spark, schema,
+                      [{"a": 1, "b2": True}, {"a": 2, "b2": "x"}])
