@@ -275,6 +275,41 @@ def q_qf_recrawl_stateful(spark, sf_dir):
         "collapsed").orderBy("url", "ts")
 
 
+def q_qf_streaming_metrics(spark, sf_dir):
+    """Watermarked streaming aggregation under the value oracle: the
+    per-window per-code rule-hit counts emitted by
+    windowed_metrics_stream (10-min event windows, 30-min watermark,
+    append mode) must match a batch time_bucket oracle restricted to
+    the windows the final watermark passed."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, windowed_metrics_stream)
+    base = tempfile.mkdtemp(prefix="qf_smetrics_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    pages_from_documents(_docs(spark, sf_dir)).write.mode(
+        "overwrite").parquet(inp)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    q = (windowed_metrics_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", outp)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        F.date_format("window_start",
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end",
+                      "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        F.col("code").cast("long").alias("code"),
+        F.col("hits").cast("long").alias("hits")).orderBy(
+            "window_start", "code")
+
+
 def q_rules_temporal(spark, sf_dir):
     """temporalrules battery over the events stream (nacc_validator.py:
     759-913): ignore_empty (rule 0, silent pass when no nonempty prior),
@@ -724,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
+        "qf_streaming_metrics": q_qf_streaming_metrics,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
         "qf_host_stats": q_host_stats,
@@ -771,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_streaming": oracle.qf_pipeline_sql(temporal=False,
                                                scrubbed_text=False),
         "qf_recrawl_stateful": oracle.recrawl_collapse_sql(),
+        "qf_streaming_metrics": oracle.windowed_metrics_sql(),
         "temporal_events": oracle.temporal_events_sql(),
         "rules_temporal": oracle.rules_temporal_sql(),
         "qf_host_stats": oracle.host_stats_sql(),

@@ -376,6 +376,40 @@ def tokens_quality_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def windowed_metrics_sql(window_min: int = 10,
+                         watermark_min: int = 30) -> str:
+    """Batch oracle for the watermarked streaming metrics
+    (streaming/pipeline.py windowed_metrics_stream): per 10-min event
+    window, per error code, rule-hit counts over the stateless rule
+    subset.  Append mode only emits windows the final watermark
+    (max event time - delay) has passed: window_end <= max_ts - 30min
+    (Spark evicts a window when watermark >= end)."""
+    g = gopher_sql("text")
+    stat_keys = ["n_words", "mean_word_len", "symbol_ratio",
+                 "stopword_ratio", "dup_line_ratio", "word_rep_ratio"]
+    stats = ", ".join(f"{g[k]} AS {k}" for k in stat_keys)
+    hit_rows = " UNION ALL ".join(
+        f"SELECT warc_ts, {code} AS code FROM s WHERE {p}"
+        for code, preds in VIOLATIONS.items() for p in preds)
+    return (
+        f"WITH p AS ({pages_cte(with_ts=True)}), "
+        f"s AS (SELECT warc_ts, lang, {stats}, "
+        f"{langid_sql('text')} AS lang_pred, "
+        f"{ppl_unigram_sql('text')} AS ppl FROM p), "
+        f"hits AS ({hit_rows}), "
+        f"mx AS (SELECT max(warc_ts) AS m FROM p), "
+        f"w AS (SELECT time_bucket(INTERVAL {window_min} MINUTE, "
+        f"warc_ts) AS ws, code, count(*) AS hits FROM hits "
+        f"GROUP BY 1, 2) "
+        f"SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, "
+        f"strftime(ws + INTERVAL {window_min} MINUTE, "
+        f"'%Y-%m-%d %H:%M:%S') AS window_end, "
+        f"CAST(code AS BIGINT) AS code, CAST(hits AS BIGINT) AS hits "
+        f"FROM w, mx WHERE ws + INTERVAL {window_min} MINUTE <= "
+        f"m - INTERVAL {watermark_min} MINUTE "
+        f"ORDER BY window_start, code")
+
+
 def recrawl_collapse_sql() -> str:
     """Batch oracle for the STATEFUL streaming recrawl monitor
     (streaming/pipeline.py _recrawl_fn): per-url crawl chain == lag()
