@@ -345,6 +345,45 @@ def q_rules_temporal(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_rules_temporal_salted(spark, sf_dir):
+    """The SAME 4-rule temporal battery as rules_temporal, compiled
+    through the two-pass SALTED window plan (history.py
+    _apply_history_salted: per-(pk, 30-day-bucket) row windows + a
+    one-row-per-bucket boundary carry) — shares rules_temporal's DuckDB
+    oracle, proving the extreme-hot-pk escape hatch value-identical
+    end-to-end."""
+    from nacc_form_validator_spark.history import time_bucket_salt
+    d = _events(spark, sf_dir).withColumn(
+        "value2",
+        F.when(F.col("event_id") % 5 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value")))
+    schema = {
+        "value": {"type": "float", "nullable": True},
+        "value2": {
+            "type": "float", "nullable": True,
+            "temporalrules": [
+                {"ignore_empty": "value2",
+                 "previous": {"value2": {"min": 5.0}},
+                 "current": {"value2": {"min": 0.5}}},
+                {"previous": {"value": {"max": 50.0}},
+                 "current": {"value": {"max": 80.0}}},
+                {"swap_order": True,
+                 "previous": {"value": {"min": 20.0}},
+                 "current": {"value": {"min": 90.0}}},
+                {"initial_record": True,
+                 "previous": {"value": {"max": 95.0}},
+                 "current": {"value": {"max": 99.0}}},
+            ],
+        },
+    }
+    qc = SparkQualityCheck(pk_field="user_id", schema=schema, orderby="ts")
+    out = qc.validate(d, cast=False,
+                      history_salt=time_bucket_salt(F.col("ts"), days=30))
+    return out.select("event_id", "user_id",
+                      F.size("findings").cast("long").alias("n_findings"),
+                      "passed").orderBy("event_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -762,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_streaming_metrics": q_qf_streaming_metrics,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
+        "rules_temporal_salted": q_rules_temporal_salted,
         "qf_host_stats": q_host_stats,
         "rules_compatibility": q_rules_compatibility,
         "rules_logic": q_rules_logic,
@@ -810,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_streaming_metrics": oracle.windowed_metrics_sql(),
         "temporal_events": oracle.temporal_events_sql(),
         "rules_temporal": oracle.rules_temporal_sql(),
+        "rules_temporal_salted": oracle.rules_temporal_sql(),
         "qf_host_stats": oracle.host_stats_sql(),
         "rules_compatibility": oracle.rules_compatibility_sql(),
         "rules_logic": oracle.rules_logic_sql(),

@@ -105,12 +105,17 @@ class SparkQualityCheck:
     def validate(self,
                  df: DataFrame,
                  cast: bool = True,
-                 keep_aux: bool = False) -> DataFrame:
+                 keep_aux: bool = False,
+                 history_salt=None) -> DataFrame:
         """Return df + (findings, passed).
 
         ``cast=True`` applies the string-record cast stage first
         (QualityCheck.validate_record path, quality_check.py:115);
         ``cast=False`` mirrors NACCValidator.validate on typed values.
+        ``history_salt``: optional Column (non-decreasing in the
+        orderby, e.g. history.time_bucket_salt) switching the temporal
+        window to the two-pass salted plan for extreme hot pks —
+        value-identical, see history.py.
         """
         ctx = CompileContext(
             schema=self.schema,
@@ -127,7 +132,7 @@ class SparkQualityCheck:
             ctx.table_columns = set(df.columns)
         compiler = RuleCompiler(ctx)
         compiler.scan_history_needs()
-        df = apply_history(df, ctx)
+        df = apply_history(df, ctx, salt=history_salt)
         ctx.table_columns = set(df.columns)
 
         per_field = compiler.compile()
