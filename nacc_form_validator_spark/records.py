@@ -5,10 +5,13 @@ The reference validates one ``Dict[str, Any]`` at a time and returns
 A user migrating from it gets the same call shape here: records in,
 per-record verdicts + field-keyed error messages out — except the schema
 compiles ONCE and the whole batch is one Spark job, not a Python loop.
-The cerberus ``DocumentErrorTree`` channel is intentionally dropped
-(recast simplification): its content is derivable from the flat
-``findings`` lineage (field + code + message per hit), which is the
-form a columnar engine can carry.
+The cerberus ``DocumentErrorTree`` channel is available on request
+(``error_tree=True`` -> 4-tuples whose last element mirrors the
+cerberus surface: ``tree[field].errors`` is a list of entries with
+``.code`` / ``.rule`` / ``.field`` / ``.value`` / ``.info``,
+errors.py docs); by default the 3-tuple shape is kept because the
+flat ``findings`` lineage (field + code + message per hit) is the
+form a columnar engine carries natively.
 
 System errors (engine misconfiguration) surface at
 :class:`SparkQualityCheck` construction as ``RuleCompileError`` — before
@@ -127,13 +130,64 @@ def records_to_df(spark: SparkSession, schema: Dict[str, dict],
     return spark.createDataFrame(rows, st)
 
 
+class ValidationErrorInfo:
+    """Mirror of the cerberus ``ValidationError`` surface a reference
+    user reads off ``document_error_tree`` nodes
+    (quality_check.py:109-110): code / rule / field / value / info."""
+
+    __slots__ = ("field", "code", "rule", "value", "info")
+
+    def __init__(self, field, code, rule, value, info):
+        self.field, self.code, self.rule = field, code, rule
+        self.value, self.info = value, info
+
+    def __repr__(self):
+        return (f"ValidationErrorInfo(field={self.field!r}, "
+                f"code={hex(self.code)}, rule={self.rule!r}, "
+                f"value={self.value!r}, info={self.info!r})")
+
+
+class ErrorTreeNode:
+    """``tree[field].errors`` -> list of :class:`ValidationErrorInfo`."""
+
+    __slots__ = ("errors", )
+
+    def __init__(self):
+        self.errors: List[ValidationErrorInfo] = []
+
+
+class DocumentErrorTreeView(dict):
+    """Dict-like per-record error tree (cerberus DocumentErrorTree
+    recast): indexing an error-free field returns an empty node, as
+    cerberus's tree does for no-error paths."""
+
+    def __missing__(self, key):
+        return ErrorTreeNode()
+
+
+def build_error_tree(record: Dict[str, Any],
+                     findings) -> DocumentErrorTreeView:
+    tree = DocumentErrorTreeView()
+    for f in (findings or []):
+        node = tree.get(f["field"])
+        if node is None:
+            node = ErrorTreeNode()
+            tree[f["field"]] = node
+        node.errors.append(
+            ValidationErrorInfo(f["field"], int(f["code"]), f["rule"],
+                                record.get(f["field"]), (f["msg"], )))
+    return tree
+
+
 def validate_records(
         qc, spark: SparkSession, records: List[Dict[str, Any]],
         cast: bool = False,
-        all_strings: bool = False) -> List[Tuple[bool, bool,
-                                                 Dict[str, List[str]]]]:
+        all_strings: bool = False,
+        error_tree: bool = False) -> List[tuple]:
     """Reference-shaped batch validation: one (passed, sys_failure,
-    errors-by-field) tuple per input record, in input order.
+    errors-by-field) tuple per input record, in input order —
+    ``error_tree=True`` appends the reference's fourth element, a
+    dict-like error tree per record (quality_check.py:97-134).
 
     Records are grouped by key-set (and per-key python type) so
     missing-key vs explicit-null semantics match the reference's dict
@@ -159,5 +213,10 @@ def validate_records(
             errors: Dict[str, List[str]] = {}
             for f in (row["findings"] or []):
                 errors.setdefault(f["field"], []).append(f["msg"])
-            out_by_index[i] = (bool(row["passed"]), False, errors)
+            if error_tree:
+                out_by_index[i] = (bool(row["passed"]), False, errors,
+                                   build_error_tree(records[i],
+                                                    row["findings"]))
+            else:
+                out_by_index[i] = (bool(row["passed"]), False, errors)
     return [out_by_index[i] for i in range(len(records))]

@@ -218,3 +218,38 @@ def test_records_heterogeneous_type_inference(spark):
     with pytest.raises(ValueError, match="'b2'"):
         records_to_df(spark, schema,
                       [{"a": 1, "b2": True}, {"a": 2, "b2": "x"}])
+
+
+def test_error_tree_channel(spark):
+    """error_tree=True appends the reference's fourth element
+    (quality_check.py:97-134): a dict-like tree where
+    tree[field].errors carries code/rule/field/value/info per hit and
+    an error-free field indexes to an empty node (the cerberus
+    DocumentErrorTree surface, recast without cerberus)."""
+    from nacc_form_validator_spark.pipeline import SparkQualityCheck
+    from nacc_form_validator_spark.records import validate_records
+
+    schema = {
+        "a": {"type": "integer", "required": True, "min": 5},
+        "b": {"type": "string", "nullable": False},
+    }
+    qc = SparkQualityCheck(pk_field=None, schema=schema)
+    out = validate_records(qc, spark, [
+        {"a": 2, "b": None},      # min violation + nullable violation
+        {"a": 7, "b": "ok"},      # clean
+    ], error_tree=True)
+    assert all(len(t) == 4 for t in out)
+    passed, sysf, errors, tree = out[0]
+    assert not passed
+    codes_a = [e.code for e in tree["a"].errors]
+    assert 0x42 in codes_a  # min-value error code
+    e = tree["a"].errors[0]
+    assert (e.field, e.value) == ("a", 2)
+    assert e.rule and e.info and isinstance(e.info, tuple)
+    assert [e.code for e in tree["b"].errors]  # nullable hit
+    # error-free record: every field indexes to an empty node
+    p2, _, err2, tree2 = out[1]
+    assert p2 and err2 == {} and tree2["a"].errors == []
+    # 3-tuple default unchanged
+    out3 = validate_records(qc, spark, [{"a": 7, "b": "x"}])
+    assert len(out3[0]) == 3
