@@ -384,6 +384,15 @@ def q_rules_temporal_salted(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_boilerplate(spark, sf_dir):
+    """CCNet-style corpus-level boilerplate line removal
+    (operators/boilerplate.py): lines with document frequency >= 3 are
+    dropped and each doc's residual text reassembled in line order."""
+    from nacc_form_validator_spark.operators.boilerplate import (
+        remove_boilerplate)
+    return remove_boilerplate(_docs(spark, sf_dir), min_df=3)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -812,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_fields": q_rules_fields,
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
+        "boilerplate_removal": q_boilerplate,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -861,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_fields": oracle.rules_fields_sql(),
         "rules_cast": oracle.rules_cast_sql(),
         "rules_membership": oracle.rules_membership_sql(),
+        "boilerplate_removal": oracle.boilerplate_removal_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
         "dedup_embedding_lsh": oracle.embedding_neardup_lsh_sql(

@@ -376,6 +376,28 @@ def tokens_quality_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def boilerplate_removal_sql(min_df: int = 3) -> str:
+    """Oracle for operators/boilerplate.py remove_boilerplate: drop any
+    trimmed non-empty line whose document frequency >= min_df, rebuild
+    each doc's text in line order ('' when everything was
+    boilerplate)."""
+    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
+             "s -> trim(s)), s -> s <> '')")
+    return (
+        f"WITH d AS (SELECT doc_id, {lines} AS ls FROM documents), "
+        f"ex AS (SELECT doc_id, i AS pos, ls[i] AS line FROM d, "
+        f"unnest(range(1, len(ls) + 1)) AS u(i)), "
+        f"hot AS (SELECT md5(lower(line)) AS k FROM ex "
+        f"GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_df}), "
+        f"kept AS (SELECT doc_id, pos, line FROM ex "
+        f"WHERE md5(lower(line)) NOT IN (SELECT k FROM hot)), "
+        f"rebuilt AS (SELECT doc_id, string_agg(line, chr(10) "
+        f"ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id) "
+        f"SELECT d.doc_id AS id, coalesce(r.clean_text, '') AS "
+        f"clean_text FROM documents d LEFT JOIN rebuilt r "
+        f"ON d.doc_id = r.doc_id ORDER BY id")
+
+
 def windowed_metrics_sql(window_min: int = 10,
                          watermark_min: int = 30) -> str:
     """Batch oracle for the watermarked streaming metrics
