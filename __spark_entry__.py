@@ -384,6 +384,38 @@ def q_rules_temporal_salted(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling (operators/sampling.py): resumable,
+    cross-table-consistent keep-decision as a map-side filter."""
+    from nacc_form_validator_spark.operators.sampling import hash_sample
+    d = hash_sample(_docs(spark, sf_dir), rate=0.3, key_col="doc_id")
+    return d.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling: downsample 'en' to 20%,
+    keep every other language in full."""
+    from nacc_form_validator_spark.operators.sampling import (
+        stratified_hash_sample)
+    d = stratified_hash_sample(_docs(spark, sf_dir), rates={"en": 0.2},
+                               stratum_col="lang", key_col="doc_id")
+    return d.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_sample_topk_per_group(spark, sf_dir):
+    """Quota selection: 3 largest docs per language (one window pass,
+    deterministic tiebreak)."""
+    from nacc_form_validator_spark.operators.sampling import (
+        per_group_topk)
+    d = per_group_topk(_docs(spark, sf_dir), group_col="lang",
+                       score=F.col("n_chars"), k=3,
+                       tiebreak_col="doc_id")
+    return d.select("doc_id", "lang",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("rank").cast("long").alias("rank")).orderBy(
+                        "lang", "rank")
+
+
 def q_boilerplate(spark, sf_dir):
     """CCNet-style corpus-level boilerplate line removal
     (operators/boilerplate.py): lines with document frequency >= 3 are
@@ -822,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
         "boilerplate_removal": q_boilerplate,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "sample_topk_per_group": q_sample_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -872,6 +907,9 @@ def oracle_sql() -> dict[str, str]:
         "rules_cast": oracle.rules_cast_sql(),
         "rules_membership": oracle.rules_membership_sql(),
         "boilerplate_removal": oracle.boilerplate_removal_sql(),
+        "sample_hash": oracle.hash_sample_sql(),
+        "sample_stratified": oracle.stratified_sample_sql(),
+        "sample_topk_per_group": oracle.topk_per_group_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
         "dedup_embedding_lsh": oracle.embedding_neardup_lsh_sql(

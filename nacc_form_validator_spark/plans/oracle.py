@@ -376,6 +376,34 @@ def tokens_quality_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def _hash_uniform_sql(key: str) -> str:
+    return (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, "
+            f"8)) AS BIGINT) / 4294967296.0")
+
+
+def hash_sample_sql(rate: float = 0.3) -> str:
+    """Oracle for operators/sampling.py hash_sample over documents."""
+    u = _hash_uniform_sql("doc_id")
+    return (f"SELECT doc_id, lang FROM documents WHERE {u} < {rate} "
+            f"ORDER BY doc_id")
+
+
+def stratified_sample_sql(en_rate: float = 0.2) -> str:
+    """Oracle for stratified_hash_sample: downsample 'en', keep rest."""
+    u = _hash_uniform_sql("doc_id")
+    return (f"SELECT doc_id, lang FROM documents WHERE {u} < "
+            f"CASE WHEN lang = 'en' THEN {en_rate} ELSE 1.0 END "
+            f"ORDER BY doc_id")
+
+
+def topk_per_group_sql(k: int = 3) -> str:
+    """Oracle for per_group_topk: best k docs per lang by n_chars."""
+    return (f"SELECT doc_id, lang, n_chars, rank FROM ("
+            f"SELECT doc_id, lang, n_chars, row_number() OVER ("
+            f"PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank "
+            f"FROM documents) WHERE rank <= {k} ORDER BY lang, rank")
+
+
 def boilerplate_removal_sql(min_df: int = 3) -> str:
     """Oracle for operators/boilerplate.py remove_boilerplate: drop any
     trimmed non-empty line whose document frequency >= min_df, rebuild

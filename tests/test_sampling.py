@@ -1,0 +1,69 @@
+"""Deterministic sampling operators: statistical + determinism + plan."""
+
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.operators.sampling import (
+    hash_sample, hash_uniform, per_group_topk, stratified_hash_sample)
+
+
+def _df(spark, n=4000):
+    return (spark.range(n).withColumnRenamed("id", "k")
+            .withColumn("stratum", (F.col("k") % 4).cast("string"))
+            .withColumn("score", F.pmod(F.col("k") * 37, F.lit(1000))))
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _df(spark)
+    a = {r["k"] for r in hash_sample(df, 0.25, "k").collect()}
+    b = {r["k"] for r in hash_sample(df, 0.25, "k").collect()}
+    assert a == b                      # deterministic across runs
+    assert 0.2 < len(a) / 4000 < 0.3   # ~rate
+    # monotone: a smaller rate yields a SUBSET (same hash threshold)
+    c = {r["k"] for r in hash_sample(df, 0.1, "k").collect()}
+    assert c <= a
+
+
+def test_hash_sample_pushes_down(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    _df(spark).write.parquet(p)
+    out = hash_sample(spark.read.parquet(p), 0.5, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan      # map-side filter, no shuffle
+
+
+def test_stratified_rates(spark):
+    df = _df(spark)
+    out = stratified_hash_sample(df, {"0": 0.1, "1": 0.9},
+                                 "stratum", "k")
+    got = out.groupBy("stratum").count().collect()
+    counts = {r["stratum"]: r["count"] for r in got}
+    assert counts["0"] < 180           # ~100 of 1000
+    assert counts["1"] > 800           # ~900
+    assert counts["2"] == 1000 and counts["3"] == 1000  # default 1.0
+
+
+def test_per_group_topk(spark):
+    df = _df(spark, 400)
+    out = per_group_topk(df, "stratum", F.col("score"), k=5,
+                         tiebreak_col="k").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["stratum"], []).append(r)
+    data = _df(spark, 400).collect()
+    for g, rows in by_g.items():
+        assert len(rows) == 5
+        assert [r["rank"] for r in sorted(
+            rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        want = sorted((r for r in data if r["stratum"] == g),
+                      key=lambda r: (-r["score"], r["k"]))[:5]
+        assert sorted(r["k"] for r in rows) == sorted(
+            r["k"] for r in want)
+
+
+def test_hash_uniform_distribution(spark):
+    # crude uniformity: quartile occupancy within 20% of expectation
+    u = (_df(spark).select(hash_uniform(F.col("k")).alias("u"))
+         .withColumn("q", F.floor(F.col("u") * 4))
+         .groupBy("q").count().collect())
+    for r in u:
+        assert 800 < r["count"] < 1200, u
