@@ -384,6 +384,16 @@ def q_rules_temporal_salted(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd's k-means training for the IVF coarse
+    quantizer under the value oracle (simsearch.train_coarse_quantizer:
+    2 iterations, md5-seeded init, per-iteration 6-decimal centroid
+    rounding makes the loop value-reproducible in DuckDB)."""
+    from nacc_form_validator_spark.operators.simsearch import (
+        train_coarse_quantizer)
+    return train_coarse_quantizer(_emb(spark, sf_dir), k=8, iters=2)
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic hash sampling (operators/sampling.py): resumable,
     cross-table-consistent keep-decision as a map-side filter."""
@@ -854,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
         "boilerplate_removal": q_boilerplate,
+        "kmeans_train": q_kmeans_train,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "sample_topk_per_group": q_sample_topk_per_group,
@@ -907,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_cast": oracle.rules_cast_sql(),
         "rules_membership": oracle.rules_membership_sql(),
         "boilerplate_removal": oracle.boilerplate_removal_sql(),
+        "kmeans_train": oracle.kmeans_train_sql(),
         "sample_hash": oracle.hash_sample_sql(),
         "sample_stratified": oracle.stratified_sample_sql(),
         "sample_topk_per_group": oracle.topk_per_group_sql(),

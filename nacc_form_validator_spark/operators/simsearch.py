@@ -187,6 +187,63 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
             .orderBy("q_id", "rank"))
 
 
+def _euclid_assign(vd: Column, cents: List[List[float]]) -> Column:
+    """argmin_c ||v - c||^2 == argmax_c (v.c - |c|^2/2); ties -> lowest
+    cell id.  One dot product per centroid, vectors stay put."""
+    entries = []
+    for i, c in enumerate(cents):
+        half_n2 = sum(x * x for x in c) / 2.0
+        score = dot(vd, F.array(*[F.lit(x) for x in c])) - F.lit(half_n2)
+        entries.append(F.struct(score.alias("score"),
+                                F.lit(-i).alias("neg_i"),
+                                F.lit(i).alias("cell")))
+    return F.array_max(F.array(*entries))["cell"]
+
+
+def train_coarse_quantizer(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding", dim: int = 64,
+                           k: int = 8, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer:
+    (cell, n_members, centroid) after ``iters`` iterations from the
+    deterministic md5-seeded init.
+
+    Each iteration is one distributed aggregate: assign every vector to
+    its nearest centroid (euclidean, via dot - |c|^2/2 against literal
+    centroids — map-side, no shuffle of vectors beyond the groupBy
+    partial agg), then collect the k x dim rounded means to the driver
+    as the next iteration's literals — exactly how a broadcast
+    quantizer trains at 10^12 scale (the corpus never moves; k rows
+    do).  Centroid components round to 6 decimals each iteration; the
+    rounding is part of the algorithm spec, which makes the whole
+    training loop value-reproducible in the DuckDB oracle
+    (plans/oracle.py kmeans_train_sql).  Empty cells keep their
+    previous centroid."""
+    cents = _centroids(dim, k)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    base = emb.select(vd.alias("vd"))
+    for _ in range(iters):
+        assigned = base.withColumn("cell", _euclid_assign(F.col("vd"),
+                                                          cents))
+        means = (assigned.groupBy("cell")
+                 .agg(*[F.round(F.avg(F.col("vd")[i]), 6).alias(f"m{i}")
+                        for i in range(dim)],
+                      F.count("*").alias("n")))
+        got = {r["cell"]: [r[f"m{i}"] for i in range(dim)]
+               for r in means.collect()}
+        cents = [got.get(c, cents[c]) for c in range(k)]
+    final = emb.select(vd.alias("vd")).withColumn(
+        "cell", _euclid_assign(F.col("vd"), cents))
+    counts = final.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cent_rows = final.sparkSession.createDataFrame(
+        [(c, cents[c]) for c in range(k)], ["cell", "centroid"])
+    return (cent_rows.join(counts, "cell", "left")
+            .select("cell",
+                    F.coalesce("n_members",
+                               F.lit(0)).cast("long").alias("n_members"),
+                    "centroid")
+            .orderBy("cell"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str = "q_id",

@@ -376,6 +376,58 @@ def tokens_quality_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def kmeans_train_sql(dim: int = 64, k: int = 8, iters: int = 2) -> str:
+    """Oracle for simsearch.train_coarse_quantizer: ``iters`` unrolled
+    Lloyd iterations from the md5-seeded init.  Assignment is
+    argmax(v.c - |c|^2/2) with lowest-cell tie-break; centroid means
+    round to 6 decimals per iteration (part of the algorithm spec, so
+    the whole training loop is value-reproducible); empty cells keep
+    their previous centroid."""
+    from nacc_form_validator_spark.operators.simsearch import _centroids
+    cents = _centroids(dim, k)
+    init_rows = ", ".join(
+        f"({c}, [{', '.join(repr(v) for v in cents[c])}])"
+        for c in range(k))
+    dot = ("list_sum(list_transform(range(1, {d} + 1), "
+           "j -> e.vd[j] * c.c[j]))").format(d=dim)
+    hn2 = "list_sum(list_transform(c.c, x -> x * x)) / 2.0"
+    mcols = ", ".join(f"round(avg(e.vd[{j + 1}]), 6) AS m{j}"
+                      for j in range(dim))
+    mlist = "[" + ", ".join(f"m{j}" for j in range(dim)) + "]"
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> x::DOUBLE) AS vd FROM embeddings)",
+        f"c0 AS (SELECT * FROM (VALUES {init_rows}) AS t(cell, c))",
+    ]
+    for it in range(iters):
+        nxt = it + 1
+        parts += [
+            f"a{it} AS (SELECT vec_id, cell FROM (SELECT e.vec_id, "
+            f"c.cell, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY ({dot} - {hn2}) DESC, c.cell ASC) AS rn "
+            f"FROM e, c{it} c) WHERE rn = 1)",
+            f"m{it} AS (SELECT a{it}.cell, {mcols}, count(*) AS n "
+            f"FROM a{it} JOIN e ON a{it}.vec_id = e.vec_id "
+            f"GROUP BY a{it}.cell)",
+            f"c{nxt} AS (SELECT c{it}.cell, CASE WHEN m{it}.cell IS "
+            f"NULL THEN c{it}.c ELSE {mlist} END AS c FROM c{it} "
+            f"LEFT JOIN m{it} ON c{it}.cell = m{it}.cell)",
+        ]
+    fin = iters
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"af AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY ({dot} - {hn2}) DESC, c.cell ASC) AS rn "
+        f"FROM e, c{fin} c) WHERE rn = 1), "
+        f"cnt AS (SELECT cell, count(*) AS n_members FROM af "
+        f"GROUP BY cell) "
+        f"SELECT c{fin}.cell AS cell, CAST(coalesce(cnt.n_members, 0) "
+        f"AS BIGINT) AS n_members, c{fin}.c AS centroid "
+        f"FROM c{fin} LEFT JOIN cnt ON c{fin}.cell = cnt.cell "
+        f"ORDER BY cell")
+
+
 def _hash_uniform_sql(key: str) -> str:
     return (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, "
             f"8)) AS BIGINT) / 4294967296.0")

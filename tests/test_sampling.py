@@ -67,3 +67,41 @@ def test_hash_uniform_distribution(spark):
          .groupBy("q").count().collect())
     for r in u:
         assert 800 < r["count"] < 1200, u
+
+
+def test_kmeans_quantizer_training(spark):
+    """Lloyd iterations must not increase total within-cluster cost,
+    and training is deterministic (md5 init + rounded means)."""
+    import math
+    import random
+
+    from pyspark.sql import types as T
+
+    from nacc_form_validator_spark.operators.simsearch import (
+        train_coarse_quantizer)
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    emb = spark.createDataFrame(rows, schema)
+
+    def cost(cents_rows):
+        cents = {r["cell"]: r["centroid"] for r in cents_rows}
+        total = 0.0
+        for _, v in rows:
+            total += min(
+                sum((a - b) ** 2 for a, b in zip(v, c))
+                for c in cents.values())
+        return total
+
+    one = train_coarse_quantizer(emb, dim=16, k=4, iters=1).collect()
+    three = train_coarse_quantizer(emb, dim=16, k=4, iters=3).collect()
+    again = train_coarse_quantizer(emb, dim=16, k=4, iters=3).collect()
+    assert cost(three) <= cost(one) + 1e-6
+    assert [r["centroid"] for r in three] == [
+        r["centroid"] for r in again]
+    assert sum(r["n_members"] for r in three) == 300
