@@ -394,6 +394,23 @@ def q_kmeans_train(spark, sf_dir):
     return train_coarse_quantizer(_emb(spark, sf_dir), k=8, iters=2)
 
 
+def q_simsearch_ivf_trained(spark, sf_dir):
+    """End-to-end trained-IVF path under the value oracle: Lloyd-train
+    the coarse quantizer on the corpus (2 iterations), then probe each
+    query's nprobe nearest TRAINED cells and rank candidates by exact
+    cosine — training and search both replicated in one DuckDB query."""
+    from nacc_form_validator_spark.operators.simsearch import (
+        train_coarse_quantizer, ivf_topk_trained)
+    emb = _emb(spark, sf_dir)
+    trained = train_coarse_quantizer(emb, k=8, iters=2).collect()
+    cents = [r["centroid"] for r in sorted(trained,
+                                           key=lambda r: r["cell"])]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"))
+    return ivf_topk_trained(emb, queries, cents, k=5, nprobe=3)
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic hash sampling (operators/sampling.py): resumable,
     cross-table-consistent keep-decision as a map-side filter."""
@@ -865,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_membership": q_rules_membership,
         "boilerplate_removal": q_boilerplate,
         "kmeans_train": q_kmeans_train,
+        "simsearch_ivf_trained": q_simsearch_ivf_trained,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "sample_topk_per_group": q_sample_topk_per_group,
@@ -919,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_membership": oracle.rules_membership_sql(),
         "boilerplate_removal": oracle.boilerplate_removal_sql(),
         "kmeans_train": oracle.kmeans_train_sql(),
+        "simsearch_ivf_trained": oracle.ivf_trained_topk_sql(),
         "sample_hash": oracle.hash_sample_sql(),
         "sample_stratified": oracle.stratified_sample_sql(),
         "sample_topk_per_group": oracle.topk_per_group_sql(),

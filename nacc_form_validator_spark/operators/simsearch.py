@@ -244,6 +244,48 @@ def train_coarse_quantizer(emb: DataFrame, id_col: str = "vec_id",
             .orderBy("cell"))
 
 
+def ivf_topk_trained(emb: DataFrame, queries: DataFrame,
+                     cents: List[List[float]], k: int = 5,
+                     nprobe: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding", q_id_col: str = "q_id",
+                     q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF top-k against TRAINED centroids (train_coarse_quantizer
+    output): corpus membership and query probes both use the training
+    metric (euclidean: argmax v.c - |c|^2/2), candidate scoring is
+    exact cosine within probed cells.  Same plan shape as ivf_topk —
+    corpus grouped by cell, broadcast probes, no all-pairs join."""
+    corpus = vec_prep(emb.select(F.col(id_col).alias("vec_id"),
+                                 F.col(vec_col).alias("vec")), "vec")
+    corpus = corpus.withColumn("cell",
+                               _euclid_assign(F.col("vd"), cents))
+    q = vec_prep(queries.select(F.col(q_id_col).alias("q_id"),
+                                F.col(q_vec_col).alias("q_vec")),
+                 "q_vec", vd="qvd", nrm="qnrm")
+    entries = []
+    for i, c in enumerate(cents):
+        hn2 = sum(x * x for x in c) / 2.0
+        score = F.round(
+            dot(F.col("qvd"), F.array(*[F.lit(x) for x in c])) -
+            F.lit(hn2), 6)
+        entries.append(F.struct(score.alias("score"),
+                                F.lit(-i).alias("neg_i"),
+                                F.lit(i).alias("cell")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1,
+                     nprobe)
+    qexp = q.select("q_id", "qvd", "qnrm",
+                    F.explode(F.transform(
+                        probes, lambda e: e["cell"])).alias("cell"))
+    joined = corpus.join(F.broadcast(qexp), "cell")
+    sim = F.round(cosine_prepped(F.col("vd"), F.col("qvd"),
+                                 F.col("nrm"), F.col("qnrm")), 6)
+    scored = joined.select("q_id", "vec_id", sim.alias("cos")).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str = "q_id",

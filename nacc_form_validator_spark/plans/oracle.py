@@ -428,6 +428,42 @@ def kmeans_train_sql(dim: int = 64, k: int = 8, iters: int = 2) -> str:
         f"ORDER BY cell")
 
 
+def ivf_trained_topk_sql(dim: int = 64, kc: int = 8, iters: int = 2,
+                         k: int = 5, nprobe: int = 3,
+                         n_queries: int = 5) -> str:
+    """Oracle for the trained-IVF search path: train the quantizer in
+    SQL (same unrolled Lloyd CTEs as kmeans_train_sql), then probe each
+    query's ``nprobe`` nearest trained cells (euclidean, 6-decimal
+    rounded scores) and rank candidates by exact cosine."""
+    base = kmeans_train_sql(dim=dim, k=kc, iters=iters)
+    # reuse everything up to the final SELECT: the WITH chain ends with
+    # af (corpus cell assignment under the final centroids) and cnt
+    with_chain = base[:base.index(" SELECT c")]
+    fin = iters
+    dotq = (f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"j -> q.vd[j] * c.c[j]))")
+    hn2 = "list_sum(list_transform(c.c, x -> x * x)) / 2.0"
+    cos = _cosine_sql("ce.vd", "qe.vd")
+    return (
+        f"{with_chain}, "
+        f"q AS (SELECT vec_id AS q_id, vd FROM e WHERE vec_id < "
+        f"{n_queries}), "
+        f"probes AS (SELECT q_id, cell FROM (SELECT q.q_id, c.cell, "
+        f"row_number() OVER (PARTITION BY q.q_id ORDER BY "
+        f"round({dotq} - {hn2}, 6) DESC, c.cell ASC) AS rn "
+        f"FROM q, c{fin} c) WHERE rn <= {nprobe}), "
+        f"cand AS (SELECT DISTINCT p.q_id, af.vec_id FROM probes p "
+        f"JOIN af ON af.cell = p.cell), "
+        f"scored AS (SELECT cand.q_id, cand.vec_id, {cos} AS cos "
+        f"FROM cand JOIN e ce ON ce.vec_id = cand.vec_id "
+        f"JOIN e qe ON qe.vec_id = cand.q_id), "
+        f"ranked AS (SELECT q_id, vec_id, cos, row_number() OVER ("
+        f"PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank "
+        f"FROM scored) "
+        f"SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY q_id, rank")
+
+
 def _hash_uniform_sql(key: str) -> str:
     return (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, "
             f"8)) AS BIGINT) / 4294967296.0")
