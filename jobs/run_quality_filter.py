@@ -46,6 +46,14 @@ def parse_args(argv):
                    help="gate expensive stages on liveness (fast mode); "
                         "default runs every stage on every row so findings "
                         "match the reference exactly (parity mode)")
+    p.add_argument("--udf-stages", action="store_true",
+                   help="swap langid/perplexity for the broadcast-model "
+                        "pandas-UDF stages (the fastText/KenLM-shaped "
+                        "production path)")
+    p.add_argument("--salt-days", type=int, default=None,
+                   help="enable the two-pass salted temporal window with "
+                        "N-day buckets (value-identical; for corpora where "
+                        "single urls are recrawled at extreme cardinality)")
     return p.parse_args(argv)
 
 
@@ -68,7 +76,9 @@ def main(argv=None) -> int:
     # compile-time failure (RuleCompileError) happens HERE, driver-side,
     # before any input is read — the Cerberus-SchemaError-at-ctor analogue
     qf = QualityFilterPipeline(rules=rules, n_buckets=args.buckets,
-                               gate_expensive=args.gate_expensive)
+                               gate_expensive=args.gate_expensive,
+                               use_udf_stages=args.udf_stages,
+                               history_salt_days=args.salt_days)
 
     if "." in args.input and spark.catalog.tableExists(args.input):
         pages = spark.table(args.input)

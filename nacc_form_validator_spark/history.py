@@ -163,7 +163,8 @@ def _apply_history_salted(df: DataFrame, ctx: CompileContext,
         aggs.append(F.max_by(F.when(m, pack(refs)),
                              F.when(m, ord_struct)).alias(f"__b_ne{i}"))
     bt = df.groupBy(pk, "__hsalt").agg(*aggs)
-    carry_cols = [F.col(pk).alias("__bt_pk"), F.col("__hsalt")]
+    carry_cols = [F.col(pk).alias("__bt_pk"),
+                  F.col("__hsalt").alias("__bt_salt")]
     if prev_fields is not None:
         carry_cols.append(F.lag("__b_last").over(bw).alias("__c_prev"))
     if init_fields is not None:
@@ -181,8 +182,8 @@ def _apply_history_salted(df: DataFrame, ctx: CompileContext,
     # windows; the join key matches, so only the tiny boundary side
     # shuffles (or broadcasts)
     df = df.join(bt, (F.col(pk) == F.col("__bt_pk")) &
-                 (df["__hsalt"] == bt["__hsalt"])).drop("__bt_pk") \
-        .drop(bt["__hsalt"])
+                 (F.col("__hsalt") == F.col("__bt_salt"))) \
+        .drop("__bt_pk", "__bt_salt")
 
     # ---- per-row views ----------------------------------------------
     if prev_fields is not None:

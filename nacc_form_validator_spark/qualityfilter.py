@@ -96,12 +96,17 @@ class QualityFilterPipeline:
                  use_udf_stages: bool = False,
                  gate_expensive: bool = False,
                  n_buckets: int = 256,
-                 as_of: Optional[_dt.date] = None):
+                 as_of: Optional[_dt.date] = None,
+                 history_salt_days: Optional[int] = None):
         self.rules = rules if rules is not None else DEFAULT_RULES
         self.use_udf_stages = use_udf_stages
         self.gate_expensive = gate_expensive
         self.n_buckets = n_buckets
         self.as_of = as_of
+        #: switch the temporal window to the two-pass salted plan
+        #: (history.py) — for corpora where single urls are recrawled at
+        #: extreme cardinality; value-identical, default off
+        self.history_salt_days = history_salt_days
         temporal = any("temporalrules" in r or
                        (isinstance(r.get("compare_with"), dict)
                         and (r["compare_with"].get("previous_record")
@@ -194,7 +199,12 @@ class QualityFilterPipeline:
         df = self.derive(pages)
         df = df.withColumn("scrub_findings", scrub_hits(F.col("text")))
         df = with_scrub(df, "text", "scrubbed_text")
-        df = self.qc.validate(df, cast=False)
+        salt = None
+        if self.history_salt_days and self.qc.orderby:
+            from nacc_form_validator_spark.history import time_bucket_salt
+            salt = time_bucket_salt(F.col(self.qc.orderby),
+                                    self.history_salt_days)
+        df = self.qc.validate(df, cast=False, history_salt=salt)
         df = df.withColumn("findings",
                            F.concat(F.col("findings"),
                                     F.col("scrub_findings")))
