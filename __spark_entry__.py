@@ -384,6 +384,17 @@ def q_rules_temporal_salted(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_ppl_trained(spark, sf_dir):
+    """Corpus-TRAINED word-bigram LM perplexity (the KenLM-shaped path
+    with real training): one count aggregate trains the model, scoring
+    joins the count tables per doc bigram -- unbounded vocabulary, no
+    driver matrix; exact integer counts keep train + score under the
+    DuckDB value oracle."""
+    from nacc_form_validator_spark.functions.perplexity import (
+        ppl_trained_bigram)
+    return ppl_trained_bigram(_docs(spark, sf_dir))
+
+
 def q_kmeans_train(spark, sf_dir):
     """Distributed Lloyd's k-means training for the IVF coarse
     quantizer under the value oracle (simsearch.train_coarse_quantizer:
@@ -881,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
         "boilerplate_removal": q_boilerplate,
+        "ppl_trained_bigram": q_ppl_trained,
         "kmeans_train": q_kmeans_train,
         "simsearch_ivf_trained": q_simsearch_ivf_trained,
         "sample_hash": q_sample_hash,
@@ -936,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_cast": oracle.rules_cast_sql(),
         "rules_membership": oracle.rules_membership_sql(),
         "boilerplate_removal": oracle.boilerplate_removal_sql(),
+        "ppl_trained_bigram": oracle.ppl_trained_bigram_sql(),
         "kmeans_train": oracle.kmeans_train_sql(),
         "simsearch_ivf_trained": oracle.ivf_trained_topk_sql(),
         "sample_hash": oracle.hash_sample_sql(),

@@ -221,3 +221,71 @@ def make_ppl_bigram_udf(spark: Optional[SparkSession] = None):
         return pd.Series(out)
 
     return _ppl
+
+
+# ---------------------------------------------------------------------------
+# Corpus-TRAINED word-bigram LM (train + score as DataFrame algebra)
+# ---------------------------------------------------------------------------
+def _corpus_words(text: Column) -> Column:
+    """Lowercase whitespace tokens (the LM vocabulary unit)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda s: s != "")
+
+
+def train_bigram_counts(docs, text_col: str = "text"):
+    """(w1, w2, c) corpus bigram counts + the unigram/vocab side —
+    the distributed LM-training aggregate (one shuffle on the bigram
+    key, map-side partial counts).  Returns (bigrams, unigrams,
+    vocab_size)."""
+    w = docs.select(_corpus_words(F.col(text_col)).alias("w"))
+    pairs = w.select(F.explode(
+        F.zip_with(F.slice(F.col("w"), 1,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   F.slice(F.col("w"), 2,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"),
+                                         b.alias("w2")))).alias("p"))
+    bigrams = (pairs.select("p.w1", "p.w2")
+               .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    unigrams = (w.select(F.explode("w").alias("w1"))
+                .groupBy("w1").agg(F.count("*").alias("c1")))
+    return bigrams, unigrams
+
+
+def ppl_trained_bigram(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Per-doc perplexity under the corpus-trained add-one-smoothed
+    word-bigram LM: logp(w1 w2) = ln((c2+1)/(c1(w1)+V)) with V the
+    corpus vocabulary size; ppl = round(exp(-avg logp), 6), null for
+    docs with < 2 words.
+
+    Scale shape: training is one count aggregate; scoring explodes each
+    doc's bigrams and JOINS the count tables (key-based, broadcast-able
+    when the model fits, plain shuffle join when it doesn't) — no
+    driver-side matrix, so the vocabulary is unbounded, unlike the
+    embedded-matrix UDF variant.  Exact integer counts make the whole
+    train+score path value-reproducible in the DuckDB oracle."""
+    bigrams, unigrams = train_bigram_counts(docs, text_col)
+    vocab = unigrams.agg(F.count("*").alias("v"))
+    w = docs.select(F.col(id_col).alias("id"),
+                    _corpus_words(F.col(text_col)).alias("w"))
+    pairs = w.select("id", F.explode(
+        F.zip_with(F.slice(F.col("w"), 1,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   F.slice(F.col("w"), 2,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"),
+                                         b.alias("w2")))).alias("p"))
+    pairs = pairs.select("id", "p.w1", "p.w2")
+    scored = (pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+              .join(F.broadcast(unigrams), "w1", "left")
+              .crossJoin(F.broadcast(vocab)))
+    logp = F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1.0) /
+                 (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
+    per_doc = (scored.groupBy("id")
+               .agg(F.round(F.exp(-F.avg(logp)), 6).alias("ppl"),
+                    F.count("*").alias("n_bigrams")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select("id", F.col("n_bigrams").cast("long").alias(
+                "n_bigrams"), "ppl")
+            .orderBy("id"))

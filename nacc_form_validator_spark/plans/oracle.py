@@ -464,6 +464,32 @@ def ivf_trained_topk_sql(dim: int = 64, kc: int = 8, iters: int = 2,
         f"ORDER BY q_id, rank")
 
 
+def ppl_trained_bigram_sql() -> str:
+    """Oracle for functions/perplexity.py ppl_trained_bigram: corpus
+    bigram/unigram counts (exact integers) -> add-one-smoothed
+    per-doc perplexity, train + score in one query."""
+    wexpr = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+             "x -> x <> '')")
+    return (
+        f"WITH w AS (SELECT doc_id, {wexpr} AS w FROM documents), "
+        f"pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 "
+        f"FROM w, unnest(range(1, greatest(len(w), 1))) AS u(i)), "
+        f"bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs "
+        f"GROUP BY 1, 2), "
+        f"uni AS (SELECT t.w1, count(*) AS c1 FROM "
+        f"(SELECT unnest(w) AS w1 FROM w) t GROUP BY t.w1), "
+        f"vocab AS (SELECT count(*) AS v FROM uni), "
+        f"scored AS (SELECT p.doc_id, ln((coalesce(bi.c2, 0) + 1.0) / "
+        f"(coalesce(uni.c1, 0) + vocab.v)) AS logp FROM pairs p "
+        f"LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2 "
+        f"LEFT JOIN uni ON p.w1 = uni.w1 CROSS JOIN vocab), "
+        f"per AS (SELECT doc_id, round(exp(-avg(logp)), 6) AS ppl, "
+        f"count(*) AS n FROM scored GROUP BY doc_id) "
+        f"SELECT d.doc_id AS id, CAST(per.n AS BIGINT) AS n_bigrams, "
+        f"per.ppl FROM documents d LEFT JOIN per "
+        f"ON d.doc_id = per.doc_id ORDER BY id")
+
+
 def _hash_uniform_sql(key: str) -> str:
     return (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, "
             f"8)) AS BIGINT) / 4294967296.0")
