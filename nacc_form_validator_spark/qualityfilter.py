@@ -48,8 +48,8 @@ from nacc_form_validator_spark.functions.langid import (langid_from_words,
                                                         make_langid_udf)
 from nacc_form_validator_spark.functions.perplexity import (
     make_ppl_bigram_udf, ppl_unigram_expr, with_ppl_unigram)
-from nacc_form_validator_spark.functions.scrub import (scrub_hits,
-                                                       with_scrub)
+from nacc_form_validator_spark.functions.scrub import (scrub_expr,
+                                                       scrub_hits)
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
 
 RULE_SCHEMA_VERSION = "1"
@@ -198,7 +198,7 @@ class QualityFilterPipeline:
         hot-url slowdown drops ~3.3x -> ~1.1x, bench.py --skew)."""
         df = self.derive(pages)
         df = df.withColumn("scrub_findings", scrub_hits(F.col("text")))
-        df = with_scrub(df, "text", "scrubbed_text")
+        df = df.withColumn("scrubbed_text", scrub_expr(F.col("text")))
         salt = None
         if self.history_salt_days and self.qc.orderby:
             from nacc_form_validator_spark.history import time_bucket_salt
