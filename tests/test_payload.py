@@ -253,3 +253,29 @@ def test_error_tree_channel(spark):
     # 3-tuple default unchanged
     out3 = validate_records(qc, spark, [{"a": 7, "b": "x"}])
     assert len(out3[0]) == 3
+
+
+def test_with_scrub_stepped_equals_expr(spark):
+    """The stepped with_scrub (per-step projections + full gate set) is
+    byte-identical to the single-expression scrub_expr on PII, toxic,
+    mixed, and clean docs — it exists as the opt-in shape for
+    long-document corpora (BENCH.md negative-result section)."""
+    from nacc_form_validator_spark.functions.scrub import (scrub_expr,
+                                                           with_scrub)
+    rows = [
+        (0, "contact john.doe@example.com or 1-555-123-4567 now"),
+        (1, "ssn 123-45-6789 ip 10.0.0.1 BADWORD1 inside"),
+        (2, "perfectly clean prose with no sensitive content"),
+        (3, "mixed a@b.co 999-99-9999 slur1 10.1.2.3 and text"),
+        (4, ""),
+        (5, "dashes-but-no-digits and dots. only."),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    a = {r["i"]: r["s"] for r in df.select(
+        "i", scrub_expr(F.col("text")).alias("s")).collect()}
+    b = {r["i"]: r["scrubbed_text"]
+         for r in with_scrub(df).select("i", "scrubbed_text").collect()}
+    assert a == b
+    assert "<EMAIL>" in a[0] and "<PHONE>" in a[0]
+    assert "<SSN>" in a[1] and "<IP>" in a[1] and "<TOX>" in a[1]
+    assert a[2] == rows[2][1] and a[5] == rows[5][1]
