@@ -116,6 +116,19 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
     timings["qf_pipeline_synth"] = round(best, 3)
     extras["n_pages"] = n_pages
     extras["docs_per_sec"] = round(n_pages / timings["qf_pipeline_synth"], 1)
+
+    # the pandas-UDF pipeline variant (broadcast-model langid + bigram
+    # ppl UDFs — the fastText/KenLM-shaped path) and its gated mode, on
+    # the same corpus: quantifies the Arrow-stage cost vs pure exprs
+    if not os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
+        for name, qfv in (
+                ("qf_pipeline_udf_synth",
+                 QualityFilterPipeline(use_udf_stages=True)),
+                ("qf_pipeline_gated_synth",
+                 QualityFilterPipeline(use_udf_stages=True,
+                                       gate_expensive=True))):
+            force(qfv.run(pages))
+            timed(name, lambda q=qfv: force(q.run(pages)))
     pages.unpersist()
 
     if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
