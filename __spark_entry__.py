@@ -384,6 +384,29 @@ def q_rules_temporal_salted(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization UDFs under the value oracle: NFC and the
+    accent-folded lowercase canonical form over documents text prefixed
+    with shared composed/decomposed/ligature fixtures
+    (functions/normalize.py; DuckDB nfc_normalize/strip_accents on the
+    oracle side)."""
+    from nacc_form_validator_spark.functions.normalize import (
+        UNICODE_FIXTURES, make_normalize_udf)
+    d = _docs(spark, sf_dir)
+    aug = F.col("text")
+    for i, fx in enumerate(UNICODE_FIXTURES):
+        if fx:
+            aug = F.when(F.col("doc_id") % len(UNICODE_FIXTURES) == i,
+                         F.concat(F.lit(fx),
+                                  F.col("text"))).otherwise(aug)
+    nfc_udf = make_normalize_udf(fold=False)
+    fold_udf = make_normalize_udf(fold=True)
+    d = d.select("doc_id", aug.alias("t"))
+    return d.select("doc_id", nfc_udf(F.col("t")).alias("nfc"),
+                    fold_udf(F.col("t")).alias("folded")).orderBy(
+                        "doc_id")
+
+
 def q_ppl_trained(spark, sf_dir):
     """Corpus-TRAINED word-bigram LM perplexity (the KenLM-shaped path
     with real training): one count aggregate trains the model, scoring
@@ -892,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
         "boilerplate_removal": q_boilerplate,
+        "text_normalize": q_text_normalize,
         "ppl_trained_bigram": q_ppl_trained,
         "kmeans_train": q_kmeans_train,
         "simsearch_ivf_trained": q_simsearch_ivf_trained,
@@ -948,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_cast": oracle.rules_cast_sql(),
         "rules_membership": oracle.rules_membership_sql(),
         "boilerplate_removal": oracle.boilerplate_removal_sql(),
+        "text_normalize": oracle.text_normalize_sql(),
         "ppl_trained_bigram": oracle.ppl_trained_bigram_sql(),
         "kmeans_train": oracle.kmeans_train_sql(),
         "simsearch_ivf_trained": oracle.ivf_trained_topk_sql(),

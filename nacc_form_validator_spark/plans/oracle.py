@@ -490,6 +490,27 @@ def ppl_trained_bigram_sql() -> str:
         f"ON d.doc_id = per.doc_id ORDER BY id")
 
 
+def text_normalize_sql() -> str:
+    """Oracle for the unicode-normalize pandas UDFs
+    (functions/normalize.py): NFC via nfc_normalize, accent-folded
+    lowercase via lower(strip_accents(nfc_normalize(x))) — identical
+    codepoint semantics (utf8proc vs Python unicodedata, probed in
+    tests/test_normalize.py).  Input = documents text prefixed with the
+    shared non-ASCII fixture strings."""
+    from nacc_form_validator_spark.functions.normalize import (
+        UNICODE_FIXTURES)
+    cases = " ".join(
+        f"WHEN {i} THEN '{fx}' || text"
+        for i, fx in enumerate(UNICODE_FIXTURES) if fx)
+    aug = (f"CASE doc_id % {len(UNICODE_FIXTURES)} {cases} "
+           f"ELSE text END")
+    return (
+        f"WITH a AS (SELECT doc_id, {aug} AS t FROM documents) "
+        f"SELECT doc_id, nfc_normalize(t) AS nfc, "
+        f"lower(strip_accents(nfc_normalize(t))) AS folded "
+        f"FROM a ORDER BY doc_id")
+
+
 def _hash_uniform_sql(key: str) -> str:
     return (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, "
             f"8)) AS BIGINT) / 4294967296.0")
