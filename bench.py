@@ -183,16 +183,24 @@ def run_skew_probe(spark, n_docs: int = 100_000) -> dict:
         "url",
         F.when(F.pmod(F.hash("url"), F.lit(10)) == 0,
                F.lit("https://hot.example/p/0")).otherwise(F.col("url")))
+    # salted variant: 1-day buckets split the hot url's recrawl chain
+    # (spread over ~2 weeks) across ~14 window groups — the two-pass
+    # salted plan (history.py), value-identical by construction
+    qf_salted = QualityFilterPipeline(history_salt_days=1)
     out = {}
-    for name, df in (("uniform", base), ("hot_url", hot)):
-        force(qf.run(df))  # warm
+    for name, qfv, df in (("uniform", qf, base),
+                          ("hot_url", qf, hot),
+                          ("hot_url_salted", qf_salted, hot)):
+        force(qfv.run(df))  # warm
         t0 = time.perf_counter()
-        force(qf.run(df))
+        force(qfv.run(df))
         out[name] = round(time.perf_counter() - t0, 3)
     base.unpersist()
     out["n_pages"] = n
     out["hot_rows"] = int(n // 10)
     out["slowdown"] = round(out["hot_url"] / out["uniform"], 2)
+    out["slowdown_salted"] = round(out["hot_url_salted"] /
+                                   out["uniform"], 2)
     return out
 
 
