@@ -5,9 +5,10 @@ entry(spark): flagship — the full webtext quality-filter pipeline
 rules + PII scrub) over pages derived from the sf0.001 documents table.
 
 queries(): one entry per implemented operator (SURVEY.md §2 + the
-training-data operator suite); oracle_sql(): the DuckDB-equivalent SQL for
-each (omitted only for pandas-UDF/stub stages, which get rows-only
-checks).
+training-data operator suite); oracle_sql(): the DuckDB-equivalent SQL
+for EVERY query — zero rows-only entries: the pandas-UDF stages, the
+real image-decode path, stateful/windowed streaming, and the iterative
+k-means training loop all sit under full value-hash oracles.
 """
 
 from __future__ import annotations

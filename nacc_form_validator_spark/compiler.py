@@ -102,6 +102,13 @@ class CompileContext:
         self.functions = functions or {}
         self.datastore_config = datastore_config or {}
         self.history = HistoryNeeds()
+        #: shared subexpressions registered by compilers (e.g. the GDS
+        #: 15-answer count/sum) — validate() materializes them in their
+        #: own projection so the findings expression references columns
+        #: instead of inlining the subtree at every use (a ~10x
+        #: repeated GDS subtree pushed the stage over the codegen limit
+        #: into interpreted evaluation)
+        self.aux_columns: "dict" = {}
 
     def dtype(self, field: str) -> Optional[str]:
         return self.dtypes.get(field)
@@ -1104,6 +1111,14 @@ class RuleCompiler:
             in01 = F.coalesce(c.isin(0, 1), F.lit(False))
             num_valid = num_valid + F.when(in01, 1).otherwise(0)
             gds_sum = gds_sum + F.when(in01, c).otherwise(0)
+        # materialize the two horizontal aggregates ONCE as aux columns:
+        # they are referenced ~10x across the five findings, and inlined
+        # copies blow the projection past the codegen limit
+        i = len(self.ctx.aux_columns)
+        nv_name, sum_name = f"__gds_nv{i}", f"__gds_sum{i}"
+        self.ctx.aux_columns[nv_name] = num_valid
+        self.ctx.aux_columns[sum_name] = gds_sum
+        num_valid, gds_sum = F.col(nv_name), F.col(sum_name)
 
         nogds1 = F.coalesce(nogds == 1, F.lit(False))
         neq = lambda a, b: ~a.eqNullSafe(b)  # python != incl. None  # noqa: E731

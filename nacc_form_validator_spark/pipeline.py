@@ -147,6 +147,8 @@ class SparkQualityCheck:
                 per_field.setdefault(col, []).append(
                     Finding(F.lit(True), self.UNKNOWN_FIELD_CODE,
                             "unknown", F.lit("unknown field")))
+        if ctx.aux_columns:
+            df = df.withColumns(ctx.aux_columns)
         findings_col = assemble_findings(per_field)
         df = df.withColumn("findings", findings_col)
         df = df.withColumn("passed", F.size("findings") == 0)
