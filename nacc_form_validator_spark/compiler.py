@@ -1194,6 +1194,13 @@ class RuleCompiler:
             is_correct = c.eqNullSafe(F.lit(correct_value))
             hit = is_correct if mode == "correct" else ~is_correct
             total = total + F.when(hit, 1).otherwise(0)
+        # same repeated-subtree treatment as compute_gds: the answer-key
+        # chain appears in every finding's cond and in the formula
+        i = len(self.ctx.aux_columns)
+        t_name, m_name = f"__score_total{i}", f"__score_miss{i}"
+        self.ctx.aux_columns[t_name] = total
+        self.ctx.aux_columns[m_name] = any_missing
+        total, any_missing = F.col(t_name), F.col(m_name)
         gate = alive & ~any_missing
         extra = {calc_var_name: (total, "int")}
         sub = self._logic(field, logic, binding, gate, value, "int",
