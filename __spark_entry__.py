@@ -385,6 +385,16 @@ def q_rules_temporal_salted(spark, sf_dir):
                       "passed").orderBy("event_id")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Pretraining concat-and-chunk packing under the value oracle:
+    per-shard running token cumsum assigns each doc its sequence id and
+    in-sequence offset (operators/packing.py; budget 512 so the fixture
+    produces multi-sequence shards)."""
+    from nacc_form_validator_spark.operators.packing import (
+        pack_sequences)
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
 def q_text_normalize(spark, sf_dir):
     """Unicode normalization UDFs under the value oracle: NFC and the
     accent-folded lowercase canonical form over documents text prefixed
@@ -916,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
         "boilerplate_removal": q_boilerplate,
+        "pack_sequences": q_pack_sequences,
         "text_normalize": q_text_normalize,
         "ppl_trained_bigram": q_ppl_trained,
         "kmeans_train": q_kmeans_train,
@@ -973,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_cast": oracle.rules_cast_sql(),
         "rules_membership": oracle.rules_membership_sql(),
         "boilerplate_removal": oracle.boilerplate_removal_sql(),
+        "pack_sequences": oracle.pack_sequences_sql(),
         "text_normalize": oracle.text_normalize_sql(),
         "ppl_trained_bigram": oracle.ppl_trained_bigram_sql(),
         "kmeans_train": oracle.kmeans_train_sql(),

@@ -511,6 +511,25 @@ def text_normalize_sql() -> str:
         f"FROM a ORDER BY doc_id")
 
 
+def pack_sequences_sql(budget: int = 512, shards: int = 8) -> str:
+    """Oracle for operators/packing.py pack_sequences: per-shard
+    concat-and-chunk packing via a running token cumsum."""
+    nt = ("len(list_filter(string_split_regex(text, '\\s+'), "
+          "x -> x <> ''))")
+    shard = (f"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+             f"1, 8)) AS BIGINT) % {shards}")
+    return (
+        f"WITH d AS (SELECT doc_id AS id, {shard} AS shard, "
+        f"CAST({nt} AS BIGINT) AS n_tokens FROM documents), "
+        f"c AS (SELECT id, shard, n_tokens, sum(n_tokens) OVER ("
+        f"PARTITION BY shard ORDER BY id ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND CURRENT ROW) - n_tokens AS strt FROM d) "
+        f"SELECT id, shard, n_tokens, "
+        f"CAST(floor(strt / {budget}) AS BIGINT) AS seq_id, "
+        f"CAST(strt - floor(strt / {budget}) * {budget} AS BIGINT) AS "
+        f"seq_offset FROM c ORDER BY id")
+
+
 def _hash_uniform_sql(key: str) -> str:
     return (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, "
             f"8)) AS BIGINT) / 4294967296.0")
