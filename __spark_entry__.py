@@ -433,10 +433,16 @@ def q_kmeans_train(spark, sf_dir):
     """Distributed Lloyd's k-means training for the IVF coarse
     quantizer under the value oracle (simsearch.train_coarse_quantizer:
     2 iterations, md5-seeded init, per-iteration 6-decimal centroid
-    rounding makes the loop value-reproducible in DuckDB)."""
+    rounding makes the loop value-reproducible in DuckDB).  The
+    centroid array is flattened to scalar columns m0..m63 for the
+    harness (array cells are unhashable in a plain pandas sort); the
+    array variant stays internal to ivf_topk_trained."""
     from nacc_form_validator_spark.operators.simsearch import (
         train_coarse_quantizer)
-    return train_coarse_quantizer(_emb(spark, sf_dir), k=8, iters=2)
+    t = train_coarse_quantizer(_emb(spark, sf_dir), k=8, iters=2)
+    return t.select(
+        "cell", "n_members",
+        *[F.col("centroid")[i].alias(f"m{i}") for i in range(64)])
 
 
 def q_simsearch_ivf_trained(spark, sf_dir):

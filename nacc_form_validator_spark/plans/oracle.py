@@ -423,8 +423,9 @@ def kmeans_train_sql(dim: int = 64, k: int = 8, iters: int = 2) -> str:
         f"cnt AS (SELECT cell, count(*) AS n_members FROM af "
         f"GROUP BY cell) "
         f"SELECT c{fin}.cell AS cell, CAST(coalesce(cnt.n_members, 0) "
-        f"AS BIGINT) AS n_members, c{fin}.c AS centroid "
-        f"FROM c{fin} LEFT JOIN cnt ON c{fin}.cell = cnt.cell "
+        f"AS BIGINT) AS n_members, "
+        + ", ".join(f"c{fin}.c[{j + 1}] AS m{j}" for j in range(dim)) +
+        f" FROM c{fin} LEFT JOIN cnt ON c{fin}.cell = cnt.cell "
         f"ORDER BY cell")
 
 
