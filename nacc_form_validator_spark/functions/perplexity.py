@@ -252,20 +252,33 @@ def train_bigram_counts(docs, text_col: str = "text"):
 
 
 def ppl_trained_bigram(docs, id_col: str = "doc_id",
-                       text_col: str = "text"):
+                       text_col: str = "text",
+                       broadcast_model: "bool | None" = None):
     """Per-doc perplexity under the corpus-trained add-one-smoothed
     word-bigram LM: logp(w1 w2) = ln((c2+1)/(c1(w1)+V)) with V the
     corpus vocabulary size; ppl = round(exp(-avg logp), 6), null for
     docs with < 2 words.
 
     Scale shape: training is one count aggregate; scoring explodes each
-    doc's bigrams and JOINS the count tables (key-based, broadcast-able
-    when the model fits, plain shuffle join when it doesn't) — no
-    driver-side matrix, so the vocabulary is unbounded, unlike the
-    embedded-matrix UDF variant.  Exact integer counts make the whole
-    train+score path value-reproducible in the DuckDB oracle."""
+    doc's bigrams and JOINS the count tables — key-based either way, so
+    the vocabulary is unbounded, unlike the embedded-matrix UDF
+    variant.  ``broadcast_model`` picks the join strategy: True forces
+    a broadcast of the count tables (safe only when the trained model
+    is known small — bench/fixture corpora), False forces the plain
+    shuffle-merge join (web-scale vocabularies where a forced broadcast
+    would OOM executors), and the default None leaves the choice to
+    Catalyst/AQE, which sees the actual post-shuffle size of the count
+    tables at runtime and only then converts to a broadcast join — no
+    extra job, no hard-coded guess.  Exact integer counts make the
+    whole train+score path value-reproducible in the DuckDB oracle."""
     bigrams, unigrams = train_bigram_counts(docs, text_col)
     vocab = unigrams.agg(F.count("*").alias("v"))
+    if broadcast_model is None:
+        hint = lambda d: d                     # AQE decides from stats
+    elif broadcast_model:
+        hint = F.broadcast
+    else:
+        hint = lambda d: d.hint("merge")       # pin the shuffle path
     w = docs.select(F.col(id_col).alias("id"),
                     _corpus_words(F.col(text_col)).alias("w"))
     pairs = w.select("id", F.explode(
@@ -276,8 +289,8 @@ def ppl_trained_bigram(docs, id_col: str = "doc_id",
                    lambda a, b: F.struct(a.alias("w1"),
                                          b.alias("w2")))).alias("p"))
     pairs = pairs.select("id", "p.w1", "p.w2")
-    scored = (pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-              .join(F.broadcast(unigrams), "w1", "left")
+    scored = (pairs.join(hint(bigrams), ["w1", "w2"], "left")
+              .join(hint(unigrams), "w1", "left")
               .crossJoin(F.broadcast(vocab)))
     logp = F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1.0) /
                  (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
