@@ -211,6 +211,30 @@ def q_qf_pipeline_udf(spark, sf_dir):
         "passed").orderBy("url", "ts")
 
 
+def q_qf_pipeline_gated(spark, sf_dir):
+    """The GATED pandas-UDF pipeline (gate_expensive=True) under the
+    value oracle.  Cheap native heuristic bounds decide ``alive``; docs
+    that fail them skip model scoring entirely (the UDF input is masked
+    to null — qualityfilter.py:141-156).  The output exposes the
+    documented invariant as data so the hash pins it: model columns are
+    scored (non-null) exactly for cheap-alive docs, and keep/drop is
+    identical to the ungated pipeline because a cheap-dropped doc is
+    already failing regardless of model findings."""
+    from nacc_form_validator_spark.functions.heuristics import GOPHER_RULES
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    qf = QualityFilterPipeline(use_udf_stages=True, gate_expensive=True)
+    out = qf.run(pages)
+    alive = qf._cheap_alive(set(GOPHER_RULES))
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.size("findings").cast("long").alias("n_findings"),
+        "passed",
+        alive.alias("alive"),
+        F.col("lang_pred").isNotNull().alias("lang_scored"),
+        F.col("ppl").isNotNull().alias("ppl_scored")).orderBy("url", "ts")
+
+
 def q_qf_streaming(spark, sf_dir):
     """Structured Streaming under the correctness gate: the SAME compiled
     stateless rule plan runs per micro-batch (readStream parquet ->
@@ -915,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_metrics": q_metrics,
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
+        "qf_pipeline_gated": q_qf_pipeline_gated,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
         "qf_streaming_metrics": q_qf_streaming_metrics,
@@ -972,6 +997,9 @@ def oracle_sql() -> dict[str, str]:
         "qf_pipeline": oracle.qf_pipeline_sql(),
         "qf_pipeline_udf": oracle.qf_pipeline_sql(scrubbed_text=False,
                                                   ppl_mode="bigram"),
+        "qf_pipeline_gated": oracle.qf_pipeline_sql(scrubbed_text=False,
+                                                    ppl_mode="bigram",
+                                                    gated=True),
         "qf_streaming": oracle.qf_pipeline_sql(temporal=False,
                                                scrubbed_text=False),
         "qf_recrawl_stateful": oracle.recrawl_collapse_sql(),

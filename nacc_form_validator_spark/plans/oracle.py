@@ -861,7 +861,8 @@ def pages_cte(with_ts: bool = False) -> str:
 
 def qf_pipeline_sql(temporal: bool = True,
                     scrubbed_text: bool = True,
-                    ppl_mode: str = "unigram") -> str:
+                    ppl_mode: str = "unigram",
+                    gated: bool = False) -> str:
     """Full-pipeline oracle (QualityFilterPipeline.run over
     pages_from_documents): heuristic stats + langid + unigram ppl +
     DEFAULT_RULES (incl., when ``temporal``, the ignore_empty temporal
@@ -876,6 +877,11 @@ def qf_pipeline_sql(temporal: bool = True,
     (use_udf_stages=True): the ppl column scores the broadcast bigram
     matrix instead of the unigram expression — langid and every other
     stage are output-identical between the variants.
+    ``gated=True`` mirrors gate_expensive=True (qualityfilter.py
+    _cheap_alive + masked UDF input): model columns are nulled for
+    every doc that fails a cheap numeric bound, and the output exposes
+    the invariant columns (alive, lang_scored, ppl_scored) so the
+    value hash pins "model scored ⇔ cheap-alive" per document.
     """
     from nacc_form_validator_spark.functions.scrub import PII_PATTERNS
     g = gopher_sql("text")
@@ -900,9 +906,30 @@ def qf_pipeline_sql(temporal: bool = True,
             f"CASE WHEN len(regexp_extract_all(text, '{sql_pat}')) > 0 "
             f"THEN 1 ELSE 0 END")
     n_scrub = " + ".join(scrub_terms)
-    lagged = ("w AS (SELECT *, lag(n_words) OVER (PARTITION BY url "
-              "ORDER BY warc_ts) AS prev_nw FROM s), " if temporal
-              else "w AS (SELECT * FROM s), ")
+    gate_cte = ""
+    if gated:
+        # same bounds _cheap_alive derives from the rule spec's numeric
+        # min/max on natively-computed stat columns (null stats pass)
+        from nacc_form_validator_spark.functions.heuristics import (
+            GOPHER_RULES)
+        terms = []
+        for field, spec in GOPHER_RULES.items():
+            for key in ("min", "max"):
+                b = spec.get(key)
+                if isinstance(b, bool) or not isinstance(b, (int, float)):
+                    continue
+                op = ">=" if key == "min" else "<="
+                terms.append(f"({field} IS NULL OR {field} {op} {b})")
+        alive = "(" + " AND ".join(terms) + ")"
+        gate_cte = (
+            f"sg AS (SELECT url, warc_ts, text, lang, "
+            f"{', '.join(stat_keys)}, {alive} AS alive, "
+            f"CASE WHEN {alive} THEN lang_pred END AS lang_pred, "
+            f"CASE WHEN {alive} THEN ppl END AS ppl FROM s), ")
+    src = "sg" if gated else "s"
+    lagged = (f"w AS (SELECT *, lag(n_words) OVER (PARTITION BY url "
+              f"ORDER BY warc_ts) AS prev_nw FROM {src}), " if temporal
+              else f"w AS (SELECT * FROM {src}), ")
     scrub_col = (f", {scrub_sql('text')} AS scrubbed_text"
                  if scrubbed_text else "")
     if ppl_mode == "bigram":
@@ -932,15 +959,19 @@ def qf_pipeline_sql(temporal: bool = True,
             f"s AS (SELECT url, warc_ts, text, lang, {stats}, "
             f"{langid_sql('text')} AS lang_pred, "
             f"{ppl_unigram_sql('text')} AS ppl FROM p), ")
+    gate_pass = (", alive, (lang_pred IS NOT NULL) AS lang_scored, "
+                 "(ppl IS NOT NULL) AS ppl_scored" if gated else "")
+    gate_out = (", alive, lang_scored, ppl_scored" if gated else "")
     return (
         f"WITH p AS ({pages_cte(with_ts=True)}), "
         f"{s_ctes}"
+        f"{gate_cte}"
         f"{lagged}"
         f"f AS (SELECT url, warc_ts, text, ({n_rules}) AS nr, "
-        f"({n_scrub}) AS ns FROM w) "
+        f"({n_scrub}) AS ns{gate_pass} FROM w) "
         f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
         f"CAST(nr + ns AS BIGINT) AS n_findings, (nr = 0) AS passed"
-        f"{scrub_col} FROM f ORDER BY url, ts")
+        f"{scrub_col}{gate_out} FROM f ORDER BY url, ts")
 
 
 def multimodal_features_sql(dim: int = 8) -> str:
