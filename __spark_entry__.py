@@ -416,7 +416,9 @@ def q_pack_sequences(spark, sf_dir):
     produces multi-sequence shards)."""
     from nacc_form_validator_spark.operators.packing import (
         pack_sequences)
-    return pack_sequences(_docs(spark, sf_dir), budget=512)
+    # shards pinned so the layout matches the oracle independent of the
+    # input's partition count (the operator default scales with it)
+    return pack_sequences(_docs(spark, sf_dir), budget=512, shards=8)
 
 
 def q_text_normalize(spark, sf_dir):

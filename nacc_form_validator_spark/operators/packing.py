@@ -27,12 +27,24 @@ def whitespace_tokens(text: Column) -> Column:
 
 def pack_sequences(docs: DataFrame, budget: int = 2048,
                    id_col: str = "doc_id", text_col: str = "text",
-                   shards: int = 8) -> DataFrame:
+                   shards: "int | None" = None) -> DataFrame:
     """(id, shard, n_tokens, seq_id, seq_offset): concat-and-chunk
     packing of each shard's docs (ordered by id) into ``budget``-token
     sequences.  ``seq_offset`` is the doc's start offset within its
     sequence; docs longer than ``budget`` span sequences, as in
-    pretraining chunking."""
+    pretraining chunking.
+
+    ``shards`` defaults to the input's partition count (min 8): the
+    per-shard window is the operator's only serial unit, so the shard
+    count must grow with the corpus — a fixed default would pack 100 TB
+    through a handful of giant sorted window tasks.  The per-shard
+    packing law is shard-count-independent (a shard's layout is a pure
+    function of its ordered (id, n_tokens) list); the shard count only
+    decides which docs land together (shard = md5(id) mod shards), and
+    callers that need a reproducible cross-run layout pass ``shards``
+    explicitly."""
+    if shards is None:
+        shards = max(docs.rdd.getNumPartitions(), 8)
     d = docs.select(
         F.col(id_col).alias("id"),
         F.pmod(

@@ -34,3 +34,29 @@ def test_pack_sequences_sharding(spark):
         per_seq[(r["shard"], r["seq_id"])] += r["n_tokens"]
     # every full sequence holds <= budget + one spanning doc's overflow
     assert all(v <= 30 + 3 for v in per_seq.values())
+
+
+def test_pack_sequences_default_shards_scale_with_input(spark):
+    """The shards default derives from the input partition count (min 8)
+    so the per-shard window never becomes a fixed serial bottleneck at
+    corpus scale; the per-shard packing LAW is shard-count-independent:
+    for any shard count, a shard's layout is the running-cumsum chunking
+    of its ordered (id, n_tokens) list."""
+    docs = spark.createDataFrame(
+        [(i, "w " * (3 + i % 11)) for i in range(300)],
+        ["doc_id", "text"]).repartition(24)
+    out = pack_sequences(docs, budget=16)
+    shards = [r["shard"] for r in out.select("shard").distinct().collect()]
+    assert max(shards) >= 8  # default spread beyond the old fixed 8
+    for n_shards in (4, 16):
+        rows = pack_sequences(docs, budget=16, shards=n_shards).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert len(by_shard) <= n_shards
+        for members in by_shard.values():
+            run = 0
+            for r in sorted(members, key=lambda r: r["id"]):
+                assert r["seq_id"] == run // 16
+                assert r["seq_offset"] == run - r["seq_id"] * 16
+                run += r["n_tokens"]
