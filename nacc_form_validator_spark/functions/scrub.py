@@ -85,12 +85,19 @@ _DIGITS = "0123456789"
 def _scrub_gates(text: Column) -> dict:
     has_digit = F.length(F.translate(text, _DIGITS, "")) < F.length(text)
     lt = F.lower(text)
+    # the toxic gate derives from TOXIC_WORDS itself so a deploy-time
+    # lexicon swap can never silently disable scrubbing: each entry is a
+    # literal word, and case-insensitive substring containment strictly
+    # over-approximates the \b-anchored regex match
+    toxic = F.lit(False)
+    for w in TOXIC_WORDS:
+        toxic = toxic | lt.contains(w.lower())
     return {
         "email": text.contains("@"),
         "ssn": text.contains("-") & has_digit,
         "phone": has_digit,
         "ipv4": text.contains(".") & has_digit,
-        "toxic": lt.contains("badword") | lt.contains("slur"),
+        "toxic": toxic,
     }
 
 

@@ -304,7 +304,7 @@ def with_simhash_bands(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bands: int = 4, width: int = None,
+                  bands: int = None, width: int = None,
                   corpus_size: int = None,
                   target_bucket: int = 256,
                   bucket_guard: int = None) -> DataFrame:
@@ -326,13 +326,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     (1M buckets) suits up to ~10^8-doc partitions.  ``bucket_guard``
     (optional, eager) raises if any band bucket exceeds the bound —
     the quadratic-blowup tripwire a plan-shape assert can't see."""
+    if corpus_size is not None and width is None:
+        planned_bands, width = simhash_band_plan(corpus_size, max_hamming,
+                                                 target_bucket)
+        # honor an explicit bands argument (recall holds for any
+        # bands > max_hamming); only fill in the plan's choice when the
+        # caller left bands unset
+        bands = planned_bands if bands is None else bands
+    bands = 4 if bands is None else bands
     if max_hamming > bands - 1:
         raise ValueError(
             f"guaranteed recall needs bands > max_hamming "
             f"({bands} bands, max_hamming={max_hamming})")
-    if corpus_size is not None and width is None:
-        bands, width = simhash_band_plan(corpus_size, max_hamming,
-                                         target_bucket)
     width = 20 if width is None else width
     # both sides of the self-join consume the signature table; without a
     # materialization point the per-band token folds run twice per doc

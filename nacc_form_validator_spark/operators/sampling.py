@@ -49,14 +49,21 @@ def stratified_hash_sample(df: DataFrame, rates: Dict[str, float],
 
 
 def per_group_topk(df: DataFrame, group_col: str, score: Column,
-                   k: int, tiebreak_col: Optional[str] = None) -> DataFrame:
+                   k: int, tiebreak_col: Optional[str] = None,
+                   rank_col: str = "rank") -> DataFrame:
     """Best k rows per group by descending score (quota selection, e.g.
     top-k highest-quality docs per host).  Deterministic via the
-    tiebreak column."""
+    tiebreak column.  The output rank lands in ``rank_col``; a clash
+    with an existing input column errors instead of silently emitting
+    two same-named columns."""
+    if rank_col in df.columns:
+        raise ValueError(
+            f"per_group_topk: input already has a {rank_col!r} column; "
+            f"pass rank_col= to choose a different output name")
     order = [score.desc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(group_col).orderBy(*order)
     return (df.withColumn("__rank", F.row_number().over(w))
             .where(F.col("__rank") <= k)
-            .withColumnRenamed("__rank", "rank"))
+            .withColumnRenamed("__rank", rank_col))

@@ -299,3 +299,26 @@ def test_ppl_trained_bigram_join_modes(spark, docs):
         assert a == b and len(a) == 60
     finally:
         sample.unpersist()
+
+
+def test_toxic_gate_tracks_lexicon_swap(spark, monkeypatch):
+    """The cheap toxic pre-gate derives from TOXIC_WORDS itself, so a
+    deploy-time lexicon swap cannot silently disable scrubbing (ADVICE
+    r3: the old gate hardcoded 'badword'/'slur' substrings)."""
+    from nacc_form_validator_spark.functions import scrub as scrub_mod
+    monkeypatch.setattr(scrub_mod, "TOXIC_WORDS",
+                        ("Hateful", "nastyterm"))
+    monkeypatch.setattr(
+        scrub_mod, "TOXIC_PATTERN",
+        ("(?i)\\b(" + "|".join(("Hateful", "nastyterm")) + ")\\b",
+         "<TOX>"))
+    df = spark.createDataFrame(
+        [(0, "a HATEFUL remark"), (1, "some nastyterm here"),
+         (2, "clean"), (3, "unhatefulness is not a word boundary hit")],
+        ["i", "text"])
+    got = {r["i"]: r["scrubbed_text"] for r in scrub_mod.with_scrub(
+        df).select("i", "scrubbed_text").collect()}
+    assert got[0] == "a <TOX> remark"
+    assert got[1] == "some <TOX> here"
+    assert got[2] == "clean"
+    assert got[3] == "unhatefulness is not a word boundary hit"
