@@ -309,3 +309,55 @@ def test_malformed_formula_error_message_parity(spark):
                          "needs a base and at least 1 value to compare to")
     assert msgs["c"].startswith("error in formula evaluation - "
                                 "missing_some expects")
+
+
+def test_malformed_formula_message_parity_unknown_op(spark):
+    """Byte parity with the reference's malformed-formula surface: an
+    unknown operator raises ValueError('Unrecognized operation <op>')
+    per record (json_logic.py:281-282), which nacc_validator.py:944-945
+    re-emits as the FORMULA finding text.  The compiled engine detects
+    it at compile time and emits the SAME message as a constant finding
+    on every record."""
+    schema = {
+        "v": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"frobnicate": [{"var": "v"}, 1]}}},
+    }
+    res = run_check(spark, schema, [{"v": 1}, {"v": None}, {"v": 7}])
+    assert [r["passed"] for r in res] == [False, False, False]
+    for r in res:
+        assert r["msgs"] == [
+            "error in formula evaluation - Unrecognized operation "
+            "frobnicate"
+        ]
+
+
+def test_malformed_formula_message_parity_count_exact_arity(spark):
+    """count_exact with fewer than 2 args: reference raises
+    ValueError('count_exact needs a base and at least 1 value to
+    compare to') (json_logic.py:185-186); same bytes here via the
+    FORMULA finding."""
+    schema = {
+        "v": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"count_exact": [{"var": "v"}]}}},
+    }
+    res = run_check(spark, schema, [{"v": 3}])
+    assert not res[0]["passed"]
+    assert res[0]["msgs"] == [
+        "error in formula evaluation - count_exact needs a base and "
+        "at least 1 value to compare to"
+    ]
+
+
+def test_malformed_formula_errmsg_does_not_mask_compile_error(spark):
+    """The reference uses str(error), NOT the rule's errmsg, when the
+    formula itself is malformed (nacc_validator.py:944-945 catches
+    before the errmsg branch applies) — pin the same precedence."""
+    schema = {
+        "v": {"type": "integer", "nullable": True,
+              "logic": {"formula": {"frobnicate": [1]},
+                        "errmsg": "custom should not appear"}},
+    }
+    res = run_check(spark, schema, [{"v": 1}])
+    assert res[0]["msgs"] == [
+        "error in formula evaluation - Unrecognized operation frobnicate"
+    ]
