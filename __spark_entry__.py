@@ -648,6 +648,53 @@ def q_multimodal_real_decode(spark, sf_dir):
           for i in range(8)]).orderBy("url")
 
 
+def q_multimodal_real_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode under the value oracle
+    (operators/jpegcodec.py: Huffman entropy decode, dequantize, IDCT,
+    level shift).  Per doc, a 16x16 grayscale JPEG of four flat 8x8
+    blocks (values = first 4 md5 digest bytes) is encoded with UNIT
+    quantization — a flat block's DCT is DC-only and DC = 8*(v-128) is
+    exact, so the decode round-trips losslessly and the channel-moment
+    features equal the digest-byte moments, which DuckDB computes as
+    pure md5 arithmetic.  n_bytes is dropped (it depends on the Huffman
+    bitstream length, not SQL-expressible)."""
+    from pyspark.sql import types as T
+
+    gen_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("img", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from nacc_form_validator_spark.operators.jpegcodec import (
+            encode_jpeg_gray)
+        for pdf in batches:
+            urls, payloads = [], []
+            for did in pdf["doc_id"]:
+                key = f"jpg{int(did)}"
+                dig = hashlib.md5(key.encode()).digest()
+                quad = np.array(list(dig[:4]),
+                                dtype=np.uint8).reshape(2, 2)
+                arr = np.repeat(np.repeat(quad, 8, 0), 8, 1)
+                urls.append(key)
+                payloads.append(encode_jpeg_gray(arr))
+            yield pd.DataFrame({"url": urls, "img": payloads})
+
+    imgs = (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(gen, gen_schema))
+    feats = decode_image_batch(imgs, bin_col="img",
+                               deterministic_fake=False)
+    return feats.select(
+        "url",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(8)]).orderBy("url")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing (operators/multimodal.py): fake body =
     deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
@@ -981,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_bigram": q_ppl_bigram,
         "multimodal_features": q_multimodal,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_real_decode_jpeg": q_multimodal_real_decode_jpeg,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "tpch_q1": q_tpch_q1,
@@ -1043,6 +1091,8 @@ def oracle_sql() -> dict[str, str]:
         "ppl_bigram": oracle.ppl_bigram_query_sql(),
         "multimodal_features": oracle.multimodal_features_sql(),
         "multimodal_real_decode": oracle.multimodal_real_decode_sql(),
+        "multimodal_real_decode_jpeg":
+            oracle.multimodal_real_decode_jpeg_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),

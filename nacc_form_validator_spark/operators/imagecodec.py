@@ -9,8 +9,10 @@ public container formats directly:
 - PPM/PGM (P6/P5 binary): header + raw samples, maxval 255.
 
 Plus a nearest-neighbor resize and a minimal PNG encoder (filter 0) so
-the resize operator emits REAL image payloads.  JPEG and video formats
-still require external codecs and raise NotImplementedError.
+the resize operator emits REAL image payloads.  Baseline-sequential
+JPEG decodes via the sibling pure-numpy codec (jpegcodec.py);
+progressive JPEG, WebP and video formats still require external codecs
+and raise NotImplementedError.
 
 Everything here is numpy-vectorized per scanline/image — these kernels
 run inside Arrow ``mapInPandas`` batches (operators/multimodal.py), so
@@ -221,9 +223,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if mime == "image/x-portable-pixmap":
         return decode_ppm(data)
+    if mime == "image/jpeg":
+        from nacc_form_validator_spark.operators.jpegcodec import (
+            decode_jpeg)
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"{mime}: only PNG/BMP/PPM decode in this environment "
-        f"(JPEG/video need PIL/ffmpeg)")
+        f"{mime}: only PNG/BMP/PPM/baseline-JPEG decode in this "
+        f"environment (progressive JPEG, WebP and video need "
+        f"PIL/ffmpeg)")
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -4,10 +4,11 @@ Image/audio/video travel as ``binary`` columns with a metadata struct; the
 decode / feature-extract kernels run as Arrow ``mapInPandas`` stages so a
 whole batch of payloads crosses the JVM/Python boundary once.
 
-Decode is REAL for PNG/BMP/PPM via the pure-stdlib/numpy codec
-(operators/imagecodec.py — no PIL/ffmpeg in this container, so the
-public container formats are implemented directly); JPEG and video
-still raise NotImplementedError.  ``deterministic_fake=True`` keeps the
+Decode is REAL for PNG/BMP/PPM (operators/imagecodec.py) and for
+baseline-sequential JPEG (operators/jpegcodec.py: Huffman + IDCT, pure
+numpy — no PIL/ffmpeg in this container, so the public container
+formats are implemented directly); progressive JPEG, WebP and video
+still raise honestly.  ``deterministic_fake=True`` keeps the
 seeded fake-feature path used by the DuckDB value oracles (md5 is
 replicable in SQL; a real decoded pixel array is not).
 """

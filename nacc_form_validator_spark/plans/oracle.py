@@ -1017,6 +1017,31 @@ def multimodal_real_decode_sql() -> str:
         "FROM s ORDER BY url")
 
 
+def multimodal_real_decode_jpeg_sql() -> str:
+    """Oracle for the REAL baseline-JPEG path (operators/jpegcodec.py):
+    the Spark side encodes a 16x16 grayscale JPEG per doc — four flat
+    8x8 blocks valued by the first 4 bytes of md5('jpg'||id) — with
+    unit quantization, where the DCT of a flat block is DC-only and
+    exact, so decode is LOSSLESS and the channel moments equal the
+    4-byte digest moments: pure md5 arithmetic, SQL-expressible.
+    f0 = f1 = log1p(16); gray replicates to all three channels."""
+    f01 = "round(ln(17.0), 6)"  # log1p(width=16) == log1p(height=16)
+    return (
+        "WITH d AS (SELECT 'jpg' || CAST(doc_id AS VARCHAR) AS url, "
+        "md5('jpg' || CAST(doc_id AS VARCHAR)) AS hx FROM documents), "
+        "b AS (SELECT url, list_transform(range(0, 4), i -> "
+        "CAST(concat('0x', substr(hx, 1 + 2*i, 2)) AS INTEGER)) AS bs "
+        "FROM d), "
+        "m AS (SELECT url, bs, list_avg(bs) AS mu FROM b), "
+        "s AS (SELECT url, mu, sqrt(list_avg(list_transform(bs, "
+        "x -> (x - mu) * (x - mu)))) AS sd FROM m) "
+        f"SELECT url, {f01} AS f0, {f01} AS f1, "
+        "round(mu / 255.0, 6) AS f2, round(mu / 255.0, 6) AS f3, "
+        "round(mu / 255.0, 6) AS f4, round(sd / 255.0, 6) AS f5, "
+        "round(sd / 255.0, 6) AS f6, round(sd / 255.0, 6) AS f7 "
+        "FROM s ORDER BY url")
+
+
 def multimodal_resize_sql(width: int = 8, height: int = 8) -> str:
     """Oracle for the fake resize stage: output = first width*height*3
     bytes of the payload (ASCII html, so char slice == byte slice)."""

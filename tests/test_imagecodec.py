@@ -99,7 +99,9 @@ def test_bmp_ppm_roundtrip_and_sniff():
     assert np.array_equal(decode_ppm(ppm), img)
     assert sniff_mime(encode_png(img)) == "image/png"
     assert sniff_mime(encode_bmp(img)) == "image/bmp"
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    # JPEG now dispatches to the real baseline decoder, which rejects a
+    # truncated/garbage stream as a decode error (not NotImplemented)
+    with pytest.raises(ImageDecodeError):
         decode_image(b"\xff\xd8\xff rest")
     with pytest.raises(ImageDecodeError):
         decode_png(b"not a png at all")
@@ -150,3 +152,95 @@ def test_spark_real_resize_roundtrip(spark):
         dec = decode_png(bytes(r["resized"]))
         want = resize_nearest(imgs[r["url"]], 8, 9)
         assert np.array_equal(dec, want), r["url"]
+
+
+# ----------------------------------------------------------------- JPEG --
+def test_jpeg_flat_blocks_lossless():
+    """Unit quantization + flat 8x8 blocks: DCT is DC-only and exact,
+    so baseline JPEG round-trips losslessly (the oracle's invariant)."""
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_gray)
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 256, (3, 4))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img))
+    assert out.shape == (24, 32, 3)
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 1], img)  # gray replicated
+
+
+def test_jpeg_noise_roundtrip_tolerance():
+    """Arbitrary content with q=1: only float DCT/IDCT rounding, so the
+    round-trip error is at most 1 LSB gray / 2 LSB after YCbCr."""
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_gray, encode_jpeg_rgb)
+    rng = np.random.RandomState(12)
+    g = rng.randint(0, 256, (16, 40)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg_gray(g))[:, :, 0]
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 1
+    c = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    dc = decode_jpeg(encode_jpeg_rgb(c))
+    assert np.abs(dc.astype(int) - c.astype(int)).max() <= 2
+
+
+def test_jpeg_quant_lossy_but_bounded():
+    """A real quantization table is lossy; error stays bounded by the
+    quant step energy (coarse sanity that dequantization multiplies)."""
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_gray)
+    rng = np.random.RandomState(13)
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    q = np.clip(np.arange(64) + 2, 2, 40)
+    d = decode_jpeg(encode_jpeg_gray(g, quant=q))[:, :, 0]
+    err = np.abs(d.astype(int) - g.astype(int)).max()
+    assert 0 < err < 128  # lossy, but decodes in range
+
+
+def test_jpeg_restart_intervals_value_identical():
+    """DRI/RSTn: restart markers reset DC prediction and byte-align; the
+    decoded image must be identical for any interval."""
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_gray)
+    rng = np.random.RandomState(14)
+    g = rng.randint(0, 256, (24, 16)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(g))
+    for ri in (1, 2, 3, 7):
+        out = decode_jpeg(encode_jpeg_gray(g, restart_interval=ri))
+        assert np.array_equal(out, base), f"interval {ri}"
+
+
+def test_jpeg_420_subsampling():
+    """4:2:0: luma full-res (2x2 blocks per MCU), chroma box-averaged;
+    gray content (flat chroma) must survive within rounding, and flat
+    color exactly."""
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_rgb)
+    rng = np.random.RandomState(15)
+    g = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    out = decode_jpeg(encode_jpeg_rgb(img, subsample=True))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    flat = np.full((16, 16, 3), (12, 200, 77), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_rgb(flat, subsample=True)), flat)
+
+
+def test_jpeg_progressive_rejected():
+    """Progressive (SOF2) stays an honest error, not a wrong answer."""
+    from nacc_form_validator_spark.operators.imagecodec import (
+        ImageDecodeError)
+    from nacc_form_validator_spark.operators.jpegcodec import decode_jpeg
+    bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + bytes(9)
+    with pytest.raises(ImageDecodeError, match="baseline"):
+        decode_jpeg(bad)
+
+
+def test_jpeg_dispatch_and_sniff():
+    from nacc_form_validator_spark.operators.imagecodec import (
+        decode_image, sniff_mime)
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        encode_jpeg_gray)
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    jp = encode_jpeg_gray(img)
+    assert sniff_mime(jp) == "image/jpeg"
+    assert np.array_equal(decode_image(jp)[:, :, 0], img)
