@@ -9,6 +9,7 @@ applied to whole DataFrames.
 from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
                                                             doc_stats,
                                                             gopher_sql,
+                                                            packed_word_fold,
                                                             with_doc_stats)
 from nacc_form_validator_spark.functions.langid import (langid_expr,
                                                         langid_sql,
@@ -19,7 +20,8 @@ from nacc_form_validator_spark.functions.scrub import (scrub_expr, scrub_hits,
                                                        scrub_sql, with_scrub)
 
 __all__ = [
-    "GOPHER_RULES", "doc_stats", "gopher_sql", "with_doc_stats",
+    "GOPHER_RULES", "doc_stats", "gopher_sql", "packed_word_fold",
+    "with_doc_stats",
     "langid_expr", "langid_sql", "make_langid_udf",
     "make_ppl_bigram_udf", "ppl_bigram_py", "ppl_unigram_expr",
     "ppl_unigram_sql", "scrub_expr", "scrub_hits", "scrub_sql", "with_scrub",

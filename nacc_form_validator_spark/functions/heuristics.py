@@ -27,20 +27,45 @@ def words(text: Column) -> Column:
     return F.array_remove(F.split(text, r"\s+"), "")
 
 
-def doc_stats(text: Column, w: Column = None, lines: Column = None) -> dict:
+def packed_word_fold(w: Column) -> Column:
+    """ONE per-word fold producing total word length + stopword count,
+    packed into a single primitive LONG accumulator
+    (``total_wl << 32 | stops``).
+
+    A single traversal replaces the previous transform(length)+aggregate
+    pair plus a second stopword fold.  The round-3 struct-accumulator
+    attempt was 2.5x SLOWER (BENCH.md) — per-element struct allocation,
+    not traversal, was the cost; a packed long allocates nothing.  No
+    overflow: stops < n_words < 2^31 and total_wl <= n_chars < 2^31
+    (JVM string limit), so the packed value stays under 2^63.
+
+    HOFs are interpreted (outside codegen subexpression elimination), so
+    a Column referenced N times re-runs the fold N times.  Materialize
+    this ONCE as an aux column and pass it to :func:`doc_stats` via
+    ``packed=`` — `with_doc_stats` / the pipeline do exactly that."""
+    return F.aggregate(
+        w, F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x).cast("long") * F.lit(1 << 32) +
+        F.when(x.isin(*STOPWORDS),
+               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+
+
+def doc_stats(text: Column, w: Column = None, lines: Column = None,
+              packed: Column = None) -> dict:
     """All heuristic stat Columns keyed by output name.
 
-    Pass materialized ``w`` (word array) / ``lines`` columns when deriving
-    many stats at once: otherwise each stat inlines its own split+filter
-    subtree into the plan (same values, ~6x the row work).
+    Pass materialized ``w`` (word array) / ``lines`` / ``packed``
+    (:func:`packed_word_fold`) columns when deriving many stats at once:
+    otherwise each stat inlines its own split+filter/fold subtree into
+    the plan (same values, ~6x the row work).
     """
     if w is None:
         w = words(text)
     if lines is None:
         lines = F.array_remove(F.split(text, r"\n"), "")
+    if packed is None:
+        packed = packed_word_fold(w)
     n_words = F.size(w)
-    wl = F.transform(w, lambda x: F.length(x))
-    total_wl = F.aggregate(wl, F.lit(0), lambda a, x: a + x)
     n_chars = F.length(text)
     # character-class counts via translate (single lookup pass, no regex
     # engine) — value-identical to the regex forms the oracle uses:
@@ -55,9 +80,8 @@ def doc_stats(text: Column, w: Column = None, lines: Column = None) -> dict:
     symbols = F.length(F.translate(text, _ALPHA + _DIGIT + _WS, ""))
     stop_hits = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in
                                                       STOPWORDS])))
-    stop_count = F.aggregate(
-        w, F.lit(0),
-        lambda a, x: a + F.when(x.isin(*STOPWORDS), 1).otherwise(0))
+    total_wl = F.shiftright(packed, 32)
+    stop_count = packed.bitwiseAND(F.lit((1 << 32) - 1))
     n_lines = F.size(lines)
     n_distinct_lines = F.size(F.array_distinct(lines))
     n_distinct_words = F.size(F.array_distinct(w))
@@ -92,11 +116,13 @@ def with_doc_stats(df: DataFrame, text_col: str = "text",
     so the split work happens once per row."""
     text = F.col(text_col)
     df = df.withColumn("__qf_words", words(text)).withColumn(
-        "__qf_lines", F.array_remove(F.split(text, r"\n"), ""))
-    cols = doc_stats(text, w=F.col("__qf_words"), lines=F.col("__qf_lines"))
+        "__qf_lines", F.array_remove(F.split(text, r"\n"), "")).withColumn(
+        "__qf_packed", packed_word_fold(F.col("__qf_words")))
+    cols = doc_stats(text, w=F.col("__qf_words"), lines=F.col("__qf_lines"),
+                     packed=F.col("__qf_packed"))
     for name, col in cols.items():
         df = df.withColumn(prefix + name, col)
-    return df.drop("__qf_words", "__qf_lines")
+    return df.drop("__qf_words", "__qf_lines", "__qf_packed")
 
 
 #: default Gopher-ish gate thresholds, expressed as an engine rule spec —

@@ -42,7 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
-                                                            doc_stats)
+                                                            doc_stats,
+                                                            packed_word_fold)
 from nacc_form_validator_spark.functions.heuristics import words as _words_col
 from nacc_form_validator_spark.functions.langid import (langid_from_words,
                                                         make_langid_udf)
@@ -126,9 +127,11 @@ class QualityFilterPipeline:
         shared across every stat and the language-ID argmax."""
         text = F.col("text")
         df = pages.withColumn("__qf_w", _words_col(text)).withColumn(
-            "__qf_lines", F.array_remove(F.split(text, r"\n"), ""))
+            "__qf_lines", F.array_remove(F.split(text, r"\n"), "")
+        ).withColumn("__qf_packed", packed_word_fold(F.col("__qf_w")))
         stats = doc_stats(text, w=F.col("__qf_w"),
-                          lines=F.col("__qf_lines"))
+                          lines=F.col("__qf_lines"),
+                          packed=F.col("__qf_packed"))
         for name, col in stats.items():
             if name == "n_chars" and "n_chars" in df.columns:
                 continue
@@ -167,7 +170,7 @@ class QualityFilterPipeline:
             F.when(F.col("lang").isNull() | (F.col("lang") == ""),
                    F.lit(True)).otherwise(
                        F.col("lang_pred").eqNullSafe(F.col("lang"))))
-        return df.drop("__qf_w", "__qf_lines", "__qf_wlc")
+        return df.drop("__qf_w", "__qf_lines", "__qf_wlc", "__qf_packed")
 
     # ------------------------------------------------------------------
     def _cheap_alive(self, stat_fields) -> Column:
