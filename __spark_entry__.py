@@ -541,6 +541,13 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash pairs -> alternating large-star/small-star connected
+    components -> per-document (cluster_id, keep) dedup decision."""
+    from nacc_form_validator_spark.operators.dedup import dedup_components
+    return dedup_components(_docs(spark, sf_dir))
+
+
 def q_simhash(spark, sf_dir):
     from nacc_form_validator_spark.operators.dedup import with_simhash
     return with_simhash(_docs(spark, sf_dir)).orderBy("id")
@@ -1020,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_signatures": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
@@ -1083,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracle.simhash_pairs_sql(),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
+        "dedup_clusters": oracle.dedup_components_sql(),
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "simsearch_lsh": oracle.lsh_topk_sql(),

@@ -1,6 +1,8 @@
 """Corpus-level operators: dedup, similarity search, text stats, multimodal."""
 
-from nacc_form_validator_spark.operators.dedup import (embedding_neardup_pairs,
+from nacc_form_validator_spark.operators.dedup import (connected_components,
+                                                       dedup_components,
+                                                       embedding_neardup_pairs,
                                                        exact_dedup,
                                                        minhash_lsh_pairs,
                                                        minhash_signature,
@@ -18,6 +20,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
                                                            whitespace_token_count)
 
 __all__ = [
+    "connected_components", "dedup_components",
     "embedding_neardup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_pairs",
     "simhash_band_plan", "lsh_band_plan", "with_simhash_bands",

@@ -482,3 +482,100 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
             .where(F.col("cos") >= threshold)
             .distinct()
             .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: pairs are only
+# CANDIDATES; the actual dedup decision needs each document's duplicate
+# CLUSTER (transitive closure) and one kept representative per cluster.
+# The reference has no graph step (per-record validation only); this is
+# the recast's corpus-level analogue of its "first record wins" keep
+# semantics (nacc_validator.py primary-key check).
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 30) -> DataFrame:
+    """Component label (= min node id, lexicographic) per node, via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Why this and not plain min-label propagation: label propagation
+    needs O(graph diameter) rounds; large-star/small-star converges in
+    O(log^2 n) rounds independent of diameter, and every round is just
+    groupBy-min + join on node ids — no collect_list, so a hot node
+    (an LSH bucket clique center) never materializes its neighbor list
+    in one task.  Per round the edge set only shrinks toward stars.
+
+    Driver loop holds ONLY a (count, hash) convergence signature per
+    round — never edges.  Each round's result is localCheckpoint-ed to
+    truncate lineage (on a real cluster with executor churn, swap for
+    ``checkpoint()`` against a reliable dir).
+
+    Returns (id, component) for every NON-MINIMUM node of each
+    component; component minima and singletons are absent (they map to
+    themselves) — callers coalesce, see :func:`dedup_components`.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    # orient larger -> smaller so both stars share one representation
+    e = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .distinct().localCheckpoint())
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        # large-star: m(u) = min(N(u) + {u}); attach every LARGER
+        # neighbor v > u to m  ->  (v, m)
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (sym.where(F.col("v") > F.col("u"))
+                 .join(m, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        e1 = (large.where(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint())
+        # small-star on (larger -> smaller) edges: m(u) = min neighbor;
+        # attach u and every smaller neighbor to m
+        ms = e1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (e1.join(ms, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(ms.select(F.col("u"), F.col("m").alias("v"))))
+        e = (small.where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint())
+        # (count, xor-of-hashes) edge-set signature: order-independent
+        # and overflow-free under ANSI mode (sum of 64-bit hashes isn't)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"alternating rounds (O(log^2 n) expected)")
+    return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+
+
+def dedup_components(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                     n: int = 3, pairs: DataFrame = None) -> DataFrame:
+    """End-to-end fuzzy-dedup DECISION per document: MinHash-LSH
+    candidate pairs -> connected components -> (doc_id, cluster_id,
+    keep), keep = doc is its cluster's lexicographic-min id (singletons
+    keep themselves).  Pass ``pairs`` to cluster the output of any
+    other pair generator (simhash_pairs, embedding_neardup_pairs_lsh)
+    with the same semantics."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands,
+                                  n=n)
+    comp = connected_components(pairs)
+    out = (df.select(F.col(id_col))
+           .join(comp, df[id_col] == comp["id"], "left")
+           .select(F.col(id_col),
+                   F.coalesce(F.col("component"),
+                              F.col(id_col)).alias("cluster_id")))
+    return (out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+            .orderBy(id_col))

@@ -121,7 +121,8 @@ def _shingles(n: int = 3) -> str:
             f"list_slice({w}, i + 1, i + {n}), ' ')), s -> s <> ''))")
 
 
-def minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+def _minhash_ctes(k: int = 8, bands: int = 4, n: int = 3):
+    """(cte_body, pair_select) shared by the pair and component oracles."""
     rows = k // bands
     sh = _shingles(n)
     sig_cols = ", ".join(
@@ -133,12 +134,38 @@ def minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
         band_rows.append(f"SELECT id, {b} AS band, md5({key}) AS key "
                          f"FROM sigs")
     banded = " UNION ALL ".join(band_rows)
-    return (f"WITH sh AS (SELECT doc_id AS id, {sh} AS sh FROM documents), "
+    ctes = (f"sh AS (SELECT doc_id AS id, {sh} AS sh FROM documents), "
             f"sigs AS (SELECT id, {sig_cols} FROM sh), "
-            f"banded AS ({banded}) "
-            f"SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
-            f"JOIN banded r ON l.band = r.band AND l.key = r.key AND "
-            f"l.id < r.id ORDER BY id_a, id_b")
+            f"banded AS ({banded})")
+    pair_select = (
+        "SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
+        "JOIN banded r ON l.band = r.band AND l.key = r.key AND "
+        "l.id < r.id")
+    return ctes, pair_select
+
+
+def minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    return f"WITH {ctes} {pair_select} ORDER BY id_a, id_b"
+
+
+def dedup_components_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+    """Transitive-closure oracle for dedup_components: min reachable id
+    per document over the symmetrized MinHash-LSH pair graph, via a
+    recursive CTE (the Spark side runs alternating large-star /
+    small-star — same fixpoint, different algorithm)."""
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    return (
+        f"WITH RECURSIVE {ctes}, "
+        f"pairs AS ({pair_select}), "
+        f"edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        f"UNION SELECT id_b, id_a FROM pairs), "
+        f"reach(u, lab) AS ("
+        f"SELECT doc_id, doc_id FROM documents "
+        f"UNION "
+        f"SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u) "
+        f"SELECT u AS doc_id, min(lab) AS cluster_id, "
+        f"min(lab) = u AS keep FROM reach GROUP BY u ORDER BY doc_id")
 
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8) -> str:
