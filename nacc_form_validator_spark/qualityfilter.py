@@ -45,7 +45,8 @@ from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
                                                             doc_stats,
                                                             packed_word_fold)
 from nacc_form_validator_spark.functions.heuristics import words as _words_col
-from nacc_form_validator_spark.functions.langid import (langid_from_words,
+from nacc_form_validator_spark.functions.langid import (langid_from_packed,
+                                                        langid_packed_folds,
                                                         make_langid_udf)
 from nacc_form_validator_spark.functions.perplexity import (
     make_ppl_bigram_udf, ppl_unigram_expr, with_ppl_unigram)
@@ -161,16 +162,24 @@ class QualityFilterPipeline:
                 df = df.withColumn("lang_pred", langid_udf(F.col("text")))
                 df = df.withColumn("ppl", ppl_udf(F.col("text")))
         else:
-            df = df.withColumn(
-                "lang_pred",
-                langid_from_words(F.col("text"), F.col("__qf_wlc")))
+            # two packed profile folds, materialized once each (aux
+            # columns — the unpack references them twice; see
+            # langid.langid_packed_folds)
+            lp1, lp2 = langid_packed_folds(F.col("__qf_wlc"))
+            df = (df.withColumn("__qf_lp1", lp1)
+                  .withColumn("__qf_lp2", lp2)
+                  .withColumn("lang_pred",
+                              langid_from_packed(F.col("text"),
+                                                 F.col("__qf_lp1"),
+                                                 F.col("__qf_lp2"))))
             df = with_ppl_unigram(df, "text", "ppl")
         df = df.withColumn(
             "lang_ok",
             F.when(F.col("lang").isNull() | (F.col("lang") == ""),
                    F.lit(True)).otherwise(
                        F.col("lang_pred").eqNullSafe(F.col("lang"))))
-        return df.drop("__qf_w", "__qf_lines", "__qf_wlc", "__qf_packed")
+        return df.drop("__qf_w", "__qf_lines", "__qf_wlc", "__qf_packed",
+                       "__qf_lp1", "__qf_lp2")
 
     # ------------------------------------------------------------------
     def _cheap_alive(self, stat_fields) -> Column:
