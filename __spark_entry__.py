@@ -541,6 +541,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_html_extract(spark, sf_dir):
+    """Re-extract text from the raw html binary payload and assert byte
+    identity with the carried text column (functions/extract.py)."""
+    from nacc_form_validator_spark.functions.extract import (
+        with_extracted_text)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    out = with_extracted_text(pages)
+    return (out.select("url", "warc_ts", "extracted_text",
+                       (F.col("extracted_text") == F.col("text")).alias(
+                           "byte_identical"))
+            .orderBy("url", "warc_ts"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> alternating large-star/small-star connected
     components -> per-document (cluster_id, keep) dedup decision."""
@@ -1028,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "html_extract": q_html_extract,
         "simhash_signatures": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
@@ -1092,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
         "dedup_clusters": oracle.dedup_components_sql(),
+        "html_extract": oracle.html_extract_sql(),
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "simsearch_lsh": oracle.lsh_topk_sql(),

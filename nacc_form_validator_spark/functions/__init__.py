@@ -11,6 +11,9 @@ from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
                                                             gopher_sql,
                                                             packed_word_fold,
                                                             with_doc_stats)
+from nacc_form_validator_spark.functions.extract import (extract_text,
+                                                         extract_text_sql,
+                                                         with_extracted_text)
 from nacc_form_validator_spark.functions.langid import (langid_expr,
                                                         langid_sql,
                                                         make_langid_udf)
@@ -22,6 +25,7 @@ from nacc_form_validator_spark.functions.scrub import (scrub_expr, scrub_hits,
 __all__ = [
     "GOPHER_RULES", "doc_stats", "gopher_sql", "packed_word_fold",
     "with_doc_stats",
+    "extract_text", "extract_text_sql", "with_extracted_text",
     "langid_expr", "langid_sql", "make_langid_udf",
     "make_ppl_bigram_udf", "ppl_bigram_py", "ppl_unigram_expr",
     "ppl_unigram_sql", "scrub_expr", "scrub_hits", "scrub_sql", "with_scrub",

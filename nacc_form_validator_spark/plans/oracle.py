@@ -1104,3 +1104,17 @@ def host_stats_sql() -> str:
             f"CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_pages, "
             f"CAST(count(*) AS BIGINT) AS n_urls "
             f"FROM documents GROUP BY 1 ORDER BY host")
+
+
+def html_extract_sql() -> str:
+    """Byte-identity oracle for the html->text extraction stage
+    (functions/extract.py): re-extracting from the raw payload must
+    reproduce the ``text`` column exactly, per (url, warc_ts)."""
+    from nacc_form_validator_spark.functions.extract import extract_text_sql
+    ext = extract_text_sql("html")
+    return (
+        f"WITH p AS ({pages_cte(True)}), "
+        f"h AS (SELECT url, warc_ts, text, '<html><body><p>' || text || "
+        f"'</p></body></html>' AS html FROM p) "
+        f"SELECT url, warc_ts, {ext} AS extracted_text, "
+        f"({ext} = text) AS byte_identical FROM h ORDER BY url, warc_ts")
