@@ -554,6 +554,17 @@ def q_html_extract(spark, sf_dir):
             .orderBy("url", "warc_ts"))
 
 
+def q_url_filter(spark, sf_dir):
+    """Broadcast host-blocklist gate over the pages table
+    (functions/urlfilter.py)."""
+    from nacc_form_validator_spark.functions.urlfilter import with_url_filter
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    out = with_url_filter(pages, blocked_hosts=["host3.example",
+                                                "host7.example"])
+    return (out.select("url", "warc_ts", "host", "url_blocked")
+            .orderBy("url", "warc_ts"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> alternating large-star/small-star connected
     components -> per-document (cluster_id, keep) dedup decision."""
@@ -1042,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "html_extract": q_html_extract,
+        "qf_url_filter": q_url_filter,
         "simhash_signatures": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
@@ -1107,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
         "dedup_clusters": oracle.dedup_components_sql(),
         "html_extract": oracle.html_extract_sql(),
+        "qf_url_filter": oracle.url_filter_sql(),
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "simsearch_lsh": oracle.lsh_topk_sql(),

@@ -21,6 +21,9 @@ from nacc_form_validator_spark.functions.perplexity import (
     make_ppl_bigram_udf, ppl_bigram_py, ppl_unigram_expr, ppl_unigram_sql)
 from nacc_form_validator_spark.functions.scrub import (scrub_expr, scrub_hits,
                                                        scrub_sql, with_scrub)
+from nacc_form_validator_spark.functions.urlfilter import (domain_key,
+                                                           url_host,
+                                                           with_url_filter)
 
 __all__ = [
     "GOPHER_RULES", "doc_stats", "gopher_sql", "packed_word_fold",
@@ -29,4 +32,5 @@ __all__ = [
     "langid_expr", "langid_sql", "make_langid_udf",
     "make_ppl_bigram_udf", "ppl_bigram_py", "ppl_unigram_expr",
     "ppl_unigram_sql", "scrub_expr", "scrub_hits", "scrub_sql", "with_scrub",
+    "domain_key", "url_host", "with_url_filter",
 ]

@@ -1118,3 +1118,16 @@ def html_extract_sql() -> str:
         f"'</p></body></html>' AS html FROM p) "
         f"SELECT url, warc_ts, {ext} AS extracted_text, "
         f"({ext} = text) AS byte_identical FROM h ORDER BY url, warc_ts")
+
+
+def url_filter_sql() -> str:
+    """Oracle for the broadcast host-blocklist gate
+    (functions/urlfilter.py): shared host-extraction regex + IN list."""
+    from nacc_form_validator_spark.functions.urlfilter import url_host_sql
+    host = url_host_sql("url")
+    return (
+        f"WITH p AS ({pages_cte(True)}), "
+        f"h AS (SELECT url, warc_ts, {host} AS host FROM p) "
+        f"SELECT url, warc_ts, host, "
+        f"(host IN ('host3.example', 'host7.example')) AS url_blocked "
+        f"FROM h ORDER BY url, warc_ts")
