@@ -554,6 +554,17 @@ def q_html_extract(spark, sf_dir):
             .orderBy("url", "warc_ts"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-overlap decontamination: docs sharing a 4-gram with the
+    probe subset (doc_id %% 97 == 0) are flagged
+    (operators/decontaminate.py)."""
+    from nacc_form_validator_spark.operators.decontaminate import (
+        contamination_report)
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_report(docs, probes, n=4)
+
+
 def q_url_filter(spark, sf_dir):
     """Broadcast host-blocklist gate over the pages table
     (functions/urlfilter.py)."""
@@ -1054,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "html_extract": q_html_extract,
         "qf_url_filter": q_url_filter,
+        "decontaminate": q_decontaminate,
         "simhash_signatures": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
@@ -1120,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.dedup_components_sql(),
         "html_extract": oracle.html_extract_sql(),
         "qf_url_filter": oracle.url_filter_sql(),
+        "decontaminate": oracle.decontaminate_sql(),
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "simsearch_lsh": oracle.lsh_topk_sql(),

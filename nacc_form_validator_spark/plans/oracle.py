@@ -1131,3 +1131,20 @@ def url_filter_sql() -> str:
         f"SELECT url, warc_ts, host, "
         f"(host IN ('host3.example', 'host7.example')) AS url_blocked "
         f"FROM h ORDER BY url, warc_ts")
+
+
+def decontaminate_sql(n: int = 4, probe_mod: int = 97) -> str:
+    """Oracle for contamination_report: distinct n-word shingles of each
+    document probed against the shingle set of the benchmark subset
+    (doc_id % probe_mod == 0), counted per document."""
+    sh = _shingles(n)
+    return (
+        f"WITH d AS (SELECT doc_id AS id, {sh} AS sh FROM documents), "
+        f"ps AS (SELECT DISTINCT unnest(sh) AS s FROM d "
+        f"WHERE id % {probe_mod} = 0), "
+        f"ds AS (SELECT id, unnest(sh) AS s FROM d), "
+        f"hits AS (SELECT id, count(*) AS m FROM ds JOIN ps USING (s) "
+        f"GROUP BY id) "
+        f"SELECT doc_id, CAST(coalesce(m, 0) AS BIGINT) AS matched_ngrams, "
+        f"(coalesce(m, 0) > 0) AS contaminated FROM documents "
+        f"LEFT JOIN hits ON doc_id = id ORDER BY doc_id")
