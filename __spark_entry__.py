@@ -554,6 +554,15 @@ def q_html_extract(spark, sf_dir):
             .orderBy("url", "warc_ts"))
 
 
+def q_full_corpus(spark, sf_dir):
+    """Composed corpus pass: url gate -> html re-extraction -> heuristic
+    bounds -> exact-dedup keep, one wide op total (operators/corpus.py)."""
+    from nacc_form_validator_spark.operators.corpus import full_corpus_pass
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return full_corpus_pass(pages, blocked_hosts=["host3.example",
+                                                  "host7.example"])
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark-overlap decontamination: docs sharing a 4-gram with the
     probe subset (doc_id %% 97 == 0) are flagged
@@ -1066,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "qf_url_filter": q_url_filter,
         "decontaminate": q_decontaminate,
+        "qf_full_corpus": q_full_corpus,
         "simhash_signatures": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
@@ -1133,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": oracle.html_extract_sql(),
         "qf_url_filter": oracle.url_filter_sql(),
         "decontaminate": oracle.decontaminate_sql(),
+        "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),
         "simsearch_topk": oracle.brute_topk_sql(),
         "simsearch_lsh": oracle.lsh_topk_sql(),

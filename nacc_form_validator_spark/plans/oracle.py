@@ -1148,3 +1148,36 @@ def decontaminate_sql(n: int = 4, probe_mod: int = 97) -> str:
         f"SELECT doc_id, CAST(coalesce(m, 0) AS BIGINT) AS matched_ngrams, "
         f"(coalesce(m, 0) > 0) AS contaminated FROM documents "
         f"LEFT JOIN hits ON doc_id = id ORDER BY doc_id")
+
+
+def full_corpus_sql() -> str:
+    """Oracle for operators/corpus.py full_corpus_pass.  Stats and the
+    dedup digest are computed over the carried ``text`` column while the
+    Spark side re-extracts from the html payload — so a divergent
+    extractor fails this hash even though the stats formulas match."""
+    from nacc_form_validator_spark.functions.urlfilter import url_host_sql
+    g = gopher_sql("text")
+    host = url_host_sql("url")
+    rules_ok = (
+        f"({g['n_words']} >= 5 AND {g['n_words']} <= 200000 "
+        f"AND ({g['mean_word_len']} IS NULL OR ({g['mean_word_len']} >= 2.0 "
+        f"AND {g['mean_word_len']} <= 12.0)) "
+        f"AND ({g['symbol_ratio']} IS NULL OR {g['symbol_ratio']} <= 0.3) "
+        f"AND ({g['stopword_ratio']} IS NULL OR "
+        f"{g['stopword_ratio']} >= 0.002) "
+        f"AND ({g['dup_line_ratio']} IS NULL OR "
+        f"{g['dup_line_ratio']} <= 0.5) "
+        f"AND ({g['word_rep_ratio']} IS NULL OR "
+        f"{g['word_rep_ratio']} <= 0.9))")
+    return (
+        f"WITH p AS ({pages_cte(True)}), "
+        f"f AS (SELECT url, warc_ts, "
+        f"({host} IN ('host3.example', 'host7.example')) AS url_blocked, "
+        f"{rules_ok} AS rules_ok, md5({NORM}) AS digest FROM p), "
+        f"r AS (SELECT url, warc_ts, url_blocked, rules_ok, "
+        f"(NOT url_blocked AND rules_ok) AS alive, "
+        f"sum(CASE WHEN NOT url_blocked AND rules_ok THEN 1 ELSE 0 END) "
+        f"OVER (PARTITION BY digest ORDER BY url, warc_ts "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ar FROM f) "
+        f"SELECT url, warc_ts, url_blocked, rules_ok, "
+        f"(alive AND ar = 1) AS final_keep FROM r ORDER BY url, warc_ts")
