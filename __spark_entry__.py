@@ -585,6 +585,42 @@ def q_url_filter(spark, sf_dir):
             .orderBy("url", "warc_ts"))
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + canonical-key dedup
+    (functions/urlcanon.py): each doc emits 3 deterministic messy
+    variants (case+default-port+tracking params / fragment / trailing
+    slash) that must collapse to ONE canonical group; every 7th doc
+    adds an unparseable url exercising the passthrough branch."""
+    from nacc_form_validator_spark.functions.urlcanon import canonical_dedup
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.sqrt(F.col("doc_id") % 256)).cast("int").alias("hb"))
+    v0 = F.concat(F.lit("https://host"), F.col("hb"),
+                  F.lit(".example/p/"), F.col("doc_id"))
+    v1 = F.concat(F.lit("HTTPS://Host"), F.col("hb"),
+                  F.lit(".Example:443/p/"), F.col("doc_id"),
+                  F.lit("?utm_source=feed&utm_campaign=c"),
+                  F.col("doc_id") % 3)
+    v2 = F.concat(v0, F.lit("/#sec-2"))
+    urls = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.array(v0, v1, v2,
+                F.concat(F.lit("not-a-url-"), F.col("doc_id")))
+    ).otherwise(F.array(v0, v1, v2))
+    rows = d.select(F.explode(urls).alias("url"))
+    return (canonical_dedup(rows)
+            .select("url", "canonical_url", "url_keep")
+            .orderBy("url"))
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail perplexity tertiles
+    (functions/perplexity.py ppl_buckets): exact deterministic cuts
+    under the value oracle."""
+    from nacc_form_validator_spark.functions.perplexity import ppl_buckets
+    return ppl_buckets(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> alternating large-star/small-star connected
     components -> per-document (cluster_id, keep) dedup decision."""
@@ -1074,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "html_extract": q_html_extract,
         "qf_url_filter": q_url_filter,
+        "url_canonicalize": q_url_canonicalize,
+        "ppl_buckets": q_ppl_buckets,
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
         "simhash_signatures": q_simhash,
@@ -1142,6 +1180,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.dedup_components_sql(),
         "html_extract": oracle.html_extract_sql(),
         "qf_url_filter": oracle.url_filter_sql(),
+        "url_canonicalize": oracle.url_canonicalize_sql(),
+        "ppl_buckets": oracle.ppl_buckets_sql(),
         "decontaminate": oracle.decontaminate_sql(),
         "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),

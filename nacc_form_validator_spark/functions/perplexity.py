@@ -302,3 +302,51 @@ def ppl_trained_bigram(docs, id_col: str = "doc_id",
             .select("id", F.col("n_bigrams").cast("long").alias(
                 "n_bigrams"), "ppl")
             .orderBy("id"))
+
+
+def ppl_buckets(docs, id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang"):
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data": each language's corpus splits into
+    perplexity tertiles; the head third trains, the tail third drops).
+
+    Exact tertiles from a deterministic total order (ppl asc, id asc) —
+    NOT ``ntile``, whose tie distribution is engine-specific; docs with
+    null perplexity (empty text) land in ``tail``.  Scale shape: one
+    Exchange on the language key; per-language groups at web scale are
+    huge, so the production spelling re-cuts each language into
+    (lang, salt) ranges via approx quantiles first — the exact window
+    here is the verification/oracle form, same relationship as
+    dedup.ngram_jaccard to MinHash."""
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("id"),
+                    F.col(lang_col).alias("lang"),
+                    ppl_unigram_expr(F.col(text_col)).alias("ppl"))
+    part = Window.partitionBy("lang")
+    w = part.orderBy(F.col("ppl").asc_nulls_last(), F.col("id"))
+    n = F.count("ppl").over(part)
+    rn = F.row_number().over(w)
+    bucket = (F.when(F.col("ppl").isNull(), "tail")
+              .when(rn * 3 <= n, "head")
+              .when(rn * 3 <= 2 * n, "middle")
+              .otherwise("tail"))
+    return (d.withColumn("bucket", bucket)
+            .select("id", "lang", "ppl", "bucket").orderBy("id"))
+
+
+def ppl_buckets_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`ppl_buckets` (same order, same cuts)."""
+    return (
+        f"WITH d AS (SELECT doc_id AS id, lang, "
+        f"{ppl_unigram_sql('text')} AS ppl FROM {table}), "
+        f"r AS (SELECT id, lang, ppl, "
+        f"count(ppl) OVER (PARTITION BY lang) AS n, "
+        f"row_number() OVER (PARTITION BY lang "
+        f"ORDER BY ppl ASC NULLS LAST, id) AS rn FROM d) "
+        f"SELECT id, lang, ppl, "
+        f"CASE WHEN ppl IS NULL THEN 'tail' "
+        f"WHEN rn * 3 <= n THEN 'head' "
+        f"WHEN rn * 3 <= 2 * n THEN 'middle' "
+        f"ELSE 'tail' END AS bucket FROM r ORDER BY id")

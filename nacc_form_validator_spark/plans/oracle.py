@@ -1181,3 +1181,33 @@ def full_corpus_sql() -> str:
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ar FROM f) "
         f"SELECT url, warc_ts, url_blocked, rules_ok, "
         f"(alive AND ar = 1) AS final_keep FROM r ORDER BY url, warc_ts")
+
+
+def url_canonicalize_sql() -> str:
+    """Oracle for functions/urlcanon.py canonical_dedup over the same
+    deterministic messy-url synthesis as __spark_entry__.q_url_canonicalize
+    (3 variants per doc + an unparseable url for every 7th doc)."""
+    from nacc_form_validator_spark.functions.urlcanon import (
+        canonical_url_sql)
+    canon = canonical_url_sql("url")
+    return (
+        "WITH m AS (SELECT doc_id, CAST(floor(sqrt(doc_id % 256)) AS "
+        "INTEGER) AS hb FROM documents), "
+        "u AS (SELECT u AS url FROM m, unnest([ "
+        "'https://host' || hb || '.example/p/' || doc_id, "
+        "'HTTPS://Host' || hb || '.Example:443/p/' || doc_id || "
+        "'?utm_source=feed&utm_campaign=c' || (doc_id % 3), "
+        "'https://host' || hb || '.example/p/' || doc_id || '/#sec-2' "
+        "]) AS t(u) "
+        "UNION ALL SELECT 'not-a-url-' || doc_id FROM m "
+        "WHERE doc_id % 7 = 0), "
+        f"c AS (SELECT url, {canon} AS canonical_url FROM u) "
+        "SELECT url, canonical_url, (row_number() OVER "
+        "(PARTITION BY canonical_url ORDER BY url) = 1) AS url_keep "
+        "FROM c ORDER BY url")
+
+
+def ppl_buckets_sql() -> str:
+    from nacc_form_validator_spark.functions.perplexity import (
+        ppl_buckets_sql as _sql)
+    return _sql()
