@@ -621,6 +621,26 @@ def q_ppl_buckets(spark, sf_dir):
     return ppl_buckets(_docs(spark, sf_dir))
 
 
+def q_nb_quality(spark, sf_dir):
+    """Corpus-trained Naive-Bayes quality classifier
+    (operators/selection.py): GOPHER_RULES labels distilled into a
+    linear bag-of-words scorer — the fastText-classifier stage of
+    C4-style pipelines with oracle-exact arithmetic."""
+    from nacc_form_validator_spark.operators.selection import (
+        nb_quality_scores)
+    return nb_quality_scores(_docs(spark, sf_dir))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance log-weights against the
+    trusted-source target subset (operators/selection.py)."""
+    from nacc_form_validator_spark.operators.selection import (
+        dsir_logweights)
+    docs = _docs(spark, sf_dir)
+    target = F.col("source").isin("src0", "src1", "src2", "src3")
+    return dsir_logweights(docs, target)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> alternating large-star/small-star connected
     components -> per-document (cluster_id, keep) dedup decision."""
@@ -1112,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_url_filter": q_url_filter,
         "url_canonicalize": q_url_canonicalize,
         "ppl_buckets": q_ppl_buckets,
+        "nb_quality": q_nb_quality,
+        "dsir_weights": q_dsir_weights,
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
         "simhash_signatures": q_simhash,
@@ -1182,6 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         "qf_url_filter": oracle.url_filter_sql(),
         "url_canonicalize": oracle.url_canonicalize_sql(),
         "ppl_buckets": oracle.ppl_buckets_sql(),
+        "nb_quality": oracle.nb_quality_sql(),
+        "dsir_weights": oracle.dsir_logweights_sql(),
         "decontaminate": oracle.decontaminate_sql(),
         "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),

@@ -1,0 +1,163 @@
+"""Model-based data selection: a corpus-trained Naive-Bayes quality
+classifier (the fastText-classifier stage of C4/CCNet-style pipelines —
+fastText IS a linear bag-of-words model, so an exact-count NB linear
+scorer reproduces the architecture with oracle-checkable arithmetic)
+and DSIR importance weights (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling": hashed-feature importance
+ratios between a target domain and the raw corpus).
+
+Reference analogue: both are score-then-threshold rules — the same
+shape as the reference's compute_gds scoring aggregate
+(/root/reference/nacc_form_validator/nacc_validator.py _check_with_gds):
+derive a per-record score from many fields, then gate on it.  Here the
+"fields" are token counts and the score is corpus-trained.
+
+Scale shapes (both):
+- training is ONE count aggregate over exploded tokens (map-side
+  partial combine, shuffle ships (word, counts) — never documents);
+- NB scoring joins the unbounded word table BY KEY (AQE picks
+  broadcast only when the trained table is actually small — same
+  contract as perplexity.ppl_trained_bigram);
+- DSIR hashes words into a FIXED number of buckets, so its model table
+  is bounded (``buckets`` rows) and genuinely broadcast-safe at any
+  corpus size — that bounded-feature design is the point of the paper.
+
+All smoothing is add-one over exact integer counts, so both operators
+are value-reproducible in DuckDB (plans/oracle.py nb_quality_sql /
+dsir_logweights_sql).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
+                                                            with_doc_stats)
+
+
+def _words(text: Column) -> Column:
+    """Lowercase whitespace tokens (same unit as the trained LM)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda s: s != "")
+
+
+def gopher_label() -> Column:
+    """Boolean training label derived from the GOPHER_RULES bound table
+    (heuristics.py): True iff every bounded stat is in range, nullable
+    stats passing when null — the rule cascade the classifier
+    distills.  Returns a Column valid on ``with_doc_stats(docs)``."""
+    ok = F.lit(True)
+    for stat, spec in GOPHER_RULES.items():
+        c = F.col(stat)
+        term = F.lit(True)
+        if "min" in spec:
+            term = term & (c >= spec["min"])
+        if "max" in spec:
+            term = term & (c <= spec["max"])
+        if spec.get("nullable"):
+            term = c.isNull() | term
+        ok = ok & term
+    return ok
+
+
+def nb_quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      broadcast_model: Optional[bool] = None
+                      ) -> DataFrame:
+    """(id, label, n_tokens, score, pred): train an add-one-smoothed
+    Naive-Bayes keep/drop classifier on the corpus's own GOPHER_RULES
+    labels, then score every document with it.
+
+    score = ln((N_pos+1)/(N_neg+1)) + sum_w [ln((c_pos(w)+1)/(T_pos+V))
+    - ln((c_neg(w)+1)/(T_neg+V))], rounded to 6 decimals; ``pred`` is
+    score > 0.  ``broadcast_model`` follows the ppl_trained_bigram
+    contract: None lets AQE size the word-table join, True forces
+    broadcast (fixture corpora), False pins shuffle-merge (web-scale
+    vocabularies)."""
+    labeled = (with_doc_stats(docs, text_col=text_col)
+               .withColumn("__lbl", gopher_label())
+               .select(F.col(id_col).alias("id"), F.col("__lbl"),
+                       F.col(text_col).alias("__text")))
+    toks = labeled.select("id", "__lbl",
+                          F.explode(_words(F.col("__text"))).alias("w"))
+    word_tbl = (toks.groupBy("w").agg(
+        F.sum(F.when(F.col("__lbl"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("__lbl"), 0).otherwise(1)).alias("c_neg")))
+    totals = word_tbl.agg(
+        F.sum("c_pos").alias("t_pos"), F.sum("c_neg").alias("t_neg"),
+        F.count("*").alias("v"))
+    prior_tbl = labeled.agg(
+        F.sum(F.when(F.col("__lbl"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("__lbl"), 0).otherwise(1)).alias("n_neg"))
+    if broadcast_model is None:
+        hint = lambda d: d                     # AQE decides from stats
+    elif broadcast_model:
+        hint = F.broadcast
+    else:
+        hint = lambda d: d.hint("merge")
+    logodds = (F.log((F.coalesce(F.col("c_pos"), F.lit(0)) + 1.0) /
+                     (F.col("t_pos") + F.col("v"))) -
+               F.log((F.coalesce(F.col("c_neg"), F.lit(0)) + 1.0) /
+                     (F.col("t_neg") + F.col("v"))))
+    scored = (toks.join(hint(word_tbl), "w", "left")
+              .crossJoin(F.broadcast(totals))
+              .select("id",
+                      logodds.alias("lo")))
+    per_doc = (scored.groupBy("id")
+               .agg(F.sum("lo").alias("s"),
+                    F.count("*").alias("n_tokens")))
+    prior = F.log((F.col("n_pos") + 1.0) / (F.col("n_neg") + 1.0))
+    out = (labeled.select("id", F.col("__lbl").alias("label"))
+           .join(per_doc, "id", "left")
+           .crossJoin(F.broadcast(prior_tbl))
+           .select("id", "label",
+                   F.coalesce(F.col("n_tokens"),
+                              F.lit(0)).cast("long").alias("n_tokens"),
+                   F.round(prior + F.coalesce(F.col("s"), F.lit(0.0)),
+                           6).alias("score")))
+    return (out.withColumn("pred", F.col("score") > 0)
+            .orderBy("id"))
+
+
+def dsir_logweights(docs: DataFrame, target: Column,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    buckets: int = 256) -> DataFrame:
+    """(id, n_tokens, log_weight): DSIR hashed-unigram importance
+    weights of every document against the ``target`` subset (a boolean
+    Column over ``docs``, e.g. a trusted-source predicate).
+
+    Each word hashes to one of ``buckets`` features (md5-prefix mod —
+    identical bytes in the DuckDB oracle); the per-bucket model is
+    add-one smoothed: log_weight(x) = sum over x's token occurrences of
+    ln[(c_t(b)+1)/(T_t+B)] - ln[(c_r(b)+1)/(T_r+B)], rounded to 6.
+    Documents sampled proportionally to exp(log_weight) reproduce the
+    target distribution — the resampling step is
+    operators/sampling.hash_sample on the weight."""
+    toks = docs.select(F.col(id_col).alias("id"), target.alias("__t"),
+                       F.explode(_words(F.col(text_col))).alias("w"))
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long"), F.lit(buckets)).alias("b")
+    bt = toks.select("id", "__t", b)
+    model = (bt.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
+        F.count("*").alias("c_r")))
+    totals = model.agg(F.sum("c_t").alias("tt"),
+                       F.sum("c_r").alias("tr"))
+    lw = (F.log((F.col("c_t") + 1.0) / (F.col("tt") + buckets)) -
+          F.log((F.col("c_r") + 1.0) / (F.col("tr") + buckets)))
+    scored = (bt.join(F.broadcast(model), "b")
+              .crossJoin(F.broadcast(totals))
+              .groupBy("id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.round(F.sum(lw), 6).alias("log_weight")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(scored, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_tokens"),
+                               F.lit(0)).cast("long").alias("n_tokens"),
+                    F.coalesce(F.col("log_weight"),
+                               F.lit(0.0)).alias("log_weight"))
+            .orderBy("id"))

@@ -1211,3 +1211,77 @@ def ppl_buckets_sql() -> str:
     from nacc_form_validator_spark.functions.perplexity import (
         ppl_buckets_sql as _sql)
     return _sql()
+
+
+_WORDS_SQL = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+              "x -> x <> '')")
+
+
+def _gopher_label_sql() -> str:
+    """GOPHER_RULES keep-label predicate, generated from the same bound
+    table the Spark side reads (operators/selection.py gopher_label)."""
+    from nacc_form_validator_spark.functions.heuristics import GOPHER_RULES
+    g = gopher_sql("text")
+    terms = []
+    for stat, spec in GOPHER_RULES.items():
+        bounds = []
+        if "min" in spec:
+            bounds.append(f"{g[stat]} >= {spec['min']}")
+        if "max" in spec:
+            bounds.append(f"{g[stat]} <= {spec['max']}")
+        t = " AND ".join(bounds)
+        if spec.get("nullable"):
+            t = f"({g[stat]} IS NULL OR ({t}))"
+        else:
+            t = f"({t})"
+        terms.append(t)
+    return "(" + " AND ".join(terms) + ")"
+
+
+def nb_quality_sql() -> str:
+    """Oracle for operators/selection.py nb_quality_scores: add-one NB
+    trained on the corpus's own GOPHER_RULES labels, exact counts."""
+    return (
+        f"WITH lbl AS (SELECT doc_id AS id, {_gopher_label_sql()} AS "
+        f"lbl, text FROM documents), "
+        f"toks AS (SELECT id, lbl, unnest({_WORDS_SQL}) AS w FROM lbl), "
+        f"wt AS (SELECT w, sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS "
+        f"c_pos, sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS c_neg "
+        f"FROM toks GROUP BY w), "
+        f"tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg, "
+        f"count(*) AS v FROM wt), "
+        f"pri AS (SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos, "
+        f"sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg FROM lbl), "
+        f"sc AS (SELECT id, sum(ln((coalesce(c_pos, 0) + 1.0) / "
+        f"(t_pos + v)) - ln((coalesce(c_neg, 0) + 1.0) / (t_neg + v))) "
+        f"AS s, count(*) AS n FROM toks LEFT JOIN wt USING (w) "
+        f"CROSS JOIN tot GROUP BY id), "
+        f"r AS (SELECT l.id, l.lbl AS label, CAST(coalesce(sc.n, 0) AS "
+        f"BIGINT) AS n_tokens, round(ln((n_pos + 1.0) / (n_neg + 1.0)) "
+        f"+ coalesce(sc.s, 0.0), 6) AS score FROM lbl l LEFT JOIN sc "
+        f"ON l.id = sc.id CROSS JOIN pri) "
+        f"SELECT id, label, n_tokens, score, (score > 0) AS pred "
+        f"FROM r ORDER BY id")
+
+
+def dsir_logweights_sql(buckets: int = 256,
+                        target_sources: tuple = ("src0", "src1",
+                                                 "src2", "src3")) -> str:
+    """Oracle for operators/selection.py dsir_logweights with the
+    trusted-source target predicate."""
+    srcs = ", ".join(f"'{s}'" for s in target_sources)
+    bexpr = (f"CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) "
+             f"% {buckets}")
+    return (
+        f"WITH toks AS (SELECT doc_id AS id, (source IN ({srcs})) AS t, "
+        f"unnest({_WORDS_SQL}) AS w FROM documents), "
+        f"bt AS (SELECT id, t, {bexpr} AS b FROM toks), "
+        f"m AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_t, "
+        f"count(*) AS c_r FROM bt GROUP BY b), "
+        f"tot AS (SELECT sum(c_t) AS tt, sum(c_r) AS tr FROM m), "
+        f"sc AS (SELECT id, count(*) AS n, round(sum(ln((c_t + 1.0) / "
+        f"(tt + {buckets})) - ln((c_r + 1.0) / (tr + {buckets}))), 6) "
+        f"AS lw FROM bt JOIN m USING (b) CROSS JOIN tot GROUP BY id) "
+        f"SELECT d.doc_id AS id, CAST(coalesce(sc.n, 0) AS BIGINT) AS "
+        f"n_tokens, coalesce(sc.lw, 0.0) AS log_weight FROM documents d "
+        f"LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id")
