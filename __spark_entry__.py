@@ -641,6 +641,15 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_logweights(docs, target)
 
 
+def q_exact_substring(spark, sf_dir):
+    """Cross-doc repeated-span accounting at 6-gram granularity
+    (operators/dedup.py exact_substring_stats — the distributed recast
+    of Lee et al.'s exact-substring deduplication)."""
+    from nacc_form_validator_spark.operators.dedup import (
+        exact_substring_stats)
+    return exact_substring_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> alternating large-star/small-star connected
     components -> per-document (cluster_id, keep) dedup decision."""
@@ -1134,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "nb_quality": q_nb_quality,
         "dsir_weights": q_dsir_weights,
+        "exact_substring": q_exact_substring,
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
         "simhash_signatures": q_simhash,
@@ -1206,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets": oracle.ppl_buckets_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),
+        "exact_substring": oracle.exact_substring_sql(),
         "decontaminate": oracle.decontaminate_sql(),
         "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),

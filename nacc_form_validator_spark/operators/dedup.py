@@ -579,3 +579,61 @@ def dedup_components(df: DataFrame, text_col: str = "text",
                               F.col(id_col)).alias("cluster_id")))
     return (out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
             .orderBy(id_col))
+
+
+def exact_substring_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 6,
+                          min_doc_freq: int = 2) -> DataFrame:
+    """(id, n_grams, dup_positions, dup_fraction): per-document
+    cross-corpus repeated-span accounting — the distributed recast of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which builds a corpus
+    suffix array on one machine; the Spark form counts every n-word
+    position whose gram occurs in >= ``min_doc_freq`` DISTINCT
+    documents, the span-removal criterion at gram granularity).
+
+    Unlike the shingle family (minhash/jaccard), positions are NOT
+    deduplicated: a doc whose text repeats a shared span twice has two
+    duplicated positions.  ``dup_fraction`` = dup_positions / n_grams
+    (0 for docs shorter than n words) — the mask-or-drop signal.
+
+    Scale shape: grams leave the document as md5 HASHES (16-byte keys,
+    never text); the gram-frequency table is one count aggregate with
+    map-side partial distinct, and the probe back onto positions is a
+    key join Catalyst/AQE sizes (the duplicated-gram side is usually
+    small — broadcast — but unbounded, so no forced hint).  Two
+    shuffles total: gram-freq agg, per-doc agg."""
+    w = (df.select(F.col(id_col).alias("id"),
+                   F.split(normalized(F.col(text_col)), " ").alias("w"))
+         .select("id", F.filter(F.col("w"),
+                                lambda x: x != "").alias("w")))
+    idx = F.sequence(F.lit(0), F.size("w") - n)
+    pos = (w.where(F.size("w") >= n)
+           .select("id", F.explode(idx).alias("i"),
+                   F.col("w"))
+           .select("id",
+                   F.md5(F.array_join(
+                       F.slice(F.col("w"), F.col("i") + 1, n),
+                       " ")).alias("gh")))
+    freq = (pos.groupBy("gh")
+            .agg(F.count_distinct("id").alias("df"))
+            .where(F.col("df") >= min_doc_freq)
+            .select("gh", F.lit(True).alias("dup")))
+    per_doc = (pos.join(freq, "gh", "left")
+               .groupBy("id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                    .alias("dup_positions")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_grams", F.lit(0)).cast("long")
+                .alias("n_grams"),
+                F.coalesce("dup_positions", F.lit(0)).cast("long")
+                .alias("dup_positions"),
+                F.when(F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                       F.round(F.col("dup_positions") /
+                               F.col("n_grams"), 6))
+                .otherwise(F.lit(0.0)).alias("dup_fraction"))
+            .orderBy("id"))

@@ -1285,3 +1285,26 @@ def dsir_logweights_sql(buckets: int = 256,
         f"SELECT d.doc_id AS id, CAST(coalesce(sc.n, 0) AS BIGINT) AS "
         f"n_tokens, coalesce(sc.lw, 0.0) AS log_weight FROM documents d "
         f"LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id")
+
+
+def exact_substring_sql(n: int = 6, min_doc_freq: int = 2) -> str:
+    """Oracle for operators/dedup.py exact_substring_stats: positioned
+    (non-distinct) n-word grams, duplicated when >= min_doc_freq
+    distinct docs share the gram."""
+    w = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
+    return (
+        f"WITH ww AS (SELECT doc_id AS id, {w} AS w FROM documents), "
+        f"pos AS (SELECT id, md5(array_to_string(list_slice(w, i + 1, "
+        f"i + {n}), ' ')) AS gh FROM ww, unnest(range(0, "
+        f"len(w) - {n} + 1)) AS t(i) WHERE len(w) >= {n}), "
+        f"freq AS (SELECT gh FROM pos GROUP BY gh "
+        f"HAVING count(DISTINCT id) >= {min_doc_freq}), "
+        f"per AS (SELECT id, count(*) AS n_grams, "
+        f"sum(CASE WHEN freq.gh IS NOT NULL THEN 1 ELSE 0 END) AS dp "
+        f"FROM pos LEFT JOIN freq ON pos.gh = freq.gh GROUP BY id) "
+        f"SELECT d.doc_id AS id, CAST(coalesce(n_grams, 0) AS BIGINT) "
+        f"AS n_grams, CAST(coalesce(dp, 0) AS BIGINT) AS dup_positions, "
+        f"CASE WHEN coalesce(n_grams, 0) > 0 THEN "
+        f"round(dp / n_grams, 6) ELSE 0.0 END AS dup_fraction "
+        f"FROM documents d LEFT JOIN per ON d.doc_id = per.id "
+        f"ORDER BY id")

@@ -67,3 +67,27 @@ def test_dsir_empty_doc_zero_weight(spark):
         _docs(spark, rows), F.col("source") == "wiki").collect()}
     assert out[1]["n_tokens"] == 0
     assert out[1]["log_weight"] == 0.0
+
+
+def test_exact_substring_semantics(spark):
+    from nacc_form_validator_spark.operators.dedup import (
+        exact_substring_stats)
+    shared = "one two three four five six"
+    rows = [
+        (0, shared + " tail0 a b c", "s"),   # shares the 6-gram with 1
+        (1, "head1 " + shared + " x y", "s"),
+        (2, "seven eight nine ten eleven twelve", "s"),  # unique
+        (3, "short doc", "s"),               # < n words: zero grams
+        (4, shared + " " + shared, "s"),     # span repeated in-doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                               "source string")
+    out = {r["id"]: r for r in exact_substring_stats(df).collect()}
+    assert out[0]["dup_positions"] == 1 and out[0]["n_grams"] == 5
+    assert out[1]["dup_positions"] == 1
+    assert out[2]["dup_positions"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc4: the shared 6-gram occurs at positions 0 and 6 (positions are
+    # NOT deduplicated); the 5 wrap-around grams are corpus-unique
+    assert out[4]["n_grams"] == 7 and out[4]["dup_positions"] == 2
+    assert abs(out[4]["dup_fraction"] - round(2 / 7, 6)) < 1e-9
