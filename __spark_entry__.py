@@ -641,6 +641,14 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_logweights(docs, target)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): first 6
+    merge rules from corpus word counts — corpus touched once, every
+    iteration on the vocab table, argmax tie-broken deterministically."""
+    from nacc_form_validator_spark.operators.bpe import train_bpe_merges
+    return train_bpe_merges(_docs(spark, sf_dir), merges=6)
+
+
 def q_exact_substring(spark, sf_dir):
     """Cross-doc repeated-span accounting at 6-gram granularity
     (operators/dedup.py exact_substring_stats — the distributed recast
@@ -1144,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "dsir_weights": q_dsir_weights,
         "exact_substring": q_exact_substring,
+        "bpe_train": q_bpe_train,
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
         "simhash_signatures": q_simhash,
@@ -1217,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),
         "exact_substring": oracle.exact_substring_sql(),
+        "bpe_train": oracle.bpe_train_sql(),
         "decontaminate": oracle.decontaminate_sql(),
         "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),

@@ -1,0 +1,123 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+first K merge rules of a byte-pair-encoding vocabulary from the corpus.
+
+The LLM-pipeline stage this implements: tokenizer training runs ON the
+training corpus before packing/counting; its output (the ordered merge
+list) is tiny, but each merge choice is a corpus-wide argmax.
+
+Scale shape — the part that matters at 100 TB: the corpus is touched
+EXACTLY ONCE (the word-count aggregate, map-side partial combine).
+Every subsequent iteration operates on the distinct-WORD table (~10^6-7
+rows for web text — thousands of times smaller than the corpus), as
+classic BPE does: pair counts are weighted by word frequency, so symbol
+statistics never need the raw documents again.  Per merge step:
+one pair-count aggregate over the vocab + a 1-row argmax collect (the
+same collect-k-literals-per-iteration shape as
+simsearch.train_coarse_quantizer), then a map-side symbol rewrite.
+The vocab table is persisted per step so step k never recomputes steps
+0..k-1.
+
+Greedy within-word merge application uses a closed-form run-parity
+formula instead of a sequential fold: position i (1-based) merges iff
+pair (s[i], s[i+1]) matches AND i's offset inside its maximal run of
+consecutive matching positions is even.  This is EXACTLY single-pass
+left-to-right greedy (a merge at i only suppresses i+1; new symbols
+can never re-match the same pair within the step, since a||b != a and
+a||b != b), and it is pure array HOFs — no struct accumulator (measured
+2.5x slower in this engine, BENCH.md) and no engine-specific fold
+(DuckDB 1.0's list_reduce mis-accumulates struct state — probed), so
+the DuckDB oracle (plans/oracle.py bpe_train_sql) evaluates the
+identical formula.
+
+Ties in the argmax break deterministically by (count desc, left asc,
+right asc).  Training stops early if no adjacent pair remains (merge
+count then undershoots K — only possible on degenerate corpora)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(w: Column) -> Column:
+    """Initial symbol sequence: the word's characters (no end-of-word
+    marker — documented simplification, identical in the oracle)."""
+    return F.transform(F.sequence(F.lit(1), F.length(w)),
+                       lambda i: F.substring(w, i, 1))
+
+
+def _apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite symbol column ``s``: greedy left-to-right merge of every
+    adjacent (a, b) into a||b via the run-parity formula."""
+    s = F.col("s")
+    L = F.size(s)
+    idx = F.when(L > 1, F.sequence(F.lit(1), L - 1)).otherwise(
+        F.array().cast("array<int>"))
+    df = df.withColumn("__idx", idx)
+    mt = F.transform(F.col("__idx"),
+                     lambda i: (F.try_element_at(s, i) == a) &
+                     (F.try_element_at(s, i + 1) == b))
+    df = df.withColumn("__mt", mt)
+    mtc = F.col("__mt")
+    mg = F.transform(
+        F.col("__idx"),
+        lambda i: F.try_element_at(mtc, i) &
+        ((i - F.coalesce(
+            F.array_max(F.filter(F.col("__idx"),
+                                 lambda j: (j < i) &
+                                 ~F.try_element_at(mtc, j))),
+            F.lit(0))) % 2 == 1))
+    df = df.withColumn("__mg", mg)
+    mgc = F.col("__mg")
+    out = F.flatten(F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.when(
+            (i < L) & F.coalesce(F.try_element_at(mgc, i), F.lit(False)),
+            F.array(F.concat(F.try_element_at(s, i),
+                             F.try_element_at(s, i + 1))))
+        .when((i > 1) & F.coalesce(
+            F.try_element_at(mgc, F.greatest(i - 1, F.lit(1))),
+            F.lit(False)), F.array().cast("array<string>"))
+        .otherwise(F.array(F.try_element_at(s, i)))))
+    return (df.withColumn("s", out)
+            .drop("__idx", "__mt", "__mg"))
+
+
+def train_bpe_merges(docs: DataFrame, merges: int = 6,
+                     text_col: str = "text") -> DataFrame:
+    """(step, lhs, rhs, merged, pair_count): the first ``merges`` BPE
+    merge rules learned from the corpus's lowercase whitespace words."""
+    spark = docs.sparkSession
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda x: x != "")).alias("w"))
+    cur = (toks.groupBy("w").agg(F.count("*").alias("c"))
+           .select(_chars(F.col("w")).alias("s"), "c"))
+    cur = cur.persist()
+    learned = []
+    try:
+        for step in range(merges):
+            pairs = (cur.select(
+                F.explode(F.zip_with(
+                    F.slice(F.col("s"), 1,
+                            F.greatest(F.size("s") - 1, F.lit(0))),
+                    F.slice(F.col("s"), 2,
+                            F.greatest(F.size("s") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+                )).alias("p"), F.col("c"))
+                .groupBy("p.a", "p.b").agg(F.sum("c").alias("pc")))
+            top = (pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+                   .limit(1).collect())
+            if not top:
+                break
+            a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
+            learned.append((step, a, b, a + b, int(pc)))
+            nxt = _apply_merge(cur, a, b).persist()
+            nxt.count()                     # materialize before unpersist
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        learned, "step int, lhs string, rhs string, merged string, "
+        "pair_count long")

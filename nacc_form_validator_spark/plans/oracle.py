@@ -1308,3 +1308,42 @@ def exact_substring_sql(n: int = 6, min_doc_freq: int = 2) -> str:
         f"round(dp / n_grams, 6) ELSE 0.0 END AS dup_fraction "
         f"FROM documents d LEFT JOIN per ON d.doc_id = per.id "
         f"ORDER BY id")
+
+
+def bpe_train_sql(merges: int = 6) -> str:
+    """Oracle for operators/bpe.py train_bpe_merges: ``merges`` unrolled
+    BPE iterations — per step a weighted pair-count argmax (tie-break
+    pc desc, a asc, b asc) and the same run-parity greedy merge formula
+    the Spark side evaluates."""
+    parts = [
+        f"toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents)",
+        "s0 AS (SELECT list_transform(range(1, len(w) + 1), "
+        "i -> w[i:i]) AS s, count(*) AS c FROM toks GROUP BY w)",
+    ]
+    for k in range(merges):
+        nxt = k + 1
+        parts += [
+            f"p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, sum(c) AS pc "
+            f"FROM s{k}, unnest(range(1, len(s))) AS t(i) "
+            f"GROUP BY 1, 2)",
+            f"t{k} AS (SELECT a, b, pc FROM p{k} "
+            f"ORDER BY pc DESC, a ASC, b ASC LIMIT 1)",
+            f"mt{k} AS (SELECT s, c, list_transform(range(1, len(s)), "
+            f"i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
+            f"FROM s{k} CROSS JOIN t{k})",
+            f"mg{k} AS (SELECT s, c, list_transform(range(1, len(s)), "
+            f"i -> mt[i] AND ((i - coalesce(list_max(list_filter("
+            f"range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) AS mg "
+            f"FROM mt{k})",
+            f"s{nxt} AS (SELECT flatten(list_transform(range(1, "
+            f"len(s) + 1), i -> CASE WHEN i < len(s) AND mg[i] "
+            f"THEN [s[i] || s[i + 1]] WHEN i > 1 AND mg[i - 1] "
+            f"THEN []::VARCHAR[] ELSE [s[i]] END)) AS s, c "
+            f"FROM mg{k})",
+        ]
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(merges))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT * FROM ({finals}) ORDER BY step")

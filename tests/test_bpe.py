@@ -1,0 +1,45 @@
+"""operators/bpe.py — distributed BPE merge training."""
+
+from __future__ import annotations
+
+from nacc_form_validator_spark.operators.bpe import (_apply_merge,
+                                                     train_bpe_merges)
+
+
+def test_apply_merge_greedy_runs(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "b", "a", "a"], 1),
+         (["p", "q", "r"], 1),
+         (["a"], 1),
+         (["a", "a", "a", "a", "a"], 1)], "s array<string>, c long")
+    got = [r["s"] for r in _apply_merge(df, "a", "a").collect()]
+    # greedy left-to-right: runs merge in even/odd alternation
+    assert got == [["aa", "a", "b", "aa"], ["p", "q", "r"], ["a"],
+                   ["aa", "aa", "a"]]
+
+
+def test_bpe_textbook_merges(spark):
+    # Sennrich-style corpus: low x3, lower x2, newest x4, widest x1.
+    # Hand-derived sequence (ties break (count desc, lhs, rhs)):
+    #   step0 (w,e) 6 = newest*4 + lower*2
+    #   step1 (l,o) 5  [ties (s,t)=5 -> 'l' < 's']
+    #   step2 (s,t) 5
+    #   step3 (e,we) 4 [ties (n,e)=4, (we,st)=4 -> 'e' smallest]
+    #   step4 (ewe,st) 4 ['ewe' < 'n']
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest newest "
+          "widest")], "doc_id long, text string")
+    got = [(r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+           for r in train_bpe_merges(docs, merges=5).collect()]
+    assert got == [(0, "w", "e", "we", 6), (1, "l", "o", "lo", 5),
+                   (2, "s", "t", "st", 5), (3, "e", "we", "ewe", 4),
+                   (4, "ewe", "st", "ewest", 4)]
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    docs = spark.createDataFrame([(0, "ab ab ab")],
+                                 "doc_id long, text string")
+    out = train_bpe_merges(docs, merges=5).collect()
+    # 'ab' collapses in one merge; no pairs remain afterwards
+    assert len(out) == 1
+    assert out[0]["merged"] == "ab" and out[0]["pair_count"] == 3
