@@ -649,6 +649,15 @@ def q_bpe_train(spark, sf_dir):
     return train_bpe_merges(_docs(spark, sf_dir), merges=6)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Train-then-tokenize round trip (operators/bpe.py
+    bpe_token_counts): per-doc subword token counts under the
+    corpus-trained 6-merge BPE — encoding runs on the vocab table,
+    documents join by word key."""
+    from nacc_form_validator_spark.operators.bpe import bpe_token_counts
+    return bpe_token_counts(_docs(spark, sf_dir), merges=6)
+
+
 def q_exact_substring(spark, sf_dir):
     """Cross-doc repeated-span accounting at 6-gram granularity
     (operators/dedup.py exact_substring_stats — the distributed recast
@@ -1153,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "exact_substring": q_exact_substring,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
         "simhash_signatures": q_simhash,
@@ -1227,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": oracle.dsir_logweights_sql(),
         "exact_substring": oracle.exact_substring_sql(),
         "bpe_train": oracle.bpe_train_sql(),
+        "bpe_encode": oracle.bpe_encode_sql(),
         "decontaminate": oracle.decontaminate_sql(),
         "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),

@@ -83,41 +83,79 @@ def _apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
             .drop("__idx", "__mt", "__mg"))
 
 
+def _words_col(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+
+
+def _train(docs: DataFrame, merges: int, text_col: str):
+    """Returns (learned merge tuples, persisted final vocab DataFrame
+    (w, s, c)).  The caller owns the returned DataFrame's persistence
+    (consume it or .unpersist())."""
+    toks = docs.select(F.explode(_words_col(text_col)).alias("w"))
+    cur = (toks.groupBy("w").agg(F.count("*").alias("c"))
+           .select("w", _chars(F.col("w")).alias("s"), "c"))
+    cur = cur.persist()
+    learned = []
+    for step in range(merges):
+        pairs = (cur.select(
+            F.explode(F.zip_with(
+                F.slice(F.col("s"), 1,
+                        F.greatest(F.size("s") - 1, F.lit(0))),
+                F.slice(F.col("s"), 2,
+                        F.greatest(F.size("s") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+            )).alias("p"), F.col("c"))
+            .groupBy("p.a", "p.b").agg(F.sum("c").alias("pc")))
+        top = (pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
+        learned.append((step, a, b, a + b, int(pc)))
+        nxt = _apply_merge(cur, a, b).persist()
+        nxt.count()                         # materialize before unpersist
+        cur.unpersist()
+        cur = nxt
+    return learned, cur
+
+
 def train_bpe_merges(docs: DataFrame, merges: int = 6,
                      text_col: str = "text") -> DataFrame:
     """(step, lhs, rhs, merged, pair_count): the first ``merges`` BPE
     merge rules learned from the corpus's lowercase whitespace words."""
-    spark = docs.sparkSession
-    toks = docs.select(F.explode(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                 lambda x: x != "")).alias("w"))
-    cur = (toks.groupBy("w").agg(F.count("*").alias("c"))
-           .select(_chars(F.col("w")).alias("s"), "c"))
-    cur = cur.persist()
-    learned = []
-    try:
-        for step in range(merges):
-            pairs = (cur.select(
-                F.explode(F.zip_with(
-                    F.slice(F.col("s"), 1,
-                            F.greatest(F.size("s") - 1, F.lit(0))),
-                    F.slice(F.col("s"), 2,
-                            F.greatest(F.size("s") - 1, F.lit(0))),
-                    lambda x, y: F.struct(x.alias("a"), y.alias("b"))
-                )).alias("p"), F.col("c"))
-                .groupBy("p.a", "p.b").agg(F.sum("c").alias("pc")))
-            top = (pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
-                   .limit(1).collect())
-            if not top:
-                break
-            a, b, pc = top[0]["a"], top[0]["b"], top[0]["pc"]
-            learned.append((step, a, b, a + b, int(pc)))
-            nxt = _apply_merge(cur, a, b).persist()
-            nxt.count()                     # materialize before unpersist
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
-    return spark.createDataFrame(
+    learned, cur = _train(docs, merges, text_col)
+    cur.unpersist()
+    return docs.sparkSession.createDataFrame(
         learned, "step int, lhs string, rhs string, merged string, "
         "pair_count long")
+
+
+def bpe_token_counts(docs: DataFrame, merges: int = 6,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_tokens): encode every document with the
+    corpus-trained ``merges``-rule BPE and count its subword tokens —
+    the train-then-tokenize round trip of a real pretraining pipeline.
+
+    Encoding never touches documents per merge rule: each DISTINCT word
+    is encoded once on the vocab table (where training already left the
+    final symbol sequences), and documents join the (word -> token
+    count) table by key — AQE sizes the join (the encoded vocab is
+    usually broadcastable, but unbounded, so no forced hint)."""
+    _, vocab = _train(docs, merges, text_col)
+    wl = vocab.select("w", F.size("s").alias("wl"))
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(_words_col(text_col)).alias("w"))
+    per = (toks.join(wl, "w")
+           .groupBy("id")
+           .agg(F.count("*").alias("n_words"),
+                F.sum("wl").alias("n_tokens")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per, "id", "left")
+            .select("id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"))
+            .orderBy("id"))

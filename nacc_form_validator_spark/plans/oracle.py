@@ -1310,14 +1310,13 @@ def exact_substring_sql(n: int = 6, min_doc_freq: int = 2) -> str:
         f"ORDER BY id")
 
 
-def bpe_train_sql(merges: int = 6) -> str:
-    """Oracle for operators/bpe.py train_bpe_merges: ``merges`` unrolled
-    BPE iterations — per step a weighted pair-count argmax (tie-break
-    pc desc, a asc, b asc) and the same run-parity greedy merge formula
-    the Spark side evaluates."""
+def _bpe_ctes(merges: int) -> list:
+    """Shared CTE chain for the BPE oracles: word counts -> char
+    symbols (carrying the word) -> ``merges`` unrolled argmax+merge
+    steps with the run-parity greedy formula."""
     parts = [
         f"toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents)",
-        "s0 AS (SELECT list_transform(range(1, len(w) + 1), "
+        "s0 AS (SELECT w, list_transform(range(1, len(w) + 1), "
         "i -> w[i:i]) AS s, count(*) AS c FROM toks GROUP BY w)",
     ]
     for k in range(merges):
@@ -1328,22 +1327,48 @@ def bpe_train_sql(merges: int = 6) -> str:
             f"GROUP BY 1, 2)",
             f"t{k} AS (SELECT a, b, pc FROM p{k} "
             f"ORDER BY pc DESC, a ASC, b ASC LIMIT 1)",
-            f"mt{k} AS (SELECT s, c, list_transform(range(1, len(s)), "
-            f"i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
+            f"mt{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
             f"FROM s{k} CROSS JOIN t{k})",
-            f"mg{k} AS (SELECT s, c, list_transform(range(1, len(s)), "
-            f"i -> mt[i] AND ((i - coalesce(list_max(list_filter("
-            f"range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) AS mg "
-            f"FROM mt{k})",
-            f"s{nxt} AS (SELECT flatten(list_transform(range(1, "
+            f"mg{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> mt[i] AND ((i - coalesce(list_max("
+            f"list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) "
+            f"AS mg FROM mt{k})",
+            f"s{nxt} AS (SELECT w, flatten(list_transform(range(1, "
             f"len(s) + 1), i -> CASE WHEN i < len(s) AND mg[i] "
             f"THEN [s[i] || s[i + 1]] WHEN i > 1 AND mg[i - 1] "
             f"THEN []::VARCHAR[] ELSE [s[i]] END)) AS s, c "
             f"FROM mg{k})",
         ]
+    return parts
+
+
+def bpe_train_sql(merges: int = 6) -> str:
+    """Oracle for operators/bpe.py train_bpe_merges: ``merges`` unrolled
+    BPE iterations — per step a weighted pair-count argmax (tie-break
+    pc desc, a asc, b asc) and the same run-parity greedy merge formula
+    the Spark side evaluates."""
     finals = " UNION ALL ".join(
         f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged, "
         f"CAST(pc AS BIGINT) AS pair_count FROM t{k}"
         for k in range(merges))
-    return ("WITH " + ", ".join(parts) +
+    return ("WITH " + ", ".join(_bpe_ctes(merges)) +
             f" SELECT * FROM ({finals}) ORDER BY step")
+
+
+def bpe_encode_sql(merges: int = 6) -> str:
+    """Oracle for operators/bpe.py bpe_token_counts: encode via the
+    final symbol table of the same unrolled training chain."""
+    parts = _bpe_ctes(merges)
+    parts += [
+        f"wl AS (SELECT w, len(s) AS wl FROM s{merges})",
+        f"dt AS (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w "
+        f"FROM documents)",
+        "per AS (SELECT id, count(*) AS n_words, sum(wl) AS n_tokens "
+        "FROM dt JOIN wl USING (w) GROUP BY id)",
+    ]
+    return ("WITH " + ", ".join(parts) +
+            " SELECT d.doc_id AS id, CAST(coalesce(n_words, 0) AS "
+            "BIGINT) AS n_words, CAST(coalesce(n_tokens, 0) AS BIGINT) "
+            "AS n_tokens FROM documents d LEFT JOIN per "
+            "ON d.doc_id = per.id ORDER BY id")

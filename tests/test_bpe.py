@@ -43,3 +43,17 @@ def test_bpe_stops_when_fully_merged(spark):
     # 'ab' collapses in one merge; no pairs remain afterwards
     assert len(out) == 1
     assert out[0]["merged"] == "ab" and out[0]["pair_count"] == 3
+
+
+def test_bpe_encode_counts(spark):
+    from nacc_form_validator_spark.operators.bpe import bpe_token_counts
+    # corpus: 'abab' dominates -> merges (a,b) then (ab,ab)
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab"), (1, "ab cd"), (2, "")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           bpe_token_counts(docs, merges=2).collect()}
+    # after (a,b) and (ab,ab): 'abab' -> 1 token, 'ab' -> 1, 'cd' -> 2
+    assert out[0]["n_words"] == 3 and out[0]["n_tokens"] == 3
+    assert out[1]["n_words"] == 2 and out[1]["n_tokens"] == 3
+    assert out[2]["n_words"] == 0 and out[2]["n_tokens"] == 0
