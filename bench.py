@@ -150,7 +150,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "simsearch_lsh", "simsearch_ivf", "dedup_embedding",
                  "dedup_embedding_lsh",
                  "tokens_quality", "temporal_events", "rules_temporal",
-                 "multimodal_features", "ppl_bigram", "tpch_q1"]:
+                 "multimodal_features", "ppl_bigram", "tpch_q1",
+                 "qf_full_corpus", "url_canonicalize", "ppl_buckets",
+                 "nb_quality", "dsir_weights", "exact_substring",
+                 "bpe_train", "bpe_encode"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

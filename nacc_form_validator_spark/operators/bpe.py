@@ -151,11 +151,17 @@ def bpe_token_counts(docs: DataFrame, merges: int = 6,
            .groupBy("id")
            .agg(F.count("*").alias("n_words"),
                 F.sum("wl").alias("n_tokens")))
-    return (docs.select(F.col(id_col).alias("id"))
-            .join(per, "id", "left")
-            .select("id",
-                    F.coalesce("n_words", F.lit(0)).cast("long")
-                    .alias("n_words"),
-                    F.coalesce("n_tokens", F.lit(0)).cast("long")
-                    .alias("n_tokens"))
-            .orderBy("id"))
+    out = (docs.select(F.col(id_col).alias("id"))
+           .join(per, "id", "left")
+           .select("id",
+                   F.coalesce("n_words", F.lit(0)).cast("long")
+                   .alias("n_words"),
+                   F.coalesce("n_tokens", F.lit(0)).cast("long")
+                   .alias("n_tokens"))
+           .orderBy("id"))
+    # release contract shared with dedup.release_intermediates: the
+    # trained vocab stays cached until the caller releases the result
+    out._persisted_intermediates = [vocab]
+    return out
+
+
