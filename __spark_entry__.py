@@ -300,6 +300,46 @@ def q_qf_recrawl_stateful(spark, sf_dir):
         "collapsed").orderBy("url", "ts")
 
 
+def q_qf_streaming_dedup(spark, sf_dir):
+    """STATEFUL streaming exact dedup under the correctness gate:
+    streaming/pipeline.py streaming_exact_dedup keeps per-digest state
+    across micro-batches; on the availableNow replay of the recrawl
+    corpus (+ one shared 'tiny doc' recrawl per url, one fat digest
+    group) its first_seen flags must value-hash-match the batch
+    row_number() window oracle."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, streaming_exact_dedup)
+    base = tempfile.mkdtemp(prefix="qf_sdedup_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    extra = (pages.groupBy("url")
+             .agg(F.min("warc_ts").alias("warc_ts0"))
+             .select("url",
+                     (F.col("warc_ts0") +
+                      F.expr("INTERVAL 100 DAYS")).alias("warc_ts"),
+                     F.lit(None).cast("binary").alias("html"),
+                     F.lit("tiny doc").alias("text"),
+                     F.lit("en").alias("lang")))
+    pages.unionByName(extra).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    q = (streaming_exact_dedup(stream)
+         .writeStream.format("parquet")
+         .option("path", outp)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "digest", "first_seen").orderBy("digest", "ts", "url")
+
+
 def q_qf_streaming_metrics(spark, sf_dir):
     """Watermarked streaming aggregation under the value oracle: the
     per-window per-code rule-hit counts emitted by
@@ -1124,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline_gated": q_qf_pipeline_gated,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
+        "qf_streaming_dedup": q_qf_streaming_dedup,
         "qf_streaming_metrics": q_qf_streaming_metrics,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
@@ -1198,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_streaming": oracle.qf_pipeline_sql(temporal=False,
                                                scrubbed_text=False),
         "qf_recrawl_stateful": oracle.recrawl_collapse_sql(),
+        "qf_streaming_dedup": oracle.streaming_dedup_sql(),
         "qf_streaming_metrics": oracle.windowed_metrics_sql(),
         "temporal_events": oracle.temporal_events_sql(),
         "rules_temporal": oracle.rules_temporal_sql(),

@@ -664,6 +664,24 @@ def recrawl_collapse_sql() -> str:
         f"FROM lagd ORDER BY url, ts")
 
 
+def streaming_dedup_sql() -> str:
+    """Batch oracle for the STATEFUL streaming exact dedup
+    (streaming/pipeline.py streaming_exact_dedup): first_seen == the
+    (warc_ts, url)-minimal row per content digest.  Input is
+    pages_from_documents plus one shared 'tiny doc' recrawl per url 100
+    days out, so one fat digest group spans every url."""
+    return (
+        f"WITH p AS ({pages_cte(with_ts=True)}), "
+        f"p2 AS (SELECT url, warc_ts, text FROM p UNION ALL "
+        f"SELECT url, min(warc_ts) + INTERVAL 100 DAY, 'tiny doc' "
+        f"FROM p GROUP BY url), "
+        f"d AS (SELECT url, warc_ts, md5({NORM}) AS digest FROM p2) "
+        f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+        f"digest, (row_number() OVER (PARTITION BY digest "
+        f"ORDER BY warc_ts, url) = 1) AS first_seen "
+        f"FROM d ORDER BY digest, ts, url")
+
+
 def temporal_events_sql() -> str:
     """compare_with previous_record (ignore_empty) over events: value must
     not drop below half the previous value; first event passes."""

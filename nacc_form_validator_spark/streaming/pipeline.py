@@ -138,3 +138,62 @@ def stateful_recrawl_monitor(pages_stream: DataFrame) -> DataFrame:
         stateStructType=RECRAWL_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+DEDUP_OUT = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("first_seen", T.BooleanType()),
+])
+
+DEDUP_STATE = T.StructType([T.StructField("seen", T.LongType())])
+
+
+def _dedup_fn(key, pdfs, state: GroupState):
+    """Per-digest state: how many crawls of this content hash have ever
+    arrived.  Exactly the FIRST row (batch-wide order (warc_ts, url))
+    of a never-seen digest is flagged first_seen — deterministic, so
+    the whole stream run value-matches a batch window oracle.
+
+    Vectorized: one sort per group, one boolean array; no row loop."""
+    import numpy as np
+    (digest, ) = key
+    seen = state.get[0] if state.exists else 0
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        state.update((seen, ))
+        yield pd.DataFrame(columns=["url", "warc_ts", "digest",
+                                    "first_seen"])
+        return
+    pdf = (pd.concat(frames) if len(frames) > 1 else
+           frames[0]).sort_values(["warc_ts", "url"])
+    first = np.zeros(len(pdf), dtype=bool)
+    if seen == 0:
+        first[0] = True
+    state.update((seen + len(pdf), ))
+    yield pd.DataFrame({"url": pdf["url"].to_numpy(),
+                        "warc_ts": pdf["warc_ts"].to_numpy(),
+                        "digest": digest,
+                        "first_seen": first})
+
+
+def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
+    """Streaming exact content dedup: the batch md5-digest window
+    (operators/dedup.py exact dedup) as a stateful streaming operator —
+    state per content digest survives across micro-batches, so a
+    recrawl arriving hours later still deduplicates against the first
+    crawl.  The digest is computed map-side (same normalization as the
+    batch operator); the only wide op is the groupBy(digest) state
+    exchange, keys not documents — the identical shuffle shape as the
+    batch plan, held open over time."""
+    from nacc_form_validator_spark.operators.dedup import normalized
+
+    digested = pages_stream.withColumn(
+        "digest", F.md5(normalized(F.col("text"))))
+    return (digested.groupBy("digest").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

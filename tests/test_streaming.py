@@ -104,3 +104,44 @@ def test_stateful_recrawl_monitor(spark, tmp_path):
     assert multi > 0
     # recrawl text only grows in the generator -> nothing collapses
     assert res.where("collapsed").count() == 0
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """State survives micro-batches: a byte-identical recrawl that
+    arrives in a LATER availableNow cycle (new files under the same
+    checkpoint) must not be flagged first_seen again."""
+    from nacc_form_validator_spark.streaming.pipeline import (
+        streaming_exact_dedup)
+
+    inp = str(tmp_path / "dedup_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    pages = _pages(spark)
+    # crawl 0 only (days offset 0 -> ts < 2025-01-08): one row per url
+    batch1 = pages.where(F.col("warc_ts") < "2025-01-08")
+
+    def run_cycle(df):
+        df.write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+        q = (streaming_exact_dedup(stream)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_cycle(batch1)
+    first_cycle = spark.read.parquet(out)
+    n_first = first_cycle.where("first_seen").count()
+    assert n_first == first_cycle.select("digest").distinct().count()
+
+    # cycle 2: replay the SAME rows 200 days later — identical text,
+    # so every digest was already seen; nothing may be first_seen
+    replay = batch1.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 200 DAYS"))
+    run_cycle(replay)
+    res = spark.read.parquet(out)
+    assert res.count() == 2 * batch1.count()
+    assert res.where("first_seen").count() == n_first
+    late = res.where(F.col("warc_ts") >= "2025-06-01")
+    assert late.count() == batch1.count()
+    assert late.where("first_seen").count() == 0
