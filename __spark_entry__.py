@@ -707,6 +707,15 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_stats(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher intra-doc repetition gates: char coverage of the most
+    frequent 2/3/4-gram + all duplicated 5/6-grams, computed inside the
+    row (sorted-run-length over HOFs) — zero shuffles, no UDF."""
+    from nacc_form_validator_spark.functions.repetition import (
+        repetition_stats)
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> alternating large-star/small-star connected
     components -> per-document (cluster_id, keep) dedup decision."""
@@ -1189,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_topk_per_group": q_sample_topk_per_group,
         "dedup_exact": q_dedup_exact,
+        "repetition_stats": q_repetition_stats,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -1264,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": oracle.stratified_sample_sql(),
         "sample_topk_per_group": oracle.topk_per_group_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
+        "repetition_stats": oracle.repetition_stats_sql(),
         "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
         "dedup_embedding_lsh": oracle.embedding_neardup_lsh_sql(
             threshold=0.40),

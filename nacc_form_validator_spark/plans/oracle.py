@@ -664,6 +664,41 @@ def recrawl_collapse_sql() -> str:
         f"FROM lagd ORDER BY url, ts")
 
 
+def repetition_stats_sql(top_ns=(2, 3, 4), dup_ns=(5, 6)) -> str:
+    """Oracle for functions/repetition.py repetition_stats: per doc, the
+    char coverage of the most frequent n-gram (top_ns) and of all
+    duplicated n-grams (dup_ns), over normalized-text chars, capped at
+    1.  The oracle takes the unnest/GROUP BY road; the engine computes
+    the same counts inside the row (sorted-run-length) — value parity is
+    the point, plan parity is not."""
+    w = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    n_vals = ", ".join(f"({n})" for n in all_ns)
+    tops = ", ".join(
+        f"CASE WHEN denom > 0 THEN least(1.0, round(coalesce("
+        f"max(CASE WHEN n = {n} THEN top_chars END), 0) * 1.0 / denom, 6))"
+        f" ELSE 0.0 END AS top{n}_frac" for n in top_ns)
+    dups = ", ".join(
+        f"CASE WHEN denom > 0 THEN least(1.0, round(coalesce("
+        f"max(CASE WHEN n = {n} THEN dup_chars END), 0) * 1.0 / denom, 6))"
+        f" ELSE 0.0 END AS dup{n}_frac" for n in dup_ns)
+    return (
+        f"WITH w AS (SELECT doc_id, {w} AS w, length({NORM}) AS denom "
+        f"FROM documents), "
+        f"g AS (SELECT doc_id, n, unnest(list_transform("
+        f"range(0, len(w) - n + 1), i -> array_to_string("
+        f"list_slice(w, i + 1, i + n), ' '))) AS gram "
+        f"FROM w CROSS JOIN (VALUES {n_vals}) AS t(n)), "
+        f"cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g "
+        f"GROUP BY ALL), "
+        f"agg AS (SELECT doc_id, n, max(c * length(gram)) AS top_chars, "
+        f"sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) "
+        f"AS dup_chars FROM cnt GROUP BY ALL) "
+        f"SELECT w.doc_id, {tops}, {dups} "
+        f"FROM w LEFT JOIN agg USING (doc_id) "
+        f"GROUP BY w.doc_id, denom ORDER BY w.doc_id")
+
+
 def streaming_dedup_sql() -> str:
     """Batch oracle for the STATEFUL streaming exact dedup
     (streaming/pipeline.py streaming_exact_dedup): first_seen == the
