@@ -536,6 +536,20 @@ def q_sample_hash(spark, sf_dir):
     return d.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_mixture_resample(spark, sf_dir):
+    """Domain-mixture resampling (DoReMi-style static mixing): keep the
+    largest deterministic subsample whose source proportions hit the
+    target weights src0/src1/src2 = 0.5/0.3/0.2 — one tiny stratum agg +
+    broadcast rates join + map-side hash filter, corpus never shuffled."""
+    from nacc_form_validator_spark.operators.sampling import (
+        mixture_resample)
+    d = mixture_resample(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        stratum_col="source", key_col="doc_id")
+    return d.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-stratum deterministic sampling: downsample 'en' to 20%,
     keep every other language in full."""
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf_trained": q_simsearch_ivf_trained,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "mixture_resample": q_mixture_resample,
         "sample_topk_per_group": q_sample_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "repetition_stats": q_repetition_stats,
@@ -1272,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "simsearch_ivf_trained": oracle.ivf_trained_topk_sql(),
         "sample_hash": oracle.hash_sample_sql(),
         "sample_stratified": oracle.stratified_sample_sql(),
+        "mixture_resample": oracle.mixture_resample_sql(),
         "sample_topk_per_group": oracle.topk_per_group_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),

@@ -67,3 +67,42 @@ def per_group_topk(df: DataFrame, group_col: str, score: Column,
     return (df.withColumn("__rank", F.row_number().over(w))
             .where(F.col("__rank") <= k)
             .withColumnRenamed("__rank", rank_col))
+
+
+def mixture_resample(df: DataFrame, weights: Dict[str, float],
+                     stratum_col: str, key_col: str,
+                     size_col: Optional[str] = None) -> DataFrame:
+    """Resample to a target domain mixture (DoReMi-style static mixing):
+    keep the largest deterministic subsample whose stratum proportions
+    match ``weights``.
+
+    Feasible output size = min over strata of size_s / w_s (every unit
+    of the scarcest stratum is kept); stratum s then keeps
+    rate_s = w_s * out_total / size_s of its rows via the same
+    md5-uniform as :func:`hash_sample`, so the decision is per-row
+    deterministic and resume-stable.  Strata absent from ``weights``
+    are dropped (weight 0).  ``size_col`` measures strata in that
+    column's sum (e.g. n_chars ~ token budget) instead of row count —
+    rates still apply per row, so the size match is in expectation.
+
+    Scale shape: one tiny groupBy(stratum) aggregate, a single-row
+    cross join, one broadcast join of the rates table (|strata| rows),
+    then a map-side filter.  The corpus is never shuffled.
+    """
+    total = float(sum(weights.values()))
+    wlit = F.lit(None).cast("double")
+    for s, wgt in sorted(weights.items()):
+        wlit = F.when(F.col(stratum_col) == s,
+                      F.lit(float(wgt) / total)).otherwise(wlit)
+    sized = (F.count(F.lit(1)) if size_col is None
+             else F.sum(size_col)).cast("double").alias("sz")
+    cnt = (df.where(wlit.isNotNull())
+           .groupBy(stratum_col).agg(sized)
+           .withColumn("w", wlit))
+    tot = cnt.agg(F.min(F.col("sz") / F.col("w")).alias("out_total"))
+    rates = cnt.crossJoin(tot).select(
+        stratum_col,
+        F.round(F.col("w") * F.col("out_total") / F.col("sz"),
+                9).alias("rate"))
+    return (df.join(F.broadcast(rates), stratum_col)
+            .where(hash_uniform(F.col(key_col)) < F.col("rate")))

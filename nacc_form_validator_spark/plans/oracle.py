@@ -578,6 +578,24 @@ def stratified_sample_sql(en_rate: float = 0.2) -> str:
             f"ORDER BY doc_id")
 
 
+def mixture_resample_sql() -> str:
+    """Oracle for operators/sampling.py mixture_resample: target mixture
+    src0/src1/src2 = 0.5/0.3/0.2; out_total = min(size_s / w_s); stratum
+    keeps rate_s = w_s * out_total / size_s by the shared md5 uniform."""
+    u = _hash_uniform_sql("doc_id")
+    w = ("CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 "
+         "WHEN 'src2' THEN 0.2 END")
+    return (
+        f"WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS sz, {w} "
+        f"AS w FROM documents WHERE source IN ('src0', 'src1', 'src2') "
+        f"GROUP BY source), "
+        f"t AS (SELECT min(sz / w) AS out_total FROM c), "
+        f"r AS (SELECT source, round(w * out_total / sz, 9) AS rate "
+        f"FROM c CROSS JOIN t) "
+        f"SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) "
+        f"WHERE {u} < rate ORDER BY d.doc_id")
+
+
 def topk_per_group_sql(k: int = 3) -> str:
     """Oracle for per_group_topk: best k docs per lang by n_chars."""
     return (f"SELECT doc_id, lang, n_chars, rank FROM ("

@@ -105,3 +105,52 @@ def test_kmeans_quantizer_training(spark):
     assert [r["centroid"] for r in three] == [
         r["centroid"] for r in again]
     assert sum(r["n_members"] for r in three) == 300
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    from nacc_form_validator_spark.operators.sampling import (
+        mixture_resample)
+    import pyspark.sql.functions as F
+
+    # skewed input: 6000 a, 3000 b, 1000 c -> target 0.2/0.3/0.5
+    df = (spark.range(10000).withColumnRenamed("id", "k")
+          .withColumn("dom", F.when(F.col("k") < 6000, "a")
+                      .when(F.col("k") < 9000, "b").otherwise("c"))
+          .withColumn("junk", F.lit("zzz")))
+    df = df.withColumn("dom", F.when(F.col("k") % 97 == 0, "other")
+                       .otherwise(F.col("dom")))
+    out = mixture_resample(df, {"a": 0.2, "b": 0.3, "c": 0.5},
+                           stratum_col="dom", key_col="k")
+    got = {r["dom"]: r["n"] for r in
+           out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert "other" not in got            # unweighted strata drop
+    # c is the scarcest per unit weight -> kept (almost) whole
+    assert got["c"] >= 0.97 * 1000
+    total = sum(got.values())
+    for dom, w in (("a", 0.2), ("b", 0.3), ("c", 0.5)):
+        assert abs(got[dom] / total - w) < 0.03
+    # deterministic: same rows on a rerun
+    again = mixture_resample(df, {"a": 0.2, "b": 0.3, "c": 0.5},
+                             stratum_col="dom", key_col="k")
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+
+
+def test_mixture_resample_size_col_budget(spark):
+    from nacc_form_validator_spark.operators.sampling import (
+        mixture_resample)
+    import pyspark.sql.functions as F
+
+    # same row counts but stratum b's rows are 3x heavier; with
+    # size_col the mixture targets the SIZE budget, not row counts
+    df = (spark.range(2000).withColumnRenamed("id", "k")
+          .withColumn("dom", F.when(F.col("k") % 2 == 0, "a")
+                      .otherwise("b"))
+          .withColumn("sz", F.when(F.col("dom") == "b", 300)
+                      .otherwise(100)))
+    out = mixture_resample(df, {"a": 0.5, "b": 0.5}, stratum_col="dom",
+                           key_col="k", size_col="sz")
+    sizes = {r["dom"]: r["s"] for r in
+             out.groupBy("dom").agg(F.sum("sz").alias("s")).collect()}
+    total = sum(sizes.values())
+    assert abs(sizes["a"] / total - 0.5) < 0.05
