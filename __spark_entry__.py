@@ -721,6 +721,13 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_stats(_docs(spark, sf_dir))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Corpus TF-IDF keyword extraction: top-5 terms per doc; score
+    rounded before ranking + term tiebreak so both engines rank alike."""
+    from nacc_form_validator_spark.operators.tfidf import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=5, min_df=2)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher intra-doc repetition gates: char coverage of the most
     frequent 2/3/4-gram + all duplicated 5/6-grams, computed inside the
@@ -1214,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topk_per_group": q_sample_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "repetition_stats": q_repetition_stats,
+        "tfidf_topk": q_tfidf_topk,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -1291,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_topk_per_group": oracle.topk_per_group_sql(),
         "dedup_exact": oracle.exact_dedup_sql(),
         "repetition_stats": oracle.repetition_stats_sql(),
+        "tfidf_topk": oracle.tfidf_topk_sql(),
         "dedup_embedding": oracle.embedding_neardup_sql(threshold=0.40),
         "dedup_embedding_lsh": oracle.embedding_neardup_lsh_sql(
             threshold=0.40),

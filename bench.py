@@ -154,7 +154,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "qf_full_corpus", "url_canonicalize", "ppl_buckets",
                  "nb_quality", "dsir_weights", "exact_substring",
                  "bpe_train", "bpe_encode", "repetition_stats",
-                 "mixture_resample"]:
+                 "mixture_resample", "tfidf_topk"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

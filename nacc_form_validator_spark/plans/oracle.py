@@ -682,6 +682,29 @@ def recrawl_collapse_sql() -> str:
         f"FROM lagd ORDER BY url, ts")
 
 
+def tfidf_topk_sql(k: int = 5, min_df: int = 2) -> str:
+    """Oracle for operators/tfidf.py tfidf_topk over documents: smoothed
+    idf on exact integer counts, score rounded to 6 BEFORE ranking, rank
+    ties broken by the term — identical ranking across engines."""
+    w = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
+    return (
+        f"WITH pairs AS (SELECT doc_id, unnest({w}) AS word "
+        f"FROM documents), "
+        f"tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs "
+        f"GROUP BY ALL), "
+        f"dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfw FROM pairs "
+        f"GROUP BY word HAVING count(DISTINCT doc_id) >= {min_df}), "
+        f"n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+        f"scored AS (SELECT doc_id AS id, tf.word, round(tf * (ln("
+        f"(n_docs + 1) * 1.0 / (dfw + 1)) + 1), 6) AS tfidf "
+        f"FROM tf JOIN dfreq USING (word) CROSS JOIN n), "
+        f"ranked AS (SELECT id, word, tfidf, row_number() OVER ("
+        f"PARTITION BY id ORDER BY tfidf DESC, word ASC) AS rank "
+        f"FROM scored) "
+        f"SELECT id, word, tfidf, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY id, rank")
+
+
 def repetition_stats_sql(top_ns=(2, 3, 4), dup_ns=(5, 6)) -> str:
     """Oracle for functions/repetition.py repetition_stats: per doc, the
     char coverage of the most frequent n-gram (top_ns) and of all
