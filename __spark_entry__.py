@@ -595,6 +595,27 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+#: engine-portable delta split for the incremental dedup query: a doc is
+#: part of the "new crawl batch" iff the first hex char of
+#: md5(doc_id-as-string) is 0 or 1 (~1/8 of docs) — identical in Spark
+#: and DuckDB, so corpus/delta membership needs no side table.
+_DELTA_HEX = ("0", "1")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup pairs: band the ~1/8 'new batch' split and
+    join it against (corpus ∪ delta) bands — delta×delta and
+    delta×corpus candidate pairs only, the corpus is never self-joined
+    (operators/dedup.py incremental_minhash_pairs; the recrawl-batch
+    shape of MinHash dedup at 10^12 docs)."""
+    from nacc_form_validator_spark.operators.dedup import (
+        incremental_minhash_pairs)
+    d = _docs(spark, sf_dir)
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")),
+                         1, 1).isin(*_DELTA_HEX)
+    return incremental_minhash_pairs(d.where(~is_new), d.where(is_new))
+
+
 def q_html_extract(spark, sf_dir):
     """Re-extract text from the raw html binary payload and assert byte
     identity with the carried text column (functions/extract.py)."""
@@ -1226,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "html_extract": q_html_extract,
@@ -1305,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.40),
         "simhash_pairs": oracle.simhash_pairs_sql(),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(),
+        "dedup_incremental": oracle.minhash_incremental_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
         "dedup_clusters": oracle.dedup_components_sql(),
         "html_extract": oracle.html_extract_sql(),

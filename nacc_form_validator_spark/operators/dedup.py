@@ -83,16 +83,12 @@ def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
     return F.array(*[perm(i) for i in range(k)])
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 8, bands: int = 4,
-                      n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
-
-    rows_per_band = k // bands; a band bucket key is the md5 of its
-    concatenated signature slice.  The band table is tiny relative to the
-    corpus (bands × docs rows of 32-byte keys), so the self-join shuffles
-    only keys — never documents.
-    """
+def _minhash_banded(df: DataFrame, text_col: str, id_col: str, k: int,
+                    bands: int, n: int) -> DataFrame:
+    """(id, band, key) MinHash-LSH band table: k salted-md5 minhash
+    permutations sliced into ``bands`` bands; a bucket key is the md5 of
+    its concatenated slice.  bands × docs rows of 32-byte keys — tiny
+    relative to the corpus, so downstream joins ship keys, never docs."""
     rows = k // bands
     sh_df = _with_shingles(df, text_col, id_col, n)
 
@@ -111,15 +107,62 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                         *[F.col("sig")[b * rows + r] for r in range(rows)]))
         band_cols.append(
             F.struct(F.lit(b).alias("band"), band_key.alias("key")))
-    banded = (with_sig.select("id",
-                              F.explode(F.array(*band_cols)).alias("bk"))
-              .select("id", "bk.band", "bk.key"))
+    return (with_sig.select("id",
+                            F.explode(F.array(*band_cols)).alias("bk"))
+            .select("id", "bk.band", "bk.key"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                      n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    rows_per_band = k // bands; a band bucket key is the md5 of its
+    concatenated signature slice.  The band table is tiny relative to the
+    corpus (bands × docs rows of 32-byte keys), so the self-join shuffles
+    only keys — never documents.
+    """
+    banded = _minhash_banded(df, text_col, id_col, k, bands, n)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, ["band", "key"])
              .where(F.col("l.id") < F.col("r.id"))
              .select(F.col("l.id").alias("id_a"),
                      F.col("r.id").alias("id_b"))
+             .distinct())
+    return pairs.orderBy("id_a", "id_b")
+
+
+def incremental_minhash_pairs(corpus: DataFrame, delta: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8,
+                              bands: int = 4, n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs for an INCREMENTAL crawl batch: every
+    (id_a < id_b) band collision where at least one side is a ``delta``
+    document — delta×delta and delta×corpus pairs, never corpus×corpus.
+
+    This is the recrawl shape that matters at 10^12 documents: the
+    frozen corpus is banded once (in production the band table is a
+    persisted/bucketed side output of the original dedup run — here it
+    is recomputed because the query is self-contained), and each new
+    batch joins ONLY its own band table against (corpus ∪ delta) bands.
+    The join's stream side is delta-sized; the full corpus is never
+    self-joined again, so re-dedup cost per batch is O(|delta| × band
+    collision rate), not O(|corpus|^2).  Both orientations of a
+    delta×delta collision normalize via least/greatest + distinct.
+
+    Semantically equal to ``minhash_lsh_pairs(corpus ∪ delta)``
+    restricted to pairs touching delta (the DuckDB oracle states it
+    exactly that way)."""
+    delta_banded = _minhash_banded(delta, text_col, id_col, k, bands, n)
+    all_banded = (_minhash_banded(corpus, text_col, id_col, k, bands, n)
+                  .unionByName(delta_banded))
+    d = delta_banded.alias("d")
+    a = all_banded.alias("a")
+    pairs = (d.join(a, ["band", "key"])
+             .where(F.col("d.id") != F.col("a.id"))
+             .select(F.least("d.id", "a.id").alias("id_a"),
+                     F.greatest("d.id", "a.id").alias("id_b"))
              .distinct())
     return pairs.orderBy("id_a", "id_b")
 

@@ -149,6 +149,24 @@ def minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
     return f"WITH {ctes} {pair_select} ORDER BY id_a, id_b"
 
 
+def minhash_incremental_sql(k: int = 8, bands: int = 4,
+                            n: int = 3) -> str:
+    """Oracle for dedup.incremental_minhash_pairs over the md5-prefix
+    delta split (__spark_entry__._DELTA_HEX): the FULL band-collision
+    pair set restricted to pairs touching a delta doc — the exact
+    semantics the Spark side reaches via its delta-sized join (the
+    oracle self-joins everything; exactness over scale)."""
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    return (
+        f"WITH {ctes}, "
+        f"delta AS (SELECT doc_id AS id FROM documents WHERE "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')), "
+        f"pairs AS ({pair_select}) "
+        f"SELECT id_a, id_b FROM pairs WHERE id_a IN (SELECT id FROM "
+        f"delta) OR id_b IN (SELECT id FROM delta) "
+        f"ORDER BY id_a, id_b")
+
+
 def dedup_components_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
     """Transitive-closure oracle for dedup_components: min reachable id
     per document over the symmetrized MinHash-LSH pair graph, via a

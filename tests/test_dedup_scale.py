@@ -172,3 +172,33 @@ def test_simhash_corpus_size_widens_keys(spark):
     rows = out.collect()
     release_intermediates(out)
     assert isinstance(rows, list)
+
+
+def test_incremental_minhash_pairs_semantics(spark):
+    """dedup.incremental_minhash_pairs == full-corpus band pairs
+    restricted to pairs touching the delta: corpus-x-corpus collisions
+    are excluded even for true duplicates; delta-x-corpus and
+    delta-x-delta collisions are found with normalized orientation."""
+    from nacc_form_validator_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_lsh_pairs)
+    docs = _synth_docs(30)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # duplicate a corpus doc into BOTH splits so each pair class exists:
+    # ids 0..N-1 corpus, N.. delta (plus exact copies of two corpus docs)
+    n = len(docs)
+    extra = [(n, docs[0][1]),        # delta copy of corpus doc 0
+             (n + 1, docs[0][1])]    # second delta copy (delta-x-delta)
+    df = df.unionByName(spark.createDataFrame(extra, ["doc_id", "text"]))
+    is_new = F.col("doc_id") >= n
+    corpus, delta = df.where(~is_new), df.where(is_new)
+    inc = {(r.id_a, r.id_b)
+           for r in incremental_minhash_pairs(corpus, delta).collect()}
+    full = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    want = {(a, b) for a, b in full
+            if a in delta_ids or b in delta_ids}
+    assert inc == want
+    # the known collisions are present, oriented a < b
+    assert (docs[0][0], n) in inc and (n, n + 1) in inc
+    # and no corpus-only pair leaks in
+    assert all(a in delta_ids or b in delta_ids for a, b in inc)
