@@ -616,6 +616,20 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_minhash_pairs(d.where(~is_new), d.where(is_new))
 
 
+def q_dedup_incremental_exact(spark, sf_dir):
+    """Per-batch exact-dedup decision against the frozen corpus: the
+    corpus collapses to its (digest -> min id) index in one aggregate
+    (the persisted dedup-index shape in production), the ~1/8 'new
+    batch' split joins it by digest (operators/dedup.py
+    incremental_exact_dedup)."""
+    from nacc_form_validator_spark.operators.dedup import (
+        incremental_exact_dedup)
+    d = _docs(spark, sf_dir)
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")),
+                         1, 1).isin(*_DELTA_HEX)
+    return incremental_exact_dedup(d.where(~is_new), d.where(is_new))
+
+
 def q_html_extract(spark, sf_dir):
     """Re-extract text from the raw html binary payload and assert byte
     identity with the carried text column (functions/extract.py)."""
@@ -1248,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_exact": q_dedup_incremental_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "html_extract": q_html_extract,
@@ -1328,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracle.simhash_pairs_sql(),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(),
         "dedup_incremental": oracle.minhash_incremental_sql(),
+        "dedup_incremental_exact": oracle.incremental_exact_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(),
         "dedup_clusters": oracle.dedup_components_sql(),
         "html_extract": oracle.html_extract_sql(),

@@ -144,7 +144,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
     for name in ["qf_keep_drop", "qf_scrub", "qf_host_stats", "rules_gds",
                  "rules_compare_with", "dedup_exact",
                  "dedup_minhash_lsh", "dedup_ngram_jaccard",
-                 "dedup_clusters", "dedup_incremental", "decontaminate", "html_extract",
+                 "dedup_clusters", "dedup_incremental", "dedup_incremental_exact", "decontaminate", "html_extract",
                  "qf_url_filter",
                  "simhash_signatures", "simhash_pairs", "simsearch_topk",
                  "simsearch_lsh", "simsearch_ivf", "dedup_embedding",

@@ -42,6 +42,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .orderBy("digest"))
 
 
+def incremental_exact_dedup(corpus: DataFrame, delta: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact-dedup DECISION per ``delta`` document against a frozen
+    corpus: (doc_id, digest, keep, dup_of).  ``dup_of`` is the id the
+    doc duplicates — the corpus's min-id representative if the digest
+    already exists there, else the batch's own min id when the dup is
+    batch-internal; ``keep`` marks the batch's new-content
+    representatives (digest absent from the corpus AND first within the
+    batch).
+
+    Scale shape (the batch analogue of streaming_exact_dedup's
+    cross-batch state): the corpus side collapses to its (digest ->
+    min id) index in ONE aggregate — in production that index is the
+    persisted side output of the original dedup run, so each new batch
+    pays only its own digest aggregate plus a key join against the
+    index; the corpus text is never re-read, let alone re-paired."""
+    digest = F.md5(normalized(F.col(text_col)))
+    corpus_idx = (corpus.select(digest.alias("digest"),
+                                F.col(id_col).alias("cid"))
+                  .groupBy("digest")
+                  .agg(F.min("cid").alias("corpus_keep")))
+    dd = delta.select(F.col(id_col).alias("doc_id"),
+                      digest.alias("digest"))
+    batch_min = (dd.groupBy("digest")
+                 .agg(F.min("doc_id").alias("batch_min")))
+    out = (dd.join(batch_min, "digest")
+           .join(corpus_idx, "digest", "left")
+           .select(
+               "doc_id", "digest",
+               (F.col("corpus_keep").isNull() &
+                (F.col("doc_id") == F.col("batch_min"))).alias("keep"),
+               F.coalesce(
+                   "corpus_keep",
+                   F.when(F.col("batch_min") < F.col("doc_id"),
+                          F.col("batch_min"))).alias("dup_of")))
+    return out.orderBy("doc_id")
+
+
 def shingles_from_words(w: Column, n: int = 3) -> Column:
     """n-word shingles from a (materialized) word-array column.
 

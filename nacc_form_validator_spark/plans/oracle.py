@@ -114,6 +114,29 @@ def exact_dedup_sql() -> str:
             f"count(*) AS dups FROM documents GROUP BY 1 ORDER BY digest")
 
 
+def incremental_exact_sql() -> str:
+    """Oracle for dedup.incremental_exact_dedup over the md5-prefix
+    delta split: corpus collapses to its (digest -> min id) index, the
+    batch joins it by digest; keep = digest new to the corpus AND first
+    within the batch, dup_of = corpus representative else earlier batch
+    min."""
+    return (
+        f"WITH d AS (SELECT doc_id, md5({NORM}) AS digest, "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') "
+        f"AS is_new FROM documents), "
+        f"cidx AS (SELECT digest, min(doc_id) AS corpus_keep FROM d "
+        f"WHERE NOT is_new GROUP BY digest), "
+        f"dd AS (SELECT doc_id, digest FROM d WHERE is_new), "
+        f"bmin AS (SELECT digest, min(doc_id) AS batch_min FROM dd "
+        f"GROUP BY digest) "
+        f"SELECT dd.doc_id, dd.digest, "
+        f"(cidx.digest IS NULL AND dd.doc_id = bmin.batch_min) AS keep, "
+        f"coalesce(cidx.corpus_keep, CASE WHEN bmin.batch_min < "
+        f"dd.doc_id THEN bmin.batch_min END) AS dup_of "
+        f"FROM dd JOIN bmin USING (digest) "
+        f"LEFT JOIN cidx USING (digest) ORDER BY doc_id")
+
+
 def _shingles(n: int = 3) -> str:
     w = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
     return (f"list_distinct(list_filter(list_transform(range(0, "

@@ -202,3 +202,25 @@ def test_incremental_minhash_pairs_semantics(spark):
     assert (docs[0][0], n) in inc and (n, n + 1) in inc
     # and no corpus-only pair leaks in
     assert all(a in delta_ids or b in delta_ids for a, b in inc)
+
+
+def test_incremental_exact_dedup_decisions(spark):
+    """Three decision classes: corpus dup (dup_of = corpus min id),
+    batch-internal dup (dup_of = batch min id), new content (keep)."""
+    from nacc_form_validator_spark.operators.dedup import (
+        incremental_exact_dedup)
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma delta")],
+        ["doc_id", "text"])
+    delta = spark.createDataFrame(
+        [(10, "Alpha   beta"),      # corpus dup (normalization folds)
+         (11, "epsilon zeta"),      # new content, batch representative
+         (12, "epsilon zeta"),      # batch-internal dup of 11
+         (13, "eta theta")],        # new content
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in
+            incremental_exact_dedup(corpus, delta).collect()}
+    assert rows[10].dup_of == 0 and not rows[10].keep
+    assert rows[11].keep and rows[11].dup_of is None
+    assert rows[12].dup_of == 11 and not rows[12].keep
+    assert rows[13].keep and rows[13].dup_of is None
