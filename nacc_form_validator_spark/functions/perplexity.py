@@ -17,6 +17,19 @@ Two implementations:
 
 Model tables are derived from fixed English letter frequencies (public
 domain reference data), smoothed; nothing external is loaded.
+
+MODEL_JOIN_CONTRACT (shared by every corpus-trained scorer here and in
+operators/selection.py, operators/bpe.py): a ``broadcast_model``
+parameter picks the strategy for joining the unbounded trained word
+table against the corpus.  ``True`` forces a broadcast — safe only when
+the trained model is known small (bench/fixture corpora).  ``False``
+pins the plain shuffle-merge join — web-scale vocabularies where a
+forced broadcast would OOM executors.  The default ``None`` leaves the
+choice to Catalyst/AQE, which sees the actual post-shuffle size of the
+model table at runtime and only then converts to a broadcast join — no
+extra job, no hard-coded guess.  Bounded model tables (DSIR's hashed
+buckets, per-language cut tables) skip the parameter and broadcast
+unconditionally.
 """
 
 from __future__ import annotations
@@ -251,27 +264,16 @@ def train_bigram_counts(docs, text_col: str = "text"):
     return bigrams, unigrams
 
 
-def ppl_trained_bigram(docs, id_col: str = "doc_id",
-                       text_col: str = "text",
-                       broadcast_model: "bool | None" = None):
-    """Per-doc perplexity under the corpus-trained add-one-smoothed
-    word-bigram LM: logp(w1 w2) = ln((c2+1)/(c1(w1)+V)) with V the
-    corpus vocabulary size; ppl = round(exp(-avg logp), 6), null for
-    docs with < 2 words.
-
-    Scale shape: training is one count aggregate; scoring explodes each
-    doc's bigrams and JOINS the count tables — key-based either way, so
-    the vocabulary is unbounded, unlike the embedded-matrix UDF
-    variant.  ``broadcast_model`` picks the join strategy: True forces
-    a broadcast of the count tables (safe only when the trained model
-    is known small — bench/fixture corpora), False forces the plain
-    shuffle-merge join (web-scale vocabularies where a forced broadcast
-    would OOM executors), and the default None leaves the choice to
-    Catalyst/AQE, which sees the actual post-shuffle size of the count
-    tables at runtime and only then converts to a broadcast join — no
-    extra job, no hard-coded guess.  Exact integer counts make the
-    whole train+score path value-reproducible in the DuckDB oracle."""
-    bigrams, unigrams = train_bigram_counts(docs, text_col)
+def score_bigram_ppl(docs, bigrams, unigrams, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     broadcast_model: "bool | None" = None):
+    """Scoring half of :func:`ppl_trained_bigram`: perplexity of each
+    doc in ``docs`` under a PRECOMPUTED (bigrams, unigrams) count model
+    — the train-once / score-many shape of a production pipeline, where
+    one trained LM table (materialized once, e.g. localCheckpoint or an
+    Iceberg model table) serves every subsequent scoring run instead of
+    retraining inline per job.  Same join strategy contract as the
+    inline form (see module docstring MODEL_JOIN_CONTRACT)."""
     vocab = unigrams.agg(F.count("*").alias("v"))
     if broadcast_model is None:
         hint = lambda d: d                     # AQE decides from stats
@@ -302,6 +304,27 @@ def ppl_trained_bigram(docs, id_col: str = "doc_id",
             .select("id", F.col("n_bigrams").cast("long").alias(
                 "n_bigrams"), "ppl")
             .orderBy("id"))
+
+
+def ppl_trained_bigram(docs, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       broadcast_model: "bool | None" = None):
+    """Per-doc perplexity under the corpus-trained add-one-smoothed
+    word-bigram LM: logp(w1 w2) = ln((c2+1)/(c1(w1)+V)) with V the
+    corpus vocabulary size; ppl = round(exp(-avg logp), 6), null for
+    docs with < 2 words.
+
+    Scale shape: training is one count aggregate; scoring explodes each
+    doc's bigrams and JOINS the count tables — key-based either way, so
+    the vocabulary is unbounded, unlike the embedded-matrix UDF
+    variant.  ``broadcast_model`` follows MODEL_JOIN_CONTRACT (module
+    docstring).  Exact integer counts make the whole train+score path
+    value-reproducible in the DuckDB oracle.  Composes
+    :func:`train_bigram_counts` + :func:`score_bigram_ppl` — call them
+    separately to train once and score many batches."""
+    bigrams, unigrams = train_bigram_counts(docs, text_col)
+    return score_bigram_ppl(docs, bigrams, unigrams, id_col, text_col,
+                            broadcast_model)
 
 
 def ppl_buckets(docs, id_col: str = "doc_id", text_col: str = "text",
@@ -350,3 +373,99 @@ def ppl_buckets_sql(table: str = "documents") -> str:
         f"WHEN rn * 3 <= n THEN 'head' "
         f"WHEN rn * 3 <= 2 * n THEN 'middle' "
         f"ELSE 'tail' END AS bucket FROM r ORDER BY id")
+
+
+def ppl_buckets_approx(docs, id_col: str = "doc_id",
+                       text_col: str = "text", lang_col: str = "lang",
+                       bins: int = 4096):
+    """Production-scale CCNet bucketing: histogram-quantile tertile
+    cuts instead of the per-language total-order sort window of
+    :func:`ppl_buckets` (which at 10^12 docs is a giant skewed sort —
+    CCNet itself cuts on precomputed quantiles).
+
+    Shape: (1) one mergeable aggregate for per-language (min, max, n);
+    (2) bin every doc into a fixed-width per-language histogram —
+    map-side, using the broadcast stats table; (3) one (lang, bin)
+    count aggregate whose result is bounded at |langs| × ``bins`` rows;
+    (4) a cumulative scan + cut extraction on that tiny table; (5) a
+    broadcast join of the per-language cut bins back onto the corpus.
+    No sort ever touches the corpus, per-group state is bounded by
+    ``bins``, and hot languages cost the same per row as cold ones.
+
+    Cuts are the LAST bin fully inside each tertile (cum*3 <= n /
+    <= 2n), so docs in a straddling bin are assigned wholesale one
+    bucket — the approximation is at most one bin width per boundary.
+    With the default 4096 bins and mostly-distinct perplexities the
+    assignment matches the exact tertiles except for in-bin collisions
+    and exact-ppl ties (tests pin >= 99% agreement on the fixture
+    corpus).  Unlike percentile_approx's Greenwald-Khanna sketch this
+    histogram is fully deterministic, so the DuckDB oracle reproduces
+    it value-exactly; the exact window form stays as the
+    verification/oracle path, same relationship as
+    dedup.ngram_jaccard to MinHash."""
+    d = docs.select(F.col(id_col).alias("id"),
+                    F.col(lang_col).alias("lang"),
+                    ppl_unigram_expr(F.col(text_col)).alias("ppl"))
+    stats = (d.where(F.col("ppl").isNotNull())
+             .groupBy("lang")
+             .agg(F.min("ppl").alias("mn"), F.max("ppl").alias("mx"),
+                  F.count("*").alias("n")))
+    binned = d.join(F.broadcast(stats), "lang", "left").withColumn(
+        "bin",
+        F.when(F.col("ppl").isNull(), F.lit(None).cast("long"))
+        .when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(F.least(
+            F.floor(((F.col("ppl") - F.col("mn")) /
+                     (F.col("mx") - F.col("mn"))) * bins),
+            F.lit(bins - 1).cast("long"))))
+    hist = (binned.where(F.col("ppl").isNotNull())
+            .groupBy("lang", "bin").agg(F.count("*").alias("c")))
+    from pyspark.sql import Window
+    wcum = (Window.partitionBy("lang").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cuts = (hist.withColumn("cum", F.sum("c").over(wcum))
+            .join(stats.select("lang", "n"), "lang")
+            .groupBy("lang")
+            .agg(F.max(F.when(F.col("cum") * 3 <= F.col("n"),
+                              F.col("bin"))).alias("cut_head"),
+                 F.max(F.when(F.col("cum") * 3 <= 2 * F.col("n"),
+                              F.col("bin"))).alias("cut_mid")))
+    bucket = (F.when(F.col("ppl").isNull(), "tail")
+              .when(F.col("bin") <= F.col("cut_head"), "head")
+              .when(F.col("bin") <= F.col("cut_mid"), "middle")
+              .otherwise("tail"))
+    return (binned.join(F.broadcast(cuts), "lang", "left")
+            .withColumn("bucket", bucket)
+            .select("id", "lang", "ppl", "bucket").orderBy("id"))
+
+
+def ppl_buckets_approx_sql(table: str = "documents",
+                           bins: int = 4096) -> str:
+    """DuckDB mirror of :func:`ppl_buckets_approx` — identical
+    histogram, identical IEEE-double bin arithmetic, identical cut
+    rule, so the approximate path is value-exact across engines."""
+    return (
+        f"WITH d AS (SELECT doc_id AS id, lang, "
+        f"{ppl_unigram_sql('text')} AS ppl FROM {table}), "
+        f"s AS (SELECT lang, min(ppl) AS mn, max(ppl) AS mx, "
+        f"count(*) AS n FROM d WHERE ppl IS NOT NULL GROUP BY lang), "
+        f"b AS (SELECT id, d.lang, ppl, "
+        f"CASE WHEN ppl IS NULL THEN NULL "
+        f"WHEN mx = mn THEN 0 "
+        f"ELSE CAST(least(floor(((ppl - mn) / (mx - mn)) * {bins}), "
+        f"{bins - 1}) AS BIGINT) END AS bin "
+        f"FROM d LEFT JOIN s ON d.lang = s.lang), "
+        f"h AS (SELECT lang, bin, count(*) AS c FROM b "
+        f"WHERE ppl IS NOT NULL GROUP BY lang, bin), "
+        f"cc AS (SELECT lang, bin, sum(c) OVER (PARTITION BY lang "
+        f"ORDER BY bin) AS cum FROM h), "
+        f"cuts AS (SELECT cc.lang, "
+        f"max(CASE WHEN cum * 3 <= n THEN bin END) AS cut_head, "
+        f"max(CASE WHEN cum * 3 <= 2 * n THEN bin END) AS cut_mid "
+        f"FROM cc JOIN s ON cc.lang = s.lang GROUP BY cc.lang) "
+        f"SELECT id, b.lang, ppl, "
+        f"CASE WHEN ppl IS NULL THEN 'tail' "
+        f"WHEN bin <= cut_head THEN 'head' "
+        f"WHEN bin <= cut_mid THEN 'middle' "
+        f"ELSE 'tail' END AS bucket "
+        f"FROM b LEFT JOIN cuts ON b.lang = cuts.lang ORDER BY id")

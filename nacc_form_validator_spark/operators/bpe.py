@@ -152,19 +152,31 @@ def train_bpe_merges(docs: DataFrame, merges: int = 6,
         "pair_count long")
 
 
-def bpe_token_counts(docs: DataFrame, merges: int = 6,
-                     id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """(id, n_words, n_tokens): encode every document with the
-    corpus-trained ``merges``-rule BPE and count its subword tokens —
-    the train-then-tokenize round trip of a real pretraining pipeline.
+def train_bpe_vocab(docs: DataFrame, merges: int = 6,
+                    text_col: str = "text") -> DataFrame:
+    """The trained tokenizer as a MODEL TABLE (w, s, c): every distinct
+    corpus word with its final subword symbol sequence after ``merges``
+    merge rules, already materialized (localCheckpoint) by training —
+    the artifact a production pipeline freezes once and reuses for
+    every encoding run (:func:`encode_with_vocab`).  The caller owns
+    the returned DataFrame's storage."""
+    _, vocab = _train(docs, merges, text_col)
+    return vocab
+
+
+def encode_with_vocab(docs: DataFrame, vocab: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_tokens): encode ``docs`` against a PRECOMPUTED
+    vocab table (w, s, ...) from :func:`train_bpe_vocab` — the
+    train-once / score-many half.
 
     Encoding never touches documents per merge rule: each DISTINCT word
-    is encoded once on the vocab table (where training already left the
-    final symbol sequences), and documents join the (word -> token
-    count) table by key — AQE sizes the join (the encoded vocab is
-    usually broadcastable, but unbounded, so no forced hint)."""
-    _, vocab = _train(docs, merges, text_col)
+    was encoded once at training time, and documents join the
+    (word -> token count) table by key — AQE sizes the join per
+    MODEL_JOIN_CONTRACT's default (functions/perplexity.py): the
+    encoded vocab is usually broadcastable, but unbounded, so no
+    forced hint."""
     wl = vocab.select("w", F.size("s").alias("wl"))
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(_words_col(text_col)).alias("w"))
@@ -172,14 +184,25 @@ def bpe_token_counts(docs: DataFrame, merges: int = 6,
            .groupBy("id")
            .agg(F.count("*").alias("n_words"),
                 F.sum("wl").alias("n_tokens")))
-    out = (docs.select(F.col(id_col).alias("id"))
-           .join(per, "id", "left")
-           .select("id",
-                   F.coalesce("n_words", F.lit(0)).cast("long")
-                   .alias("n_words"),
-                   F.coalesce("n_tokens", F.lit(0)).cast("long")
-                   .alias("n_tokens"))
-           .orderBy("id"))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per, "id", "left")
+            .select("id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"))
+            .orderBy("id"))
+
+
+def bpe_token_counts(docs: DataFrame, merges: int = 6,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_tokens): encode every document with the
+    corpus-trained ``merges``-rule BPE and count its subword tokens —
+    the train-then-tokenize round trip of a real pretraining pipeline.
+    Composes :func:`train_bpe_vocab` + :func:`encode_with_vocab`."""
+    vocab = train_bpe_vocab(docs, merges, text_col)
+    out = encode_with_vocab(docs, vocab, id_col, text_col)
     # release contract shared with dedup.release_intermediates: the
     # trained vocab stays cached until the caller releases the result
     out._persisted_intermediates = [vocab]

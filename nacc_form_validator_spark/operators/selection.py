@@ -29,7 +29,7 @@ dsir_logweights_sql).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -62,25 +62,27 @@ def gopher_label() -> Column:
     return ok
 
 
-def nb_quality_scores(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text",
-                      broadcast_model: Optional[bool] = None
-                      ) -> DataFrame:
-    """(id, label, n_tokens, score, pred): train an add-one-smoothed
-    Naive-Bayes keep/drop classifier on the corpus's own GOPHER_RULES
-    labels, then score every document with it.
+class NBModel(NamedTuple):
+    """Trained Naive-Bayes model: three DataFrames a production run
+    materializes ONCE (localCheckpoint / model table) and reuses for
+    every scoring batch — the same frozen-index pattern as
+    dedup.incremental_exact_dedup."""
+    word_tbl: DataFrame   # (w, c_pos, c_neg) — unbounded vocabulary
+    totals: DataFrame     # 1 row (t_pos, t_neg, v)
+    priors: DataFrame     # 1 row (n_pos, n_neg)
 
-    score = ln((N_pos+1)/(N_neg+1)) + sum_w [ln((c_pos(w)+1)/(T_pos+V))
-    - ln((c_neg(w)+1)/(T_neg+V))], rounded to 6 decimals; ``pred`` is
-    score > 0.  ``broadcast_model`` follows the ppl_trained_bigram
-    contract: None lets AQE size the word-table join, True forces
-    broadcast (fixture corpora), False pins shuffle-merge (web-scale
-    vocabularies)."""
+
+def train_nb_quality(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> NBModel:
+    """Train the add-one-smoothed NB keep/drop classifier on the
+    corpus's own GOPHER_RULES labels: ONE count aggregate over exploded
+    tokens (map-side partial combine; the shuffle ships (word, counts),
+    never documents) plus two 1-row totals."""
     labeled = (with_doc_stats(docs, text_col=text_col)
                .withColumn("__lbl", gopher_label())
                .select(F.col(id_col).alias("id"), F.col("__lbl"),
                        F.col(text_col).alias("__text")))
-    toks = labeled.select("id", "__lbl",
+    toks = labeled.select("__lbl",
                           F.explode(_words(F.col("__text"))).alias("w"))
     word_tbl = (toks.groupBy("w").agg(
         F.sum(F.when(F.col("__lbl"), 1).otherwise(0)).alias("c_pos"),
@@ -91,6 +93,31 @@ def nb_quality_scores(docs: DataFrame, id_col: str = "doc_id",
     prior_tbl = labeled.agg(
         F.sum(F.when(F.col("__lbl"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col("__lbl"), 0).otherwise(1)).alias("n_neg"))
+    return NBModel(word_tbl, totals, prior_tbl)
+
+
+def score_nb_quality(docs: DataFrame, model: NBModel,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_model: Optional[bool] = None
+                     ) -> DataFrame:
+    """Score ``docs`` with a PRECOMPUTED :class:`NBModel` — the
+    train-once / score-many half.  Output schema and semantics match
+    :func:`nb_quality_scores` (``label`` is recomputed from the docs'
+    own GOPHER stats; it is an annotation, not a model input).
+
+    ``broadcast_model`` follows MODEL_JOIN_CONTRACT
+    (functions/perplexity.py module docstring): None = AQE sizes the
+    word-table join; True/False force broadcast / shuffle-merge.  The
+    default shuffle orientation ships tokens keyed by word, which is
+    skewed on stopwords — if that ever dominates a profile, the 100×
+    refinement is a salted two-stage aggregate on the hot keys."""
+    word_tbl, totals, prior_tbl = model
+    labeled = (with_doc_stats(docs, text_col=text_col)
+               .withColumn("__lbl", gopher_label())
+               .select(F.col(id_col).alias("id"), F.col("__lbl"),
+                       F.col(text_col).alias("__text")))
+    toks = labeled.select("id", "__lbl",
+                          F.explode(_words(F.col("__text"))).alias("w"))
     if broadcast_model is None:
         hint = lambda d: d                     # AQE decides from stats
     elif broadcast_model:
@@ -121,6 +148,81 @@ def nb_quality_scores(docs: DataFrame, id_col: str = "doc_id",
             .orderBy("id"))
 
 
+def nb_quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      broadcast_model: Optional[bool] = None
+                      ) -> DataFrame:
+    """(id, label, n_tokens, score, pred): train an add-one-smoothed
+    Naive-Bayes keep/drop classifier on the corpus's own GOPHER_RULES
+    labels, then score every document with it.
+
+    score = ln((N_pos+1)/(N_neg+1)) + sum_w [ln((c_pos(w)+1)/(T_pos+V))
+    - ln((c_neg(w)+1)/(T_neg+V))], rounded to 6 decimals; ``pred`` is
+    score > 0.  Composes :func:`train_nb_quality` +
+    :func:`score_nb_quality` — call them separately (materializing the
+    model between) to train once and score many batches."""
+    return score_nb_quality(docs, train_nb_quality(docs, id_col,
+                                                   text_col),
+                            id_col, text_col, broadcast_model)
+
+
+class DSIRModel(NamedTuple):
+    """Trained DSIR model: bounded at ``buckets`` rows, so genuinely
+    broadcast-safe at any corpus size."""
+    bucket_tbl: DataFrame   # (b, c_t, c_r)
+    totals: DataFrame       # 1 row (tt, tr)
+    buckets: int
+
+
+def train_dsir(docs: DataFrame, target: Column, text_col: str = "text",
+               buckets: int = 256) -> DSIRModel:
+    """Train the hashed-unigram importance model against ``target``
+    (a boolean Column over ``docs``): one bounded count aggregate."""
+    toks = docs.select(target.alias("__t"),
+                       F.explode(_words(F.col(text_col))).alias("w"))
+    bt = toks.select("__t", _dsir_bucket(buckets))
+    model = (bt.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
+        F.count("*").alias("c_r")))
+    totals = model.agg(F.sum("c_t").alias("tt"),
+                       F.sum("c_r").alias("tr"))
+    return DSIRModel(model, totals, buckets)
+
+
+def score_dsir(docs: DataFrame, model: DSIRModel,
+               id_col: str = "doc_id", text_col: str = "text"
+               ) -> DataFrame:
+    """Score ``docs`` with a PRECOMPUTED :class:`DSIRModel` — both
+    model tables broadcast unconditionally (bounded by construction)."""
+    bucket_tbl, totals, buckets = model
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(_words(F.col(text_col))).alias("w"))
+    bt = toks.select("id", _dsir_bucket(buckets))
+    lw = (F.log((F.col("c_t") + 1.0) / (F.col("tt") + buckets)) -
+          F.log((F.col("c_r") + 1.0) / (F.col("tr") + buckets)))
+    scored = (bt.join(F.broadcast(bucket_tbl), "b")
+              .crossJoin(F.broadcast(totals))
+              .groupBy("id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.round(F.sum(lw), 6).alias("log_weight")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(scored, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_tokens"),
+                               F.lit(0)).cast("long").alias("n_tokens"),
+                    F.coalesce(F.col("log_weight"),
+                               F.lit(0.0)).alias("log_weight"))
+            .orderBy("id"))
+
+
+def _dsir_bucket(buckets: int) -> Column:
+    """md5-prefix mod hashed feature bucket (identical bytes in the
+    DuckDB oracle)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long"), F.lit(buckets)).alias("b")
+
+
 def dsir_logweights(docs: DataFrame, target: Column,
                     id_col: str = "doc_id", text_col: str = "text",
                     buckets: int = 256) -> DataFrame:
@@ -134,30 +236,8 @@ def dsir_logweights(docs: DataFrame, target: Column,
     ln[(c_t(b)+1)/(T_t+B)] - ln[(c_r(b)+1)/(T_r+B)], rounded to 6.
     Documents sampled proportionally to exp(log_weight) reproduce the
     target distribution — the resampling step is
-    operators/sampling.hash_sample on the weight."""
-    toks = docs.select(F.col(id_col).alias("id"), target.alias("__t"),
-                       F.explode(_words(F.col(text_col))).alias("w"))
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
-        .cast("long"), F.lit(buckets)).alias("b")
-    bt = toks.select("id", "__t", b)
-    model = (bt.groupBy("b").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
-        F.count("*").alias("c_r")))
-    totals = model.agg(F.sum("c_t").alias("tt"),
-                       F.sum("c_r").alias("tr"))
-    lw = (F.log((F.col("c_t") + 1.0) / (F.col("tt") + buckets)) -
-          F.log((F.col("c_r") + 1.0) / (F.col("tr") + buckets)))
-    scored = (bt.join(F.broadcast(model), "b")
-              .crossJoin(F.broadcast(totals))
-              .groupBy("id")
-              .agg(F.count("*").alias("n_tokens"),
-                   F.round(F.sum(lw), 6).alias("log_weight")))
-    return (docs.select(F.col(id_col).alias("id"))
-            .join(scored, "id", "left")
-            .select("id",
-                    F.coalesce(F.col("n_tokens"),
-                               F.lit(0)).cast("long").alias("n_tokens"),
-                    F.coalesce(F.col("log_weight"),
-                               F.lit(0.0)).alias("log_weight"))
-            .orderBy("id"))
+    operators/sampling.hash_sample on the weight.  Composes
+    :func:`train_dsir` + :func:`score_dsir` — call them separately to
+    train once and score many batches."""
+    return score_dsir(docs, train_dsir(docs, target, text_col, buckets),
+                      id_col, text_col)

@@ -1348,6 +1348,12 @@ def ppl_buckets_sql() -> str:
     return _sql()
 
 
+def ppl_buckets_approx_sql() -> str:
+    from nacc_form_validator_spark.functions.perplexity import (
+        ppl_buckets_approx_sql as _sql)
+    return _sql()
+
+
 _WORDS_SQL = ("list_filter(string_split_regex(lower(text), '\\s+'), "
               "x -> x <> '')")
 
