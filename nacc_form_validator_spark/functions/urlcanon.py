@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+#: query is extracted from the PRE-fragment region only — a '?' inside
+#: the fragment ('https://h/p#frag?x') must not resurrect fragment
+#: content as a query (rule 3: fragments are dropped entirely)
+_PREFRAG_RE = r"^[^#]*"
+_QUERY_RE = r"\?(.*)"
 
 #: query params dropped entirely (prefix match for utm_)
 TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=")
@@ -60,7 +64,8 @@ def canonical_url(url: Column) -> Column:
         (F.length(raw_path) > 1) & raw_path.endswith("/"),
         F.substring(raw_path, 1, F.length(raw_path) - 1),
     ).otherwise(raw_path)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    query = F.regexp_extract(F.regexp_extract(url, _PREFRAG_RE, 0),
+                             _QUERY_RE, 1)
     def _keep(p):
         ok = p != ""
         for pre in TRACKING_PREFIXES:
@@ -93,7 +98,8 @@ def canonical_url_sql(url_expr: str = "url") -> str:
         f"CASE WHEN {raw_path} = '' THEN '/' "
         f"WHEN len({raw_path}) > 1 AND {raw_path} LIKE '%/' "
         f"THEN {raw_path}[1:len({raw_path}) - 1] ELSE {raw_path} END")
-    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    query = (f"regexp_extract(regexp_extract({u}, '^[^#]*', 0), "
+             f"'\\?(.*)', 1)")
     not_tracking = " ".join(f"AND NOT starts_with(p, '{pre}')"
                             for pre in TRACKING_PREFIXES)
     keep = (f"list_filter(string_split({query}, '&'), "

@@ -113,8 +113,17 @@ class _BitReader:
                 self.acc = (self.acc << 8) | 0  # pad past the marker
                 self.n += 8
                 continue
+            if self.pos >= len(d):
+                # truncated entropy segment (no terminating marker) —
+                # common in real crawl payloads; treat as implicit EOI
+                # rather than IndexError
+                self.marker = 0xD9
+                continue
             b = d[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    self.marker = 0xD9
+                    continue
                 nxt = d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
@@ -145,9 +154,18 @@ class _BitReader:
         the buffered lookahead), so also probe the stream directly."""
         self.acc = 0
         self.n = 0
-        if self.marker is None and self.data[self.pos] == 0xFF \
-                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-            self.marker = self.data[self.pos + 1]
+        d = self.data
+        if self.marker is None:
+            # the byte-aligned pad byte before the RSTn may itself be
+            # 0xFF, emitted as stuffed FF 00 — consume any stuffing
+            # first or the probe below sees FF 00, never finds the
+            # marker, and the pad byte gets decoded as entropy data
+            while (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                   and d[self.pos + 1] == 0x00):
+                self.pos += 2
+            if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                    and 0xD0 <= d[self.pos + 1] <= 0xD7):
+                self.marker = d[self.pos + 1]
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2  # skip FF Dn
             self.marker = None

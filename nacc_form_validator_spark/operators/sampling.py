@@ -99,6 +99,18 @@ def mixture_resample(df: DataFrame, weights: Dict[str, float],
     cnt = (df.where(wlit.isNotNull())
            .groupBy(stratum_col).agg(sized)
            .withColumn("w", wlit))
+    # a weighted stratum with no rows makes the requested mixture
+    # infeasible (its proportion would be 0, not w_s) — fail loudly
+    # instead of silently returning a wrong mix.  The aggregate is
+    # materialized once (|strata| rows) so the check costs no extra
+    # corpus pass.
+    cnt = cnt.localCheckpoint(eager=True)
+    present = {r[0] for r in cnt.select(stratum_col).collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(
+            f"mixture_resample: weighted strata absent from the "
+            f"input: {missing}; the requested mixture is infeasible")
     tot = cnt.agg(F.min(F.col("sz") / F.col("w")).alias("out_total"))
     rates = cnt.crossJoin(tot).select(
         stratum_col,

@@ -1468,9 +1468,14 @@ def _bpe_ctes(merges: int) -> list:
             f"GROUP BY 1, 2)",
             f"t{k} AS (SELECT a, b, pc FROM p{k} "
             f"ORDER BY pc DESC, a ASC, b ASC LIMIT 1)",
+            # LEFT JOIN ON TRUE, not CROSS JOIN: when a step's pair
+            # table is empty (degenerate corpus, fewer distinct pairs
+            # than `merges`), t{k}.a/b are NULL, mt is all-NULL, and
+            # the merge step is a no-op — matching the Spark side's
+            # early break that keeps the vocab instead of emptying it
             f"mt{k} AS (SELECT w, s, c, list_transform(range(1, "
             f"len(s)), i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
-            f"FROM s{k} CROSS JOIN t{k})",
+            f"FROM s{k} LEFT JOIN t{k} ON TRUE)",
             f"mg{k} AS (SELECT w, s, c, list_transform(range(1, "
             f"len(s)), i -> mt[i] AND ((i - coalesce(list_max("
             f"list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) "

@@ -57,3 +57,30 @@ def test_bpe_encode_counts(spark):
     assert out[0]["n_words"] == 3 and out[0]["n_tokens"] == 3
     assert out[1]["n_words"] == 2 and out[1]["n_tokens"] == 3
     assert out[2]["n_words"] == 0 and out[2]["n_tokens"] == 0
+
+
+def test_bpe_oracle_parity_on_degenerate_corpus(spark):
+    """Early-stop corpora (fewer distinct pairs than `merges`) must
+    agree between Spark and the DuckDB oracle: the oracle's per-step
+    LEFT JOIN degrades to a no-op merge on empty pair tables instead of
+    emptying the vocab (which made bpe_encode report 0 tokens)."""
+    import duckdb
+    import pandas as pd
+
+    from nacc_form_validator_spark.operators.bpe import bpe_token_counts
+    from nacc_form_validator_spark.plans.oracle import (bpe_encode_sql,
+                                                        bpe_train_sql)
+    docs_pd = pd.DataFrame({"doc_id": [0, 1],
+                            "text": ["ab ab ab", "ab"]})
+    docs = spark.createDataFrame(docs_pd)
+    spark_rows = [tuple(r) for r in
+                  bpe_token_counts(docs, merges=5).collect()]
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+    duck_rows = [tuple(r) for r in
+                 con.execute(bpe_encode_sql(merges=5)).fetchall()]
+    assert spark_rows == duck_rows
+    # 'ab' fully merges after 1 step -> 1 token per word, never 0
+    assert spark_rows[0][2] == 3 and spark_rows[1][2] == 1
+    # train oracle reports exactly the learned steps (early stop)
+    assert len(con.execute(bpe_train_sql(merges=5)).fetchall()) == 1

@@ -244,3 +244,53 @@ def test_jpeg_dispatch_and_sniff():
     jp = encode_jpeg_gray(img)
     assert sniff_mime(jp) == "image/jpeg"
     assert np.array_equal(decode_image(jp)[:, :, 0], img)
+
+
+def test_bitreader_stuffed_pad_before_restart():
+    """The byte-aligned pad byte before an RSTn may be 0xFF (emitted as
+    stuffed FF 00); align_restart must consume the stuffing and the
+    marker, not decode the pad byte as entropy data."""
+    from nacc_form_validator_spark.operators.jpegcodec import _BitReader
+    data = bytes([0x12, 0x34, 0x56, 0x78,   # entropy (buffered whole)
+                  0xFF, 0x00,               # stuffed 0xFF pad byte
+                  0xFF, 0xD1,               # RST1
+                  0x9A, 0xFF, 0xD9])        # next interval + EOI
+    br = _BitReader(data, 0)
+    assert [br.bits(8) for _ in range(4)] == [0x12, 0x34, 0x56, 0x78]
+    br.align_restart()
+    assert br.marker is None
+    assert br.bits(8) == 0x9A
+
+
+def test_bitreader_truncated_scan_implicit_eoi():
+    """A truncated entropy segment (no terminating marker) must read as
+    an implicit EOI, never IndexError — crawl payloads are frequently
+    cut short."""
+    from nacc_form_validator_spark.operators.jpegcodec import _BitReader
+    for data in (bytes([0xAB]), bytes([0xAB, 0xFF]), b""):
+        br = _BitReader(data, 0)
+        vals = [br.bits(8) for _ in range(6)]   # reads past the end
+        assert br.marker == 0xD9
+        if data:
+            assert vals[0] == 0xAB
+
+
+def test_jpeg_truncated_payload_no_crash():
+    """decode_jpeg on a JPEG cut inside the scan either finishes (zero
+    bits pad the tail) or raises ImageDecodeError — never IndexError."""
+    import pytest
+
+    from nacc_form_validator_spark.operators.imagecodec import (
+        ImageDecodeError)
+    from nacc_form_validator_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg_gray)
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    full = encode_jpeg_gray(g)
+    for cut in (3, 5, 9, 17, 33):
+        data = full[:-cut]
+        try:
+            out = decode_jpeg(data)
+            assert out.shape == (16, 16, 3)
+        except ImageDecodeError:
+            pass

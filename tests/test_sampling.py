@@ -154,3 +154,18 @@ def test_mixture_resample_size_col_budget(spark):
              out.groupBy("dom").agg(F.sum("sz").alias("s")).collect()}
     total = sum(sizes.values())
     assert abs(sizes["a"] / total - 0.5) < 0.05
+
+
+def test_mixture_resample_missing_stratum_raises(spark):
+    """A weights key with no input rows makes the mixture infeasible
+    (its proportion would be 0, not w_s) — must raise, not silently
+    return a wrong mix."""
+    import pytest
+
+    from nacc_form_validator_spark.operators.sampling import (
+        mixture_resample)
+    df = spark.createDataFrame([(i, "a") for i in range(10)],
+                               "k long, dom string")
+    with pytest.raises(ValueError, match="absent"):
+        mixture_resample(df, {"a": 0.5, "ghost": 0.5},
+                         stratum_col="dom", key_col="k")

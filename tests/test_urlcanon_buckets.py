@@ -42,6 +42,42 @@ def test_canonical_forms(spark):
     assert got["not-a-url-5"] == "not-a-url-5"
 
 
+def test_fragment_query_not_resurrected(spark):
+    """A '?' inside the fragment must not become a query: the fragment
+    is dropped entirely, and the canonical key must not collide with
+    the genuinely-querystringed url."""
+    got = _canon(spark, [
+        "https://h.example/p#frag?x=1",     # ? lives in the fragment
+        "https://h.example/p?x=1",          # real query
+        "https://h.example/p?a=1#frag?b=2",  # real query + tricky frag
+    ])
+    assert got["https://h.example/p#frag?x=1"] == "https://h.example/p"
+    assert got["https://h.example/p?x=1"] == "https://h.example/p?x=1"
+    assert got["https://h.example/p?a=1#frag?b=2"] == \
+        "https://h.example/p?a=1"
+
+
+def test_fragment_query_oracle_parity(spark):
+    """Spark and DuckDB canonical forms stay byte-identical on
+    fragment-with-question-mark urls."""
+    import duckdb
+
+    from nacc_form_validator_spark.functions.urlcanon import (
+        canonical_url_sql)
+    urls = ["https://h.example/p#frag?x=1",
+            "https://h.example/p?a=1#f?b=2",
+            "https://h.example/p?utm_source=z&k=v#g?utm_x=1",
+            "https://h.example/#?",
+            "not-a-url#?x"]
+    spark_out = _canon(spark, urls)
+    con = duckdb.connect()
+    for u in urls:
+        duck = con.execute(
+            f"SELECT {canonical_url_sql('url')} "
+            f"FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        assert spark_out[u] == duck, u
+
+
 def test_canonical_dedup_keeps_smallest_raw(spark):
     df = spark.createDataFrame(
         [("https://a.example/p/9/",),
