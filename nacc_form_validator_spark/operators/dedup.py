@@ -690,13 +690,19 @@ def exact_substring_stats(df: DataFrame, text_col: str = "text",
          .select("id", F.filter(F.col("w"),
                                 lambda x: x != "").alias("w")))
     idx = F.sequence(F.lit(0), F.size("w") - n)
+    # consumed twice (gram-frequency agg + the probe join) — persist,
+    # or the corpus-wide explode+md5 pipeline (the operator's most
+    # expensive projection) computes twice; same convention as
+    # ngram_jaccard_pairs' `ex`, caller releases via
+    # release_intermediates(result)
     pos = (w.where(F.size("w") >= n)
            .select("id", F.explode(idx).alias("i"),
                    F.col("w"))
            .select("id",
                    F.md5(F.array_join(
                        F.slice(F.col("w"), F.col("i") + 1, n),
-                       " ")).alias("gh")))
+                       " ")).alias("gh"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     freq = (pos.groupBy("gh")
             .agg(F.count_distinct("id").alias("df"))
             .where(F.col("df") >= min_doc_freq)
@@ -706,16 +712,18 @@ def exact_substring_stats(df: DataFrame, text_col: str = "text",
                .agg(F.count("*").alias("n_grams"),
                     F.sum(F.when(F.col("dup"), 1).otherwise(0))
                     .alias("dup_positions")))
-    return (df.select(F.col(id_col).alias("id"))
-            .join(per_doc, "id", "left")
-            .select(
-                "id",
-                F.coalesce("n_grams", F.lit(0)).cast("long")
-                .alias("n_grams"),
-                F.coalesce("dup_positions", F.lit(0)).cast("long")
-                .alias("dup_positions"),
-                F.when(F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
-                       F.round(F.col("dup_positions") /
-                               F.col("n_grams"), 6))
-                .otherwise(F.lit(0.0)).alias("dup_fraction"))
-            .orderBy("id"))
+    out = (df.select(F.col(id_col).alias("id"))
+           .join(per_doc, "id", "left")
+           .select(
+               "id",
+               F.coalesce("n_grams", F.lit(0)).cast("long")
+               .alias("n_grams"),
+               F.coalesce("dup_positions", F.lit(0)).cast("long")
+               .alias("dup_positions"),
+               F.when(F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                      F.round(F.col("dup_positions") /
+                              F.col("n_grams"), 6))
+               .otherwise(F.lit(0.0)).alias("dup_fraction"))
+           .orderBy("id"))
+    out._persisted_intermediates = [pos]
+    return out

@@ -150,35 +150,61 @@ DEDUP_OUT = T.StructType([
 DEDUP_STATE = T.StructType([T.StructField("seen", T.LongType())])
 
 
-def _dedup_fn(key, pdfs, state: GroupState):
-    """Per-digest state: how many crawls of this content hash have ever
-    arrived.  Exactly the FIRST row (batch-wide order (warc_ts, url))
-    of a never-seen digest is flagged first_seen — deterministic, so
-    the whole stream run value-matches a batch window oracle.
+def _make_dedup_fn(ttl_ms: "int | None"):
+    """Per-digest state fn: how many crawls of this content hash have
+    ever arrived.  Exactly the FIRST row (batch-wide order
+    (warc_ts, url)) of a never-seen digest is flagged first_seen —
+    deterministic, so the whole stream run value-matches a batch window
+    oracle.
+
+    With ``ttl_ms`` set, a digest unseen for the TTL is evicted
+    (processing-time timeout): state stays bounded by the recrawl
+    horizon instead of growing monotonically for the stream's life.
+    first_seen semantics are unchanged INSIDE the horizon; a recrawl
+    arriving after eviction is first_seen again — the content-dedup
+    reading of "forget what you haven't seen in a horizon".
 
     Vectorized: one sort per group, one boolean array; no row loop."""
-    import numpy as np
-    (digest, ) = key
-    seen = state.get[0] if state.exists else 0
-    frames = [p for p in pdfs if len(p)]
-    if not frames:
-        state.update((seen, ))
-        yield pd.DataFrame(columns=["url", "warc_ts", "digest",
-                                    "first_seen"])
-        return
-    pdf = (pd.concat(frames) if len(frames) > 1 else
-           frames[0]).sort_values(["warc_ts", "url"])
-    first = np.zeros(len(pdf), dtype=bool)
-    if seen == 0:
-        first[0] = True
-    state.update((seen + len(pdf), ))
-    yield pd.DataFrame({"url": pdf["url"].to_numpy(),
-                        "warc_ts": pdf["warc_ts"].to_numpy(),
-                        "digest": digest,
-                        "first_seen": first})
+
+    def _fn(key, pdfs, state: GroupState):
+        import numpy as np
+        (digest, ) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["url", "warc_ts", "digest",
+                                        "first_seen"])
+            return
+        seen = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((seen, ))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(columns=["url", "warc_ts", "digest",
+                                        "first_seen"])
+            return
+        pdf = (pd.concat(frames) if len(frames) > 1 else
+               frames[0]).sort_values(["warc_ts", "url"])
+        first = np.zeros(len(pdf), dtype=bool)
+        if seen == 0:
+            first[0] = True
+        state.update((seen + len(pdf), ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"url": pdf["url"].to_numpy(),
+                            "warc_ts": pdf["warc_ts"].to_numpy(),
+                            "digest": digest,
+                            "first_seen": first})
+
+    return _fn
 
 
-def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
+_dedup_fn = _make_dedup_fn(None)
+
+
+def streaming_exact_dedup(pages_stream: DataFrame,
+                          state_ttl_ms: "int | None" = None
+                          ) -> DataFrame:
     """Streaming exact content dedup: the batch md5-digest window
     (operators/dedup.py exact dedup) as a stateful streaming operator —
     state per content digest survives across micro-batches, so a
@@ -186,14 +212,27 @@ def streaming_exact_dedup(pages_stream: DataFrame) -> DataFrame:
     crawl.  The digest is computed map-side (same normalization as the
     batch operator); the only wide op is the groupBy(digest) state
     exchange, keys not documents — the identical shuffle shape as the
-    batch plan, held open over time."""
+    batch plan, held open over time.
+
+    State is 8 bytes per distinct digest — as small as exact-dedup
+    state gets — but an unbounded stream still needs an eviction story:
+    pass ``state_ttl_ms`` (the recrawl horizon) to evict digests unseen
+    for that long via processing-time timeout, bounding total state at
+    (distinct digests per horizon) × 8 B.  Default None keeps digests
+    forever (exact batch parity at any replay distance).  Production
+    runs should also set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider so the digest map lives off-heap/on-disk per executor
+    rather than in JVM memory."""
     from nacc_form_validator_spark.operators.dedup import normalized
 
     digested = pages_stream.withColumn(
         "digest", F.md5(normalized(F.col("text"))))
+    timeout = (GroupStateTimeout.NoTimeout if state_ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (digested.groupBy("digest").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(state_ttl_ms),
         outputStructType=DEDUP_OUT,
         stateStructType=DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout))
+        timeoutConf=timeout))
