@@ -630,6 +630,31 @@ def q_dedup_incremental_exact(spark, sf_dir):
     return incremental_exact_dedup(d.where(~is_new), d.where(is_new))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): k-means-trained cells bound
+    the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
+    cosine >= threshold.  Train->assign->pair->keep all deterministic,
+    value-exact vs the unrolled-Lloyd DuckDB oracle."""
+    from nacc_form_validator_spark.operators.semdedup import semdedup
+    return semdedup(_emb(spark, sf_dir), threshold=0.40)
+
+
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental exact dedup (operators/dedup.py
+    incremental_exact_dedup_bloom): the corpus compresses to a <= m-row
+    broadcast bit table, so only bloom-hit batch digests pay the
+    corpus-index join; decisions value-match the unfiltered operator
+    and the bloom_hit column pins the filter's own arithmetic (fp
+    included) under the oracle."""
+    from nacc_form_validator_spark.operators.dedup import (
+        incremental_exact_dedup_bloom)
+    d = _docs(spark, sf_dir)
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")),
+                         1, 1).isin(*_DELTA_HEX)
+    return incremental_exact_dedup_bloom(d.where(~is_new),
+                                         d.where(is_new))
+
+
 def q_html_extract(spark, sf_dir):
     """Re-extract text from the raw html binary payload and assert byte
     identity with the carried text column (functions/extract.py)."""
@@ -1304,19 +1329,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_pretrained": q_nb_quality_pretrained,
         "bpe_encode_pretrained": q_bpe_encode_pretrained,
         "dsir_weights_pretrained": q_dsir_weights_pretrained,
+        "semdedup": q_semdedup,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         # --- load-bearing previously-green rows (keep in window) ---
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_pipeline_gated": q_qf_pipeline_gated,
         "qf_keep_drop": q_keep_drop,
-        "qf_metrics": q_metrics,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
         "qf_streaming_dedup": q_qf_streaming_dedup,
-        "qf_streaming_metrics": q_qf_streaming_metrics,
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
-        "rules_temporal_salted": q_rules_temporal_salted,
         "rules_compatibility": q_rules_compatibility,
         "rules_logic": q_rules_logic,
         "rules_compare_with": q_rules_compare_with,
@@ -1332,6 +1356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "qf_metrics": q_metrics,
+        "qf_streaming_metrics": q_qf_streaming_metrics,
+        "rules_temporal_salted": q_rules_temporal_salted,
         "qf_doc_stats": q_doc_stats,
         "qf_langid": q_langid,
         "qf_langid_udf": q_langid_udf,
@@ -1419,6 +1446,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": oracle.url_canonicalize_sql(),
         "ppl_buckets": oracle.ppl_buckets_sql(),
         "ppl_buckets_approx": oracle.ppl_buckets_approx_sql(),
+        "semdedup": oracle.semdedup_sql(threshold=0.40),
+        "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

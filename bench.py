@@ -154,7 +154,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "qf_full_corpus", "url_canonicalize", "ppl_buckets",
                  "nb_quality", "dsir_weights", "exact_substring",
                  "bpe_train", "bpe_encode", "repetition_stats",
-                 "mixture_resample", "tfidf_topk"]:
+                 "mixture_resample", "tfidf_topk",
+                 "ppl_buckets_approx", "nb_quality_pretrained",
+                 "bpe_encode_pretrained", "dsir_weights_pretrained",
+                 "semdedup", "dedup_incremental_bloom"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -42,6 +42,97 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .orderBy("digest"))
 
 
+def bloom_positions(digest: Column, m: int = 65536,
+                    k_hashes: int = 4) -> Column:
+    """The ``k_hashes`` bloom bit positions of a digest: md5(digest||i)
+    prefix mod m — byte-identical arithmetic in the DuckDB oracle."""
+    return F.array(*[
+        F.pmod(F.conv(F.substring(F.md5(F.concat(digest,
+                                                 F.lit(str(i)))),
+                                  1, 8), 16, 10).cast("long"),
+               F.lit(m))
+        for i in range(k_hashes)])
+
+
+def bloom_digest_index(corpus: DataFrame, text_col: str = "text",
+                       m: int = 65536, k_hashes: int = 4) -> DataFrame:
+    """The corpus's content-digest bloom filter as a SET-BITS table
+    (<= ``m`` rows of one int each): the compressed membership summary
+    a production pipeline persists beside the exact (digest -> min id)
+    index.
+
+    Scale story: the exact index has one row per distinct digest
+    (10^12 at corpus scale — joinable but never broadcastable); the
+    bloom table is bounded at ``m`` rows NO MATTER the corpus size, so
+    it broadcasts to every executor and turns the per-batch dedup probe
+    into a map-side filter.  False-positive rate ~ (1-e^(-kn/m))^k;
+    size m to the live-digest count (m itself scales fine: 2^30 bits
+    is 128 MiB broadcast).  Build cost: one pass, one distinct on ints.
+    Everything is md5 arithmetic, so the filter — including which
+    digests false-positive — is value-reproducible in DuckDB."""
+    digest = F.md5(normalized(F.col(text_col)))
+    return (corpus.select(F.explode(
+        bloom_positions(digest, m, k_hashes)).alias("pos"))
+        .distinct())
+
+
+def incremental_exact_dedup_bloom(corpus: DataFrame, delta: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  m: int = 65536,
+                                  k_hashes: int = 4) -> DataFrame:
+    """:func:`incremental_exact_dedup` with a broadcast bloom prefilter:
+    (doc_id, digest, keep, dup_of, bloom_hit) — identical decisions,
+    but only the batch digests the bloom cannot rule out ever join the
+    corpus-sized digest index.
+
+    A bloom MISS is definitive (the digest is NOT in the corpus), so
+    for most of a typical batch — fresh content — the corpus index join
+    is skipped entirely: those rows resolve map-side against the
+    broadcast <= m-row bit table.  Only bloom HITS (true dups + the
+    fp-rate sliver) pay the key join.  Decisions are value-identical to
+    the unfiltered operator; ``bloom_hit`` is exposed so the oracle
+    pins the filter itself, fp behavior included."""
+    digest = F.md5(normalized(F.col(text_col)))
+    bloom = bloom_digest_index(corpus, text_col, m, k_hashes)
+    dd = delta.select(F.col(id_col).alias("doc_id"),
+                      digest.alias("digest"))
+    probe = dd.withColumn("__bp", bloom_positions(F.col("digest"),
+                                                  m, k_hashes))
+    hits = (probe.select("doc_id", "digest",
+                         F.explode("__bp").alias("pos"))
+            .join(F.broadcast(bloom.withColumn("__in", F.lit(True))),
+                  "pos", "left")
+            .groupBy("doc_id", "digest")
+            .agg((F.sum(F.when(F.col("__in"), 1).otherwise(0)) ==
+                  k_hashes).alias("bloom_hit")))
+    corpus_idx = (corpus.select(digest.alias("digest"),
+                                F.col(id_col).alias("cid"))
+                  .groupBy("digest")
+                  .agg(F.min("cid").alias("corpus_keep")))
+    # only bloom hits join the corpus index; misses carry corpus_keep
+    # NULL by construction (bloom misses cannot be in the corpus)
+    hit_side = (hits.where(F.col("bloom_hit"))
+                .join(corpus_idx, "digest", "left"))
+    miss_side = (hits.where(~F.col("bloom_hit"))
+                 .withColumn("corpus_keep",
+                             F.lit(None).cast("long")))
+    joined = hit_side.unionByName(miss_side)
+    batch_min = (dd.groupBy("digest")
+                 .agg(F.min("doc_id").alias("batch_min")))
+    out = (joined.join(batch_min, "digest")
+           .select(
+               "doc_id", "digest",
+               (F.col("corpus_keep").isNull() &
+                (F.col("doc_id") == F.col("batch_min"))).alias("keep"),
+               F.coalesce(
+                   "corpus_keep",
+                   F.when(F.col("batch_min") < F.col("doc_id"),
+                          F.col("batch_min"))).alias("dup_of"),
+               "bloom_hit"))
+    return out.orderBy("doc_id")
+
+
 def incremental_exact_dedup(corpus: DataFrame, delta: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

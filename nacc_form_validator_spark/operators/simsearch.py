@@ -200,6 +200,31 @@ def _euclid_assign(vd: Column, cents: List[List[float]]) -> Column:
     return F.array_max(F.array(*entries))["cell"]
 
 
+def lloyd_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    dim: int = 64, k: int = 8,
+                    iters: int = 2) -> List[List[float]]:
+    """The Lloyd training loop shared by :func:`train_coarse_quantizer`
+    and semdedup: ``iters`` iterations from the deterministic
+    md5-seeded init, returning the k x dim centroid literals.  Each
+    iteration is one distributed aggregate + a k-row collect; centroid
+    components round to 6 decimals per iteration (part of the algorithm
+    spec — keeps the loop value-reproducible in DuckDB)."""
+    cents = _centroids(dim, k)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    base = emb.select(vd.alias("vd"))
+    for _ in range(iters):
+        assigned = base.withColumn("cell", _euclid_assign(F.col("vd"),
+                                                          cents))
+        means = (assigned.groupBy("cell")
+                 .agg(*[F.round(F.avg(F.col("vd")[i]), 6).alias(f"m{i}")
+                        for i in range(dim)],
+                      F.count("*").alias("n")))
+        got = {r["cell"]: [r[f"m{i}"] for i in range(dim)]
+               for r in means.collect()}
+        cents = [got.get(c, cents[c]) for c in range(k)]
+    return cents
+
+
 def train_coarse_quantizer(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding", dim: int = 64,
                            k: int = 8, iters: int = 2) -> DataFrame:
@@ -218,19 +243,8 @@ def train_coarse_quantizer(emb: DataFrame, id_col: str = "vec_id",
     training loop value-reproducible in the DuckDB oracle
     (plans/oracle.py kmeans_train_sql).  Empty cells keep their
     previous centroid."""
-    cents = _centroids(dim, k)
+    cents = lloyd_centroids(emb, vec_col, dim, k, iters)
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    base = emb.select(vd.alias("vd"))
-    for _ in range(iters):
-        assigned = base.withColumn("cell", _euclid_assign(F.col("vd"),
-                                                          cents))
-        means = (assigned.groupBy("cell")
-                 .agg(*[F.round(F.avg(F.col("vd")[i]), 6).alias(f"m{i}")
-                        for i in range(dim)],
-                      F.count("*").alias("n")))
-        got = {r["cell"]: [r[f"m{i}"] for i in range(dim)]
-               for r in means.collect()}
-        cents = [got.get(c, cents[c]) for c in range(k)]
     final = emb.select(vd.alias("vd")).withColumn(
         "cell", _euclid_assign(F.col("vd"), cents))
     counts = final.groupBy("cell").agg(F.count("*").alias("n_members"))

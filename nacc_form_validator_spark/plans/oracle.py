@@ -533,6 +533,66 @@ def ivf_trained_topk_sql(dim: int = 64, kc: int = 8, iters: int = 2,
         f"ORDER BY q_id, rank")
 
 
+def semdedup_sql(dim: int = 64, k: int = 8, iters: int = 2,
+                 threshold: float = 0.95) -> str:
+    """Oracle for operators/semdedup.py: train the quantizer in SQL
+    (same unrolled Lloyd CTEs as kmeans_train_sql), pair within trained
+    cells, drop any id dominated by a lower-id cell-mate with cosine >=
+    threshold (6-decimal rounded, identical to the Spark side)."""
+    base = kmeans_train_sql(dim=dim, k=k, iters=iters)
+    with_chain = base[:base.index(" SELECT c")]
+    cos = _cosine_sql("e1.vd", "e2.vd")
+    return (
+        f"{with_chain}, "
+        f"p AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b FROM af a1 "
+        f"JOIN af a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id), "
+        f"dup AS (SELECT DISTINCT p.id_b FROM p "
+        f"JOIN e e1 ON e1.vec_id = p.id_a "
+        f"JOIN e e2 ON e2.vec_id = p.id_b "
+        f"WHERE {cos} >= {threshold}) "
+        f"SELECT af.vec_id AS id, af.cell, (dup.id_b IS NULL) AS keep "
+        f"FROM af LEFT JOIN dup ON af.vec_id = dup.id_b ORDER BY id")
+
+
+def _bloom_pos_sql(digest: str, i: int, m: int) -> str:
+    return (f"(CAST(concat('0x', substr(md5({digest} || '{i}'), 1, 8)) "
+            f"AS BIGINT) % {m})")
+
+
+def incremental_exact_bloom_sql(m: int = 65536,
+                                k_hashes: int = 4) -> str:
+    """Oracle for dedup.incremental_exact_dedup_bloom over the
+    md5-prefix delta split: decisions identical to the unfiltered
+    incremental operator (a bloom miss implies digest not in corpus, so
+    gating the corpus join cannot change them); the bloom_hit column
+    pins the filter arithmetic itself, false positives included."""
+    probe = "[" + ", ".join(_bloom_pos_sql("digest", i, m)
+                            for i in range(k_hashes)) + "]"
+    return (
+        f"WITH d AS (SELECT doc_id, md5({NORM}) AS digest, "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1') "
+        f"AS is_new FROM documents), "
+        f"bloom AS (SELECT DISTINCT pos FROM (SELECT unnest({probe}) "
+        f"AS pos FROM d WHERE NOT is_new)), "
+        f"cidx AS (SELECT digest, min(doc_id) AS corpus_keep FROM d "
+        f"WHERE NOT is_new GROUP BY digest), "
+        f"dd AS (SELECT doc_id, digest FROM d WHERE is_new), "
+        f"hits AS (SELECT doc_id, digest, "
+        f"(sum(CASE WHEN bloom.pos IS NOT NULL THEN 1 ELSE 0 END) = "
+        f"{k_hashes}) AS bloom_hit FROM (SELECT doc_id, digest, "
+        f"unnest({probe}) AS p FROM dd) t "
+        f"LEFT JOIN bloom ON t.p = bloom.pos GROUP BY doc_id, digest), "
+        f"bmin AS (SELECT digest, min(doc_id) AS batch_min FROM dd "
+        f"GROUP BY digest) "
+        f"SELECT dd.doc_id AS doc_id, dd.digest AS digest, "
+        f"(cidx.digest IS NULL AND dd.doc_id = bmin.batch_min) AS keep, "
+        f"coalesce(cidx.corpus_keep, CASE WHEN bmin.batch_min < "
+        f"dd.doc_id THEN bmin.batch_min END) AS dup_of, h.bloom_hit "
+        f"FROM dd JOIN bmin USING (digest) "
+        f"LEFT JOIN cidx USING (digest) "
+        f"JOIN hits h ON h.doc_id = dd.doc_id ORDER BY dd.doc_id")
+
+
 def ppl_trained_bigram_sql() -> str:
     """Oracle for functions/perplexity.py ppl_trained_bigram: corpus
     bigram/unigram counts (exact integers) -> add-one-smoothed
