@@ -630,6 +630,30 @@ def q_dedup_incremental_exact(spark, sf_dir):
     return incremental_exact_dedup(d.where(~is_new), d.where(is_new))
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mix_temperature_weights():
+    from nacc_form_validator_spark.operators.sampling import (
+        temperature_weights)
+    return temperature_weights(_MIX_WEIGHTS, 2.0)
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-smoothed mixture resampling (T=2 flattens the
+    src0/src1/src2 = 0.5/0.3/0.2 target toward uniform — the
+    multilingual/DoReMi alpha-sampling rule).  The smoothed weights are
+    computed once driver-side (sampling.temperature_weights) and the
+    oracle embeds the identical double literals."""
+    from nacc_form_validator_spark.operators.sampling import (
+        mixture_resample)
+    d = mixture_resample(
+        _docs(spark, sf_dir),
+        weights=_mix_temperature_weights(),
+        stratum_col="source", key_col="doc_id")
+    return d.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -1331,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_pretrained": q_dsir_weights_pretrained,
         "semdedup": q_semdedup,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "mixture_temperature": q_mixture_temperature,
         # --- load-bearing previously-green rows (keep in window) ---
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
@@ -1353,9 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_minhash_lsh": q_dedup_minhash,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "dedup_minhash_lsh": q_dedup_minhash,
         "qf_metrics": q_metrics,
         "qf_streaming_metrics": q_qf_streaming_metrics,
         "rules_temporal_salted": q_rules_temporal_salted,
@@ -1448,6 +1473,8 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets_approx": oracle.ppl_buckets_approx_sql(),
         "semdedup": oracle.semdedup_sql(threshold=0.40),
         "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
+        "mixture_temperature": oracle.mixture_resample_sql(
+            weights=_mix_temperature_weights()),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

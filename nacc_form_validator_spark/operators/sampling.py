@@ -69,6 +69,20 @@ def per_group_topk(df: DataFrame, group_col: str, score: Column,
             .withColumnRenamed("__rank", rank_col))
 
 
+def temperature_weights(weights: Dict[str, float],
+                        temperature: float) -> Dict[str, float]:
+    """Temperature-smoothed domain weights (the multilingual/DoReMi
+    alpha-sampling rule): w' proportional to w^(1/T), normalized.
+    T > 1 flattens the mixture toward uniform (up-samples scarce
+    domains), T < 1 sharpens it, T = 1 is identity up to
+    normalization.  Pure driver-side arithmetic — feed the result to
+    :func:`mixture_resample` (and the same dict to the oracle
+    generator, which embeds identical double literals)."""
+    p = {s: float(w) ** (1.0 / temperature) for s, w in weights.items()}
+    tot = sum(p.values())
+    return {s: v / tot for s, v in p.items()}
+
+
 def mixture_resample(df: DataFrame, weights: Dict[str, float],
                      stratum_col: str, key_col: str,
                      size_col: Optional[str] = None) -> DataFrame:

@@ -679,16 +679,24 @@ def stratified_sample_sql(en_rate: float = 0.2) -> str:
             f"ORDER BY doc_id")
 
 
-def mixture_resample_sql() -> str:
-    """Oracle for operators/sampling.py mixture_resample: target mixture
-    src0/src1/src2 = 0.5/0.3/0.2; out_total = min(size_s / w_s); stratum
-    keeps rate_s = w_s * out_total / size_s by the shared md5 uniform."""
+def mixture_resample_sql(weights: dict = None) -> str:
+    """Oracle for operators/sampling.py mixture_resample: out_total =
+    min(size_s / w_s); stratum keeps rate_s = w_s * out_total / size_s
+    by the shared md5 uniform.  The CASE literals are the SAME
+    normalized doubles the Spark operator computes (identical Python
+    arithmetic, repr round-trip), so rate rounding at 9 decimals
+    bit-matches across engines for any weights, temperature-smoothed
+    included."""
+    weights = weights or {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    total = float(sum(weights.values()))
     u = _hash_uniform_sql("doc_id")
-    w = ("CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 "
-         "WHEN 'src2' THEN 0.2 END")
+    w = ("CASE source " + " ".join(
+        f"WHEN '{s}' THEN {float(wgt) / total!r}"
+        for s, wgt in sorted(weights.items())) + " END")
+    srcs = ", ".join(f"'{s}'" for s in sorted(weights))
     return (
         f"WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS sz, {w} "
-        f"AS w FROM documents WHERE source IN ('src0', 'src1', 'src2') "
+        f"AS w FROM documents WHERE source IN ({srcs}) "
         f"GROUP BY source), "
         f"t AS (SELECT min(sz / w) AS out_total FROM c), "
         f"r AS (SELECT source, round(w * out_total / sz, 9) AS rate "

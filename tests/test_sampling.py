@@ -169,3 +169,35 @@ def test_mixture_resample_missing_stratum_raises(spark):
     with pytest.raises(ValueError, match="absent"):
         mixture_resample(df, {"a": 0.5, "ghost": 0.5},
                          stratum_col="dom", key_col="k")
+
+
+def test_temperature_weights_flatten_and_identity(spark):
+    from nacc_form_validator_spark.operators.sampling import (
+        temperature_weights)
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    t1 = temperature_weights(w, 1.0)
+    assert all(abs(t1[s] - w[s]) < 1e-12 for s in w)  # identity
+    t2 = temperature_weights(w, 2.0)
+    assert abs(sum(t2.values()) - 1.0) < 1e-12
+    # T > 1 flattens: scarce domain gains share, dominant loses
+    assert t2["c"] > w["c"] and t2["a"] < w["a"]
+    # T -> inf approaches uniform
+    tb = temperature_weights(w, 1000.0)
+    assert all(abs(v - 1 / 3) < 1e-3 for v in tb.values())
+
+
+def test_mixture_temperature_proportions(spark):
+    """Resampling with T=2-smoothed weights hits the SMOOTHED mixture,
+    not the raw one."""
+    from nacc_form_validator_spark.operators.sampling import (
+        mixture_resample, temperature_weights)
+    rows = [(i, "a" if i % 10 < 6 else ("b" if i % 10 < 9 else "c"))
+            for i in range(30000)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    w = temperature_weights({"a": 0.6, "b": 0.3, "c": 0.1}, 2.0)
+    out = mixture_resample(df, w, stratum_col="dom", key_col="k")
+    got = {r["dom"]: r["n"] for r in
+           out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    for s in w:
+        assert abs(got[s] / total - w[s]) < 0.03, (s, got, w)
