@@ -639,6 +639,11 @@ def _mix_temperature_weights():
     return temperature_weights(_MIX_WEIGHTS, 2.0)
 
 
+def _fim_sql():
+    from nacc_form_validator_spark.operators.fim import fim_transform_sql
+    return fim_transform_sql()
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-smoothed mixture resampling (T=2 flattens the
     src0/src1/src2 = 0.5/0.3/0.2 target toward uniform — the
@@ -652,6 +657,26 @@ def q_mixture_temperature(spark, sf_dir):
         weights=_mix_temperature_weights(),
         stratum_col="source", key_col="doc_id")
     return d.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle pretraining rewrite (operators/fim.py): a
+    deterministic md5-derived half of the corpus becomes
+    <PRE>prefix<SUF>suffix<MID>middle; pure projection, zero shuffles,
+    byte-identical under the oracle."""
+    from nacc_form_validator_spark.operators.fim import fim_transform
+    return fim_transform(_docs(spark, sf_dir))
+
+
+def q_nb_calibration(spark, sf_dir):
+    """Quality-classifier threshold calibration: precision/recall/f1
+    sweep over score cuts (operators/selection.py nb_calibration) —
+    the gate-validation step before picking the keep threshold; one
+    aggregate on the 9-row threshold key beyond the scorer's own
+    shuffles."""
+    from nacc_form_validator_spark.operators.selection import (
+        nb_calibration)
+    return nb_calibration(_docs(spark, sf_dir))
 
 
 def q_semdedup(spark, sf_dir):
@@ -1356,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "mixture_temperature": q_mixture_temperature,
+        "fim_transform": q_fim_transform,
+        "nb_calibration": q_nb_calibration,
         # --- load-bearing previously-green rows (keep in window) ---
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
@@ -1369,9 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_compatibility": q_rules_compatibility,
         "rules_logic": q_rules_logic,
         "rules_compare_with": q_rules_compare_with,
-        "rules_compare_age": q_rules_compare_age,
         "rules_gds": q_rules_gds,
-        "rules_score_variables": q_rules_score_variables,
         "rules_fields": q_rules_fields,
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
@@ -1381,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
         "dedup_minhash_lsh": q_dedup_minhash,
+        "rules_compare_age": q_rules_compare_age,
+        "rules_score_variables": q_rules_score_variables,
         "qf_metrics": q_metrics,
         "qf_streaming_metrics": q_qf_streaming_metrics,
         "rules_temporal_salted": q_rules_temporal_salted,
@@ -1475,6 +1502,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
         "mixture_temperature": oracle.mixture_resample_sql(
             weights=_mix_temperature_weights()),
+        "fim_transform": _fim_sql(),
+        "nb_calibration": oracle.nb_calibration_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

@@ -158,7 +158,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "ppl_buckets_approx", "nb_quality_pretrained",
                  "bpe_encode_pretrained", "dsir_weights_pretrained",
                  "semdedup", "dedup_incremental_bloom",
-                 "mixture_temperature"]:
+                 "mixture_temperature", "fim_transform",
+                 "nb_calibration"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

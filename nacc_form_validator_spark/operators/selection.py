@@ -166,6 +166,59 @@ def nb_quality_scores(docs: DataFrame, id_col: str = "doc_id",
                             id_col, text_col, broadcast_model)
 
 
+DEFAULT_THRESHOLDS = (-20.0, -10.0, -5.0, -2.0, 0.0, 2.0, 5.0, 10.0,
+                      20.0)
+
+
+def nb_calibration(docs: DataFrame,
+                   thresholds: tuple = DEFAULT_THRESHOLDS,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   broadcast_model: Optional[bool] = None
+                   ) -> DataFrame:
+    """(threshold, tp, fp, fn, tn, precision, recall, f1): the
+    precision/recall sweep a pipeline runs before picking the quality
+    classifier's keep threshold — the same score-then-gate calibration
+    the reference's GDS scoring implies (a derived score is only useful
+    with a validated cut).
+
+    Scale shape: scoring is :func:`nb_quality_scores`; the sweep is a
+    map-side explode of |thresholds| literals per scored row followed
+    by ONE aggregate on the 9-row threshold key — no extra corpus
+    shuffle beyond the scorer's own.  precision/recall/f1 round to 6
+    (f1 from the rounded pair) so the sweep is value-reproducible in
+    DuckDB."""
+    scored = nb_quality_scores(docs, id_col, text_col, broadcast_model)
+    t = F.explode(F.array(*[F.lit(float(x))
+                            for x in thresholds])).alias("threshold")
+    e = scored.select("label", "score", t)
+    pred = F.col("score") > F.col("threshold")
+    agg = (e.groupBy("threshold").agg(
+        F.sum(F.when(pred & F.col("label"), 1).otherwise(0))
+        .alias("tp"),
+        F.sum(F.when(pred & ~F.col("label"), 1).otherwise(0))
+        .alias("fp"),
+        F.sum(F.when(~pred & F.col("label"), 1).otherwise(0))
+        .alias("fn"),
+        F.sum(F.when(~pred & ~F.col("label"), 1).otherwise(0))
+        .alias("tn")))
+    p = F.when(F.col("tp") + F.col("fp") > 0,
+               F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6))
+    r = F.when(F.col("tp") + F.col("fn") > 0,
+               F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6))
+    out = agg.select("threshold",
+                     F.col("tp").cast("long").alias("tp"),
+                     F.col("fp").cast("long").alias("fp"),
+                     F.col("fn").cast("long").alias("fn"),
+                     F.col("tn").cast("long").alias("tn"),
+                     p.alias("precision"), r.alias("recall"))
+    f1 = F.when(
+        F.col("precision").isNotNull() & F.col("recall").isNotNull() &
+        (F.col("precision") + F.col("recall") > 0),
+        F.round(2 * F.col("precision") * F.col("recall") /
+                (F.col("precision") + F.col("recall")), 6))
+    return (out.withColumn("f1", f1).orderBy("threshold"))
+
+
 class DSIRModel(NamedTuple):
     """Trained DSIR model: bounded at ``buckets`` rows, so genuinely
     broadcast-safe at any corpus size."""

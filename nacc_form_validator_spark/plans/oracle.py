@@ -1473,6 +1473,39 @@ def nb_quality_sql() -> str:
         f"FROM r ORDER BY id")
 
 
+def nb_calibration_sql(thresholds: tuple = None) -> str:
+    """Oracle for selection.nb_calibration: the nb_quality query as a
+    subquery, exploded against the threshold literals, one aggregate;
+    precision/recall/f1 rounded to 6 with f1 from the rounded pair."""
+    from nacc_form_validator_spark.operators.selection import (
+        DEFAULT_THRESHOLDS)
+    thresholds = thresholds or DEFAULT_THRESHOLDS
+    tl = "[" + ", ".join(repr(float(x)) for x in thresholds) + "]"
+    return (
+        f"WITH nb AS (SELECT * FROM ({nb_quality_sql()})), "
+        f"t AS (SELECT unnest({tl}) AS threshold), "
+        f"agg AS (SELECT threshold, "
+        f"sum(CASE WHEN score > threshold AND label THEN 1 ELSE 0 END) "
+        f"AS tp, "
+        f"sum(CASE WHEN score > threshold AND NOT label THEN 1 ELSE 0 "
+        f"END) AS fp, "
+        f"sum(CASE WHEN score <= threshold AND label THEN 1 ELSE 0 "
+        f"END) AS fn, "
+        f"sum(CASE WHEN score <= threshold AND NOT label THEN 1 ELSE 0 "
+        f"END) AS tn FROM nb CROSS JOIN t GROUP BY threshold), "
+        f"pr AS (SELECT threshold, CAST(tp AS BIGINT) AS tp, "
+        f"CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, "
+        f"CAST(tn AS BIGINT) AS tn, "
+        f"CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS "
+        f"precision, "
+        f"CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS "
+        f"recall FROM agg) "
+        f"SELECT *, CASE WHEN precision IS NOT NULL AND recall IS NOT "
+        f"NULL AND precision + recall > 0 THEN round(2 * precision * "
+        f"recall / (precision + recall), 6) END AS f1 FROM pr "
+        f"ORDER BY threshold")
+
+
 def dsir_logweights_sql(buckets: int = 256,
                         target_sources: tuple = ("src0", "src1",
                                                  "src2", "src3")) -> str:
