@@ -64,3 +64,53 @@ def test_nb_calibration_counts_and_monotone_recall(spark):
     # at threshold 0 the sweep must agree with the scorer's own pred
     mid = {r["threshold"]: r for r in out}[0.0]
     assert mid["tp"] == 6 and mid["tn"] == 3
+
+
+def test_fim_reconstruction_property_unicode(spark):
+    """Property sweep: for 300 seeded-random strings (unicode incl.
+    multibyte, whitespace, quotes), the PSM pieces re-assemble to the
+    original EXACTLY — one Spark action for the whole batch."""
+    import random
+    rng = random.Random(99)
+    alphabet = ("abc XYZ 012 \t.,;:!?'\"()[]{}<>|/\\-_=+*&^%$#@~`"
+                "äöüßéèñçøå 中文字符 русский текст عربى 😀🎉\n")
+    rows = []
+    for i in range(300):
+        n = rng.randint(8, 120)
+        rows.append((i, "".join(rng.choice(alphabet)
+                                for _ in range(n))))
+    out = fim_transform(_docs(spark, rows), rate=1.0).collect()
+    orig = dict(rows)
+    for r in out:
+        body = r["text"]
+        prefix, rest = body[len(FIM_PRE):].split(FIM_SUF, 1)
+        suffix, middle = rest.split(FIM_MID, 1)
+        assert prefix + middle + suffix == orig[r["id"]], r["id"]
+
+
+def test_urlcanon_idempotent_property(spark):
+    """Canonicalization is idempotent: canon(canon(u)) == canon(u) for
+    a seeded-random url zoo (tracking params, fragments with '?',
+    ports, trailing slashes, garbage)."""
+    import random
+
+    from nacc_form_validator_spark.functions.urlcanon import (
+        canonical_url)
+    rng = random.Random(7)
+    parts_host = ["A.Example", "b.example:443", "c.example:8080"]
+    parts_path = ["", "/", "/p", "/p/q/", "/p%20x"]
+    parts_q = ["", "?a=1&utm_source=x", "?z=9&a=1", "?utm_a=1"]
+    parts_f = ["", "#f", "#f?x=1", "#?"]
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["https://", "HTTP://", ""])
+        u = (scheme + rng.choice(parts_host) + rng.choice(parts_path)
+             + rng.choice(parts_q) + rng.choice(parts_f))
+        urls.append((i, u or "empty"))
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = canonical_url(F.col("url")).alias("c1")
+    got = (df.select("i", once)
+           .select("i", "c1", canonical_url(F.col("c1")).alias("c2"))
+           .collect())
+    for r in got:
+        assert r["c1"] == r["c2"], (r["i"], r["c1"], r["c2"])
