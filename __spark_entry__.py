@@ -644,6 +644,18 @@ def _fim_sql():
     return fim_transform_sql()
 
 
+def _ppl_kn_sql():
+    from nacc_form_validator_spark.functions.perplexity import (
+        ppl_kn_bigram_sql)
+    return ppl_kn_bigram_sql()
+
+
+def _paragraph_dedup_sql():
+    from nacc_form_validator_spark.operators.paragraphs import (
+        paragraph_dedup_sql)
+    return paragraph_dedup_sql(_paragraph_corpus_sql())
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-smoothed mixture resampling (T=2 flattens the
     src0/src1/src2 = 0.5/0.3/0.2 target toward uniform — the
@@ -677,6 +689,69 @@ def q_nb_calibration(spark, sf_dir):
     from nacc_form_validator_spark.operators.selection import (
         nb_calibration)
     return nb_calibration(_docs(spark, sf_dir))
+
+
+def q_ppl_kn_bigram(spark, sf_dir):
+    """Corpus-trained INTERPOLATED KNESER-NEY bigram perplexity
+    (functions/perplexity.py ppl_kn_bigram) — the smoothing KenLM
+    estimates (north_star: "KenLM-style n-gram perplexity"), vs the
+    pedagogical add-one of ppl_trained_bigram.  Train = one corpus
+    pass into vocab-sized count tables; score = explode + key joins;
+    exact integer counts + a shared IEEE expression tree keep it
+    value-exact vs DuckDB."""
+    from nacc_form_validator_spark.functions.perplexity import (
+        ppl_kn_bigram)
+    return ppl_kn_bigram(_docs(spark, sf_dir))
+
+
+def _paragraphized_corpus(spark, sf_dir, chunk: int = 20):
+    """Fixture prep for the paragraph-dedup query: the corpus is the
+    documents table plus a 'recrawl' copy (id + 100000, drifted tail),
+    re-lined into CHUNK-word paragraphs — recrawl pairs then share
+    every paragraph except the last, so cross-doc paragraph removal
+    genuinely fires.  Mirrored literally in the oracle SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                 F.concat(F.col("text"),
+                          F.lit(" updated tail marker")).alias("text")))
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda s: s != "")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(chunk))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(w, (i * chunk + 1).cast("int"), chunk), " "))
+    ptext = F.when(F.size(w) == 0, F.lit("")).otherwise(
+        F.array_join(chunks, "\n\n"))
+    return corpus.select("doc_id", ptext.alias("text"))
+
+
+def _paragraph_corpus_sql(chunk: int = 20) -> str:
+    return (
+        f"SELECT id, CASE WHEN len(w) = 0 THEN '' ELSE "
+        f"array_to_string(list_transform("
+        f"range(0, CAST(ceil(len(w) / {float(chunk)}) AS INT)), "
+        f"i -> array_to_string(list_slice(w, CAST(i * {chunk} + 1 AS "
+        f"INT), CAST(i * {chunk} + {chunk} AS INT)), ' ')), "
+        f"chr(10) || chr(10)) END AS text FROM ("
+        f"SELECT id, list_filter(string_split_regex(text, '\\s+'), "
+        f"s -> s <> '') AS w FROM ("
+        f"SELECT doc_id AS id, text FROM documents UNION ALL "
+        f"SELECT doc_id + 100000, text || ' updated tail marker' "
+        f"FROM documents))")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup with reassembly (operators/
+    paragraphs.py): the MassiveText/C4 cleaning pass — any paragraph
+    already seen at a smaller (id, pos) anywhere in the corpus is
+    removed and docs are rebuilt from survivors.  Combinable min-struct
+    first-occurrence aggregate (hot boilerplate collapses map-side),
+    then one survivor-only reassembly shuffle."""
+    from nacc_form_validator_spark.operators.paragraphs import (
+        paragraph_dedup)
+    return paragraph_dedup(_paragraphized_corpus(spark, sf_dir),
+                           text_col="text", id_col="doc_id")
 
 
 def q_semdedup(spark, sf_dir):
@@ -1374,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "tpch_q1": q_tpch_q1,
         # --- new in round 5 ---
+        "ppl_kn_bigram": q_ppl_kn_bigram,
+        "paragraph_dedup": q_paragraph_dedup,
         "ppl_buckets_approx": q_ppl_buckets_approx,
         "nb_quality_pretrained": q_nb_quality_pretrained,
         "bpe_encode_pretrained": q_bpe_encode_pretrained,
@@ -1498,6 +1575,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": oracle.url_canonicalize_sql(),
         "ppl_buckets": oracle.ppl_buckets_sql(),
         "ppl_buckets_approx": oracle.ppl_buckets_approx_sql(),
+        "ppl_kn_bigram": _ppl_kn_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
         "semdedup": oracle.semdedup_sql(threshold=0.40),
         "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
         "mixture_temperature": oracle.mixture_resample_sql(

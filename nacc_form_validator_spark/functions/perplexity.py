@@ -480,3 +480,162 @@ def ppl_buckets_approx_sql(table: str = "documents",
         f"WHEN bin <= cut_mid THEN 'middle' "
         f"ELSE 'tail' END AS bucket "
         f"FROM b LEFT JOIN cuts ON b.lang = cuts.lang ORDER BY id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained interpolated Kneser-Ney bigram LM (KenLM's smoothing)
+# ---------------------------------------------------------------------------
+def train_kn_bigram(docs, text_col: str = "text"):
+    """Count tables for interpolated Kneser-Ney (Kneser & Ney 1995;
+    the smoothing KenLM actually estimates, vs the pedagogical add-one
+    of :func:`train_bigram_counts`): returns ``(bigrams, ctx, cont,
+    totals)`` where
+
+    - ``bigrams(w1, w2, c2)`` — raw bigram counts;
+    - ``ctx(w1, c1, r1)`` — per-history totals: ``c1 = sum c2`` (mass
+      available to discount) and ``r1 = N1+(w1,·)`` (distinct
+      continuations, the backoff weight numerator);
+    - ``cont(w2, l2)`` — ``l2 = N1+(·,w2)`` distinct left contexts (the
+      continuation-probability numerator: "how many histories does w2
+      complete", not "how often does it occur");
+    - ``totals(t, v)`` — distinct bigram types and vocabulary size.
+
+    ALL of it derives from ONE exploded-bigram aggregate plus two tiny
+    reaggregations of that count table — the corpus is touched once;
+    at 100 TB every downstream table is (vocab)- or (bigram-types)-
+    sized, never corpus-sized.  Exact integer counts, so the whole
+    model is value-reproducible in the DuckDB oracle."""
+    w = docs.select(_corpus_words(F.col(text_col)).alias("w"))
+    pairs = w.select(F.explode(
+        F.zip_with(F.slice(F.col("w"), 1,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   F.slice(F.col("w"), 2,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"),
+                                         b.alias("w2")))).alias("p"))
+    bigrams = (pairs.select("p.w1", "p.w2")
+               .groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    ctx = (bigrams.groupBy("w1")
+           .agg(F.sum("c2").alias("c1"), F.count("*").alias("r1")))
+    cont = (bigrams.groupBy("w2")
+            .agg(F.count("*").alias("l2")))
+    vocab = (w.select(F.explode("w").alias("wd")).distinct()
+             .agg(F.count("*").alias("v")))
+    totals = bigrams.agg(F.count("*").alias("t")).crossJoin(vocab)
+    return bigrams, ctx, cont, totals
+
+
+def score_kn_bigram_ppl(docs, bigrams, ctx, cont, totals,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        discount: float = 0.75,
+                        broadcast_model: "bool | None" = None):
+    """Per-doc perplexity under a PRECOMPUTED interpolated-KN bigram
+    model (train-once / score-many half; see :func:`ppl_kn_bigram` for
+    the formula and the inline composition).  Join strategy per
+    MODEL_JOIN_CONTRACT (module docstring): ``bigrams``/``ctx``/
+    ``cont`` are vocabulary-scaled (AQE decides by default), while
+    ``totals`` is 1 row and broadcasts unconditionally."""
+    if broadcast_model is None:
+        hint = lambda d: d
+    elif broadcast_model:
+        hint = F.broadcast
+    else:
+        hint = lambda d: d.hint("merge")
+    w = docs.select(F.col(id_col).alias("id"),
+                    _corpus_words(F.col(text_col)).alias("w"))
+    pairs = w.select("id", F.explode(
+        F.zip_with(F.slice(F.col("w"), 1,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   F.slice(F.col("w"), 2,
+                           F.greatest(F.size("w") - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"),
+                                         b.alias("w2")))).alias("p"))
+    pairs = pairs.select("id", "p.w1", "p.w2")
+    scored = (pairs.join(hint(bigrams), ["w1", "w2"], "left")
+              .join(hint(ctx), "w1", "left")
+              .join(hint(cont), "w2", "left")
+              .crossJoin(F.broadcast(totals)))
+    d = F.lit(discount)
+    pcont = ((F.coalesce(F.col("l2"), F.lit(0)) + F.lit(1)) /
+             (F.col("t") + F.col("v")))
+    seen_ctx = (F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - d,
+                           F.lit(0.0)) / F.col("c1") +
+                (d * F.col("r1") / F.col("c1")) * pcont)
+    logp = F.log(F.when(F.col("c1").isNull(), pcont)
+                 .otherwise(seen_ctx))
+    per_doc = (scored.groupBy("id")
+               .agg(F.round(F.exp(-F.avg(logp)), 6).alias("ppl_kn"),
+                    F.count("*").alias("n_bigrams")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select("id", F.col("n_bigrams").cast("long").alias(
+                "n_bigrams"), "ppl_kn")
+            .orderBy("id"))
+
+
+def ppl_kn_bigram(docs, id_col: str = "doc_id", text_col: str = "text",
+                  discount: float = 0.75,
+                  broadcast_model: "bool | None" = None):
+    """Per-doc perplexity under the corpus-trained INTERPOLATED
+    KNESER-NEY bigram LM — the smoothing family KenLM estimates (the
+    BASELINE.json north_star names "KenLM-style n-gram perplexity";
+    this is that estimator as DataFrame algebra, where
+    :func:`ppl_trained_bigram` is the pedagogical add-one form):
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+                 + (D · N1+(w1,·) / c(w1·)) · Pcont(w2)
+        Pcont(w2) = (N1+(·,w2) + 1) / (T + V)      [+1/(T+V): OOV floor]
+        unseen history (c(w1·) null): P = Pcont(w2)
+
+    with fixed discount D (KenLM's absolute discounting; 0.75 is the
+    classic Chen-Goodman value).  ppl = round(exp(-mean log P), 6),
+    null for docs with < 2 words.  The continuation distribution counts
+    the DISTINCT histories a word completes rather than its raw
+    frequency — the property that makes KN beat add-one on real text
+    ("francisco" is frequent but only ever follows "san").
+
+    Scale shape identical to :func:`ppl_trained_bigram`: training is
+    one corpus pass into vocabulary-sized count tables; scoring
+    explodes bigrams and key-joins the model.  Composes
+    :func:`train_kn_bigram` + :func:`score_kn_bigram_ppl` — call them
+    separately to train once and score many batches."""
+    bigrams, ctx, cont, totals = train_kn_bigram(docs, text_col)
+    return score_kn_bigram_ppl(docs, bigrams, ctx, cont, totals,
+                               id_col, text_col, discount,
+                               broadcast_model)
+
+
+def ppl_kn_bigram_sql(table: str = "documents",
+                      id_col: str = "doc_id",
+                      discount: float = 0.75) -> str:
+    """DuckDB mirror of :func:`ppl_kn_bigram` — identical integer
+    counts and identical IEEE-double expression tree (same operation
+    order, same coercions), so the KN path is value-exact across
+    engines."""
+    d = repr(float(discount))
+    words = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+             "s -> s <> '')")
+    return (
+        f"WITH w AS (SELECT {id_col} AS id, {words} AS w FROM {table}), "
+        f"pr AS (SELECT id, w[k] AS w1, w[k + 1] AS w2 FROM w, "
+        f"unnest(range(1, len(w))) AS u(k)), "
+        f"bg AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2), "
+        f"ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS r1 "
+        f"FROM bg GROUP BY 1), "
+        f"cont AS (SELECT w2, count(*) AS l2 FROM bg GROUP BY 1), "
+        f"tot AS (SELECT (SELECT count(*) FROM bg) AS t, "
+        f"(SELECT count(DISTINCT wd) FROM (SELECT unnest(w) AS wd "
+        f"FROM w)) AS v), "
+        f"sc AS (SELECT id, "
+        f"CASE WHEN ctx.c1 IS NULL THEN "
+        f"((coalesce(cont.l2, 0) + 1) / (tot.t + tot.v)) "
+        f"ELSE greatest(coalesce(bg.c2, 0) - {d}, 0.0) / ctx.c1 + "
+        f"({d} * ctx.r1 / ctx.c1) * "
+        f"((coalesce(cont.l2, 0) + 1) / (tot.t + tot.v)) END AS p "
+        f"FROM pr LEFT JOIN bg USING (w1, w2) "
+        f"LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2), tot), "
+        f"per AS (SELECT id, round(exp(-avg(ln(p))), 6) AS ppl_kn, "
+        f"count(*) AS n_bigrams FROM sc GROUP BY id) "
+        f"SELECT t.{id_col} AS id, per.n_bigrams, per.ppl_kn "
+        f"FROM {table} t LEFT JOIN per ON t.{id_col} = per.id "
+        f"ORDER BY id")
