@@ -656,6 +656,19 @@ def _paragraph_dedup_sql():
     return paragraph_dedup_sql(_paragraph_corpus_sql())
 
 
+def _hll_sql():
+    from nacc_form_validator_spark.operators.sketches import (
+        hll_distinct_sql)
+    return hll_distinct_sql("SELECT source, text FROM documents",
+                            "text", "source")
+
+
+def _heavy_hitters_sql():
+    from nacc_form_validator_spark.operators.sketches import (
+        heavy_hitters_sql)
+    return heavy_hitters_sql()
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-smoothed mixture resampling (T=2 flattens the
     src0/src1/src2 = 0.5/0.3/0.2 target toward uniform — the
@@ -752,6 +765,28 @@ def q_paragraph_dedup(spark, sf_dir):
         paragraph_dedup)
     return paragraph_dedup(_paragraphized_corpus(spark, sf_dir),
                            text_col="text", id_col="doc_id")
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-source distinct-document cardinality via a 64-register
+    HyperLogLog sketch (operators/sketches.py): registers are one
+    map-side-combinable max aggregate bounded at |groups|*64 rows —
+    the monitoring shape that replaces exact DISTINCT at 10^12 rows;
+    the estimate is IEEE-exact across engines (power-of-two harmonic
+    sum), so even the approximation sits under the value oracle."""
+    from nacc_form_validator_spark.operators.sketches import hll_distinct
+    return hll_distinct(_docs(spark, sf_dir), F.col("text"),
+                        group_cols=["source"])
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Top-20 corpus tokens by count-min-sketch estimate with the
+    exact count alongside (operators/sketches.py heavy_hitters):
+    the 4x1024-cell sketch build is one aggregate with map-side
+    partials bounded at d*w per partition; est >= exact always, and
+    the collision gap itself is oracle-pinned cell-for-cell."""
+    from nacc_form_validator_spark.operators.sketches import heavy_hitters
+    return heavy_hitters(_docs(spark, sf_dir), k=20)
 
 
 def q_semdedup(spark, sf_dir):
@@ -1451,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
+        "hll_distinct": q_hll_distinct,
+        "heavy_hitters": q_heavy_hitters,
         "ppl_buckets_approx": q_ppl_buckets_approx,
         "nb_quality_pretrained": q_nb_quality_pretrained,
         "bpe_encode_pretrained": q_bpe_encode_pretrained,
@@ -1577,6 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets_approx": oracle.ppl_buckets_approx_sql(),
         "ppl_kn_bigram": _ppl_kn_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
+        "hll_distinct": _hll_sql(),
+        "heavy_hitters": _heavy_hitters_sql(),
         "semdedup": oracle.semdedup_sql(threshold=0.40),
         "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
         "mixture_temperature": oracle.mixture_resample_sql(

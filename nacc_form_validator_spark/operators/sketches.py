@@ -1,0 +1,224 @@
+"""Mergeable sketches for corpus statistics: HyperLogLog distinct
+counting and count-min heavy hitters.
+
+A 100 TB pipeline cannot afford exact DISTINCT or exact per-token
+counts for monitoring (distinct urls per host per day, hottest n-grams
+per crawl): both need a corpus-sized shuffle keyed by the counted
+value.  The classic answer (Flajolet et al. 2007 HyperLogLog; Cormode
+& Muthukrishnan 2005 count-min) is a BOUNDED-size commutative sketch:
+build per partition map-side, merge associatively (max per register /
+sum per cell), estimate from the merged table.  Both sketches here are
+plain DataFrame aggregates whose shuffle payload is bounded by the
+sketch size (m registers / d*w cells) per partition — corpus size
+never appears in the shuffle, and yesterday's persisted sketch merges
+with today's batch without touching either corpus.
+
+Beyond the reference's surface (no corpus-level ops — SURVEY.md §2.7).
+
+Determinism: md5-derived buckets/values, so register and cell contents
+are value-reproducible in DuckDB.  The HLL estimate itself is also
+EXACT across engines despite being floating-point: every 2^-register
+term is a power of two with exponent in [-33, 0], so partial sums of
+<= m such terms span < 53 mantissa bits and the harmonic-mean
+denominator is order-independent in IEEE double — no rounding fudge
+needed (estimates still round to 4 decimals for the hash gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL bias-correction constant alpha_m = 0.7213 / (1 + 1.079 / m)
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hex_long(h: Column, start: int, n: int) -> Column:
+    """First ``n`` hex chars of ``h`` from 1-based ``start`` as a long."""
+    return F.conv(F.substring(h, start, n), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, key: Column,
+                  group_cols: "list[str] | None" = None,
+                  m: int = 64) -> DataFrame:
+    """(group..., bucket, reg): the filled HLL registers of ``key``
+    per group — bucket = 16 md5 bits mod m, reg = max over keys of
+    (leading zeros of the next 32 md5 bits) + 1.  One aggregate,
+    map-side combinable (max), output bounded at |groups| * m rows."""
+    gc = group_cols or []
+    h = F.md5(key)
+    bucket = _hex_long(h, 1, 4) % m
+    v = _hex_long(h, 5, 8)
+    rho = (F.when(v == 0, F.lit(33))
+           .otherwise(F.lit(32) - F.length(F.bin(v)) + F.lit(1)))
+    return (df.select(*gc, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*gc, "bucket")
+            .agg(F.max("rho").alias("reg")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: "list[str] | None" = None) -> DataFrame:
+    """Merge two register tables (same key domain): max per register.
+    Associative + commutative — the property that lets per-day sketches
+    roll up to arbitrary windows without re-reading any corpus."""
+    gc = group_cols or []
+    return (a.unionByName(b)
+            .groupBy(*gc, "bucket")
+            .agg(F.max("reg").alias("reg")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: "list[str] | None" = None,
+                 m: int = 64) -> DataFrame:
+    """(group..., n_filled, est_distinct): the HLL cardinality estimate
+    per group, with Flajolet's small-range correction (linear counting
+    m*ln(m/zeros) when est <= 2.5m and empty registers remain)."""
+    gc = group_cols or []
+    alpha = _alpha(m)
+    agg = (registers.groupBy(*gc)
+           .agg(F.count("*").alias("n_filled"),
+                F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s")))
+    zeros = (F.lit(m) - F.col("n_filled")).cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("s") + zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(m) / zeros)).otherwise(raw)
+    return (agg.select(*gc, F.col("n_filled").cast("long").alias(
+        "n_filled"), F.round(est, 4).alias("est_distinct"))
+        .orderBy(*gc) if gc else
+        agg.select(F.col("n_filled").cast("long").alias("n_filled"),
+                   F.round(est, 4).alias("est_distinct")))
+
+
+def hll_distinct(df: DataFrame, key: Column,
+                 group_cols: "list[str] | None" = None,
+                 m: int = 64) -> DataFrame:
+    """Composed register-build + estimate (the self-contained query
+    form; production builds registers per batch and merges)."""
+    return hll_estimate(hll_registers(df, key, group_cols, m),
+                        group_cols, m)
+
+
+def hll_distinct_sql(table_sql: str, key_sql: str,
+                     group_sql: "str | None" = None,
+                     m: int = 64) -> str:
+    """DuckDB mirror of :func:`hll_distinct` over ``table_sql`` — same
+    md5 register arithmetic, same exact power-of-two harmonic sum."""
+    # the exact double Spark embeds via F.lit (repr round-trips); the
+    # bare literal would bind as DECIMAL in DuckDB and overflow
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    gsel = f"{group_sql}, " if group_sql else ""
+    gby = f"GROUP BY {group_sql}" if group_sql else ""
+    ord_ = f"ORDER BY {group_sql}" if group_sql else ""
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"h AS (SELECT {gsel}md5({key_sql}) AS hx FROM src), "
+        f"r AS (SELECT {gsel}"
+        f"CAST(concat('0x', substr(hx, 1, 4)) AS BIGINT) % {m} AS bucket, "
+        f"CASE WHEN CAST(concat('0x', substr(hx, 5, 8)) AS BIGINT) = 0 "
+        f"THEN 33 ELSE 32 - length(bin(CAST(concat('0x', "
+        f"substr(hx, 5, 8)) AS BIGINT))) + 1 END AS rho FROM h), "
+        f"regs AS (SELECT {gsel}bucket, max(rho) AS reg FROM r "
+        f"GROUP BY {gsel}bucket), "
+        f"agg AS (SELECT {gsel}count(*) AS n_filled, "
+        f"sum(pow(2.0, -reg)) AS s FROM regs {gby}) "
+        f"SELECT {gsel}n_filled, round(CASE WHEN "
+        f"{amm} / (s + CAST({m} - n_filled AS DOUBLE)) "
+        f"<= 2.5 * {m} AND CAST({m} - n_filled AS DOUBLE) > 0 "
+        f"THEN CAST({m} AS DOUBLE) * ln({m} / CAST({m} - n_filled "
+        f"AS DOUBLE)) ELSE {amm} / "
+        f"(s + CAST({m} - n_filled AS DOUBLE)) END, 4) AS est_distinct "
+        f"FROM agg {ord_}")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda s: s != "")
+
+
+def cms_positions(token: Column, d: int = 4, w: int = 1024) -> Column:
+    """The token's (row, col) cells: col_r = 32 md5 bits of (r||token)
+    mod w — identical arithmetic in the DuckDB oracle."""
+    return F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (_hex_long(F.md5(F.concat(F.lit(str(r)), token)),
+                            1, 8) % w).alias("col"))
+        for r in range(d)])
+
+
+def cms_table(docs: DataFrame, text_col: str = "text",
+              d: int = 4, w: int = 1024) -> DataFrame:
+    """(r, col, c): the corpus token-frequency count-min sketch — one
+    aggregate whose map-side partials are bounded at d*w cells per
+    partition, so the shuffle never scales with the corpus."""
+    tok = docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+    cells = tok.select(F.explode(
+        cms_positions(F.col("tok"), d, w)).alias("p"))
+    return (cells.select("p.r", "p.col")
+            .groupBy("r", "col").agg(F.count("*").alias("c")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches of the same (d, w) geometry: sum per cell."""
+    return (a.unionByName(b)
+            .groupBy("r", "col").agg(F.sum("c").alias("c")))
+
+
+def cms_estimate(tokens: DataFrame, cms: DataFrame, token_col: str = "tok",
+                 d: int = 4, w: int = 1024) -> DataFrame:
+    """Adds ``est`` = min over rows of the token's cell counts.  The
+    sketch is bounded at d*w rows, so it broadcasts unconditionally;
+    probing is a map-side join however large the probe set."""
+    probe = tokens.withColumn(
+        "__p", F.explode(cms_positions(F.col(token_col), d, w)))
+    est = (probe.join(F.broadcast(cms),
+                      (F.col("__p.r") == cms["r"]) &
+                      (F.col("__p.col") == cms["col"]))
+           .groupBy(token_col)
+           .agg(F.min("c").alias("est")))
+    return tokens.join(est, token_col)
+
+
+def heavy_hitters(docs: DataFrame, text_col: str = "text",
+                  k: int = 20, d: int = 4, w: int = 1024) -> DataFrame:
+    """(token, est, exact): the top-``k`` corpus tokens by count-min
+    estimate (ties broken by token), with the exact count alongside —
+    est >= exact always (CMS never underestimates), and the gap IS the
+    collision error, which the oracle pins cell-for-cell.
+
+    The exact column doubles as the verification path; a pure
+    production probe drops it and pays only the broadcast lookup."""
+    tok = docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact"))
+    cms = cms_table(docs, text_col, d, w)
+    scored = cms_estimate(exact, cms, "tok", d, w)
+    return (scored.orderBy(F.col("est").desc(), F.col("tok"))
+            .limit(k)
+            .select(F.col("tok").alias("token"), "est", "exact"))
+
+
+def heavy_hitters_sql(table: str = "documents", text_col: str = "text",
+                      k: int = 20, d: int = 4, w: int = 1024) -> str:
+    """DuckDB mirror of :func:`heavy_hitters` — identical md5 cells,
+    identical min-over-rows estimate, identical (est desc, token) tie
+    rule."""
+    toks = (f"list_filter(string_split_regex(lower({text_col}), "
+            f"'\\s+'), s -> s <> '')")
+    cell = ("CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || tok), "
+            f"1, 8)) AS BIGINT) % {w}")
+    return (
+        f"WITH tok AS (SELECT unnest({toks}) AS tok FROM {table}), "
+        f"exact AS (SELECT tok, count(*) AS exact FROM tok GROUP BY 1), "
+        f"cells AS (SELECT tok, r, {cell} AS col FROM tok, "
+        f"unnest(range(0, {d})) AS u(r)), "
+        f"cms AS (SELECT r, col, count(*) AS c FROM cells GROUP BY 1, 2), "
+        f"probe AS (SELECT e.tok, r, {cell.replace('tok', 'e.tok')} "
+        f"AS col FROM exact e, unnest(range(0, {d})) AS u(r)), "
+        f"est AS (SELECT probe.tok, min(cms.c) AS est FROM probe "
+        f"JOIN cms ON probe.r = cms.r AND probe.col = cms.col "
+        f"GROUP BY probe.tok) "
+        f"SELECT exact.tok AS token, est.est AS est, exact.exact AS exact "
+        f"FROM exact JOIN est ON exact.tok = est.tok "
+        f"ORDER BY est DESC, token LIMIT {k}")
