@@ -669,6 +669,12 @@ def _heavy_hitters_sql():
     return heavy_hitters_sql()
 
 
+def _host_pagerank_sql():
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_pagerank_sql)
+    return host_pagerank_sql(_linked_pages_sql())
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-smoothed mixture resampling (T=2 flattens the
     src0/src1/src2 = 0.5/0.3/0.2 target toward uniform — the
@@ -787,6 +793,52 @@ def q_heavy_hitters(spark, sf_dir):
     the collision gap itself is oracle-pinned cell-for-cell."""
     from nacc_form_validator_spark.operators.sketches import heavy_hitters
     return heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
+def _linked_pages(spark, sf_dir):
+    """Fixture prep for the link-graph query: pages whose html embeds
+    deterministic cross-host anchors per page (the driver fixtures
+    carry no links) — two lowercase href targets plus an uppercase
+    HREF to a never-linking sink host, so extraction exercises case
+    folding and PageRank's dangling-mass path for real.  Mirrored
+    literally in the oracle SQL."""
+    d = _docs(spark, sf_dir)
+    host = F.floor(F.sqrt(F.col("doc_id") % 256)).cast("long")
+    t1 = (F.col("doc_id") * 7 + 3) % 16
+    t2 = (F.col("doc_id") * 13 + 5) % 16
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit('</p><a href="https://host'), t1,
+        F.lit('.example/a">x</a><a HREF="https://sink.example/">n</a>'
+              '<a href="https://host'), t2,
+        F.lit('.example/b">y</a></body></html>'))
+    return d.select(
+        F.concat(F.lit("https://host"), host,
+                 F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+
+
+def _linked_pages_sql() -> str:
+    return (
+        "SELECT 'https://host' || CAST(floor(sqrt(doc_id % 256)) "
+        "AS BIGINT) || '.example/p/' || doc_id AS url, "
+        "'<html><body><p>' || text || '</p><a href=\"https://host' || "
+        "(doc_id * 7 + 3) % 16 || '.example/a\">x</a>"
+        "<a HREF=\"https://sink.example/\">n</a><a href=\"https://host' || "
+        "(doc_id * 13 + 5) % 16 || '.example/b\">y</a></body></html>' "
+        "AS html_str FROM documents")
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host link-graph PageRank (operators/linkgraph.py): anchors
+    regex-extracted from the raw html payload -> DISTINCT host edges
+    (the only corpus-sized shuffle) -> 3 damped iterations of
+    nodes-sized join+agg state with broadcast dangling mass and
+    localCheckpoint lineage truncation; round-12 per iteration makes
+    the whole trajectory value-exact vs the unrolled DuckDB oracle."""
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_pagerank)
+    return host_pagerank(_linked_pages(spark, sf_dir))
 
 
 def q_semdedup(spark, sf_dir):
@@ -1488,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
+        "host_pagerank": q_host_pagerank,
         "ppl_buckets_approx": q_ppl_buckets_approx,
         "nb_quality_pretrained": q_nb_quality_pretrained,
         "bpe_encode_pretrained": q_bpe_encode_pretrained,
@@ -1616,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_sql(),
         "hll_distinct": _hll_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         "semdedup": oracle.semdedup_sql(threshold=0.40),
         "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
         "mixture_temperature": oracle.mixture_resample_sql(
