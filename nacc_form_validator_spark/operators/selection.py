@@ -98,8 +98,8 @@ def train_nb_quality(docs: DataFrame, id_col: str = "doc_id",
 
 def score_nb_quality(docs: DataFrame, model: NBModel,
                      id_col: str = "doc_id", text_col: str = "text",
-                     broadcast_model: Optional[bool] = None
-                     ) -> DataFrame:
+                     broadcast_model: Optional[bool] = None,
+                     salt_model: int = 0) -> DataFrame:
     """Score ``docs`` with a PRECOMPUTED :class:`NBModel` — the
     train-once / score-many half.  Output schema and semantics match
     :func:`nb_quality_scores` (``label`` is recomputed from the docs'
@@ -109,9 +109,19 @@ def score_nb_quality(docs: DataFrame, model: NBModel,
     (functions/perplexity.py module docstring): None = AQE sizes the
     word-table join; True/False force broadcast / shuffle-merge.  The
     default shuffle orientation ships tokens keyed by word, which is
-    skewed on stopwords — if that ever dominates a profile, the 100×
-    refinement is a salted two-stage aggregate on the hot keys."""
+    SKEWED on stopwords ("the" is ~5% of English tokens, so one
+    reducer gets 5% of the corpus).  ``salt_model = S > 0`` is the
+    100× refinement for that regime when the model is too big to
+    broadcast: the word table replicates S-fold on a salt column and
+    each token keys by (w, hash(doc) % S), splitting every hot word
+    across S reducers.  Output is VALUE-IDENTICAL for any S (each
+    token still matches exactly one model row), so the same oracle
+    covers every salting level; cost is S× the (small) model-table
+    shuffle, nothing on the corpus side."""
     word_tbl, totals, prior_tbl = model
+    if salt_model and broadcast_model:
+        raise ValueError("salt_model is a shuffle-join refinement; "
+                         "it is meaningless with broadcast_model=True")
     labeled = (with_doc_stats(docs, text_col=text_col)
                .withColumn("__lbl", gopher_label())
                .select(F.col(id_col).alias("id"), F.col("__lbl"),
@@ -128,8 +138,18 @@ def score_nb_quality(docs: DataFrame, model: NBModel,
                      (F.col("t_pos") + F.col("v"))) -
                F.log((F.coalesce(F.col("c_neg"), F.lit(0)) + 1.0) /
                      (F.col("t_neg") + F.col("v"))))
-    scored = (toks.join(hint(word_tbl), "w", "left")
-              .crossJoin(F.broadcast(totals))
+    if salt_model:
+        salted = word_tbl.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0),
+                                           F.lit(salt_model - 1))))
+        toks = toks.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("id")),
+                   F.lit(salt_model)).cast("int"))
+        joined = toks.join(hint(salted), ["w", "__salt"], "left")
+    else:
+        joined = toks.join(hint(word_tbl), "w", "left")
+    scored = (joined.crossJoin(F.broadcast(totals))
               .select("id",
                       logodds.alias("lo")))
     per_doc = (scored.groupBy("id")

@@ -130,3 +130,21 @@ def test_ppl_buckets_approx_null_and_degenerate(spark):
     assert out[0] == "tail"
     # degenerate languages never crash; every doc gets some bucket
     assert all(out[i] in ("head", "middle", "tail") for i in out)
+
+
+def test_nb_salted_join_is_value_identical(spark):
+    """salt_model splits hot stopword keys across S reducers but must
+    not change a single score (each token still matches exactly one
+    replicated model row)."""
+    from nacc_form_validator_spark.operators.selection import (
+        score_nb_quality, train_nb_quality)
+    import pytest
+
+    docs = _corpus(spark)
+    m = train_nb_quality(docs)
+    plain = score_nb_quality(docs, m, broadcast_model=False).collect()
+    salted = score_nb_quality(docs, m, broadcast_model=False,
+                              salt_model=4).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+    with pytest.raises(ValueError):
+        score_nb_quality(docs, m, broadcast_model=True, salt_model=4)
