@@ -841,6 +841,99 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(_linked_pages(spark, sf_dir))
 
 
+def _lined_corpus(spark, sf_dir, chunk: int = 5):
+    """Fixture prep for the C4 line-filter queries: the single-line
+    documents text re-lined into CHUNK-word lines, each line decorated
+    by the first hex digit of its own md5 — terminal '.'/'!'/'?' (keep),
+    bare (TERMINAL_PUNCT drop), ' javascript.' (JAVASCRIPT drop), or a
+    2-word stub (MIN_WORDS drop) — plus a page-level lorem-ipsum /
+    brace line on 1/16 of docs each (keyed by md5 of the original
+    text), so every line AND page rule genuinely fires.  Mirrored
+    literally in _lined_corpus_sql."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda s: s != "")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(chunk))).cast("int")
+
+    def deco(line):
+        h = F.substring(F.md5(line), 1, 1)
+        return (F.when(h.isin(*"0123456789"), F.concat(line, F.lit(".")))
+                .when(h.isin("a", "b"), F.concat(line, F.lit("!")))
+                .when(h == "c", F.concat(line, F.lit("?")))
+                .when(h == "d", line)
+                .when(h == "e", F.concat(line, F.lit(" javascript.")))
+                .otherwise(F.lit("stub line.")))
+
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: deco(F.array_join(
+            F.slice(w, (i * chunk + 1).cast("int"), chunk), " ")))
+    body = F.when(F.size(w) == 0, F.lit("")).otherwise(
+        F.array_join(lines, "\n"))
+    page = F.substring(F.md5(F.col("text")), 1, 1)
+    extra = (F.when(page == "0",
+                    F.lit("\nnote lorem ipsum boilerplate marker."))
+             .when(page == "1", F.lit("\nwidget { display none }"))
+             .otherwise(F.lit("")))
+    return d.select("doc_id", F.concat(body, extra).alias("text"))
+
+
+def _lined_corpus_sql(chunk: int = 5) -> str:
+    c = chunk
+    deco = ("CASE WHEN substr(md5(l), 1, 1) IN ('0','1','2','3','4',"
+            "'5','6','7','8','9') THEN l || '.' "
+            "WHEN substr(md5(l), 1, 1) IN ('a','b') THEN l || '!' "
+            "WHEN substr(md5(l), 1, 1) = 'c' THEN l || '?' "
+            "WHEN substr(md5(l), 1, 1) = 'd' THEN l "
+            "WHEN substr(md5(l), 1, 1) = 'e' THEN l || ' javascript.' "
+            "ELSE 'stub line.' END")
+    return (
+        f"SELECT id, (CASE WHEN len(w) = 0 THEN '' ELSE "
+        f"array_to_string(list_transform(list_transform("
+        f"range(0, CAST(ceil(len(w) / {float(c)}) AS INT)), "
+        f"i -> array_to_string(list_slice(w, CAST(i * {c} + 1 AS INT), "
+        f"CAST(i * {c} + {c} AS INT)), ' ')), l -> {deco}), chr(10)) "
+        f"END) || (CASE WHEN substr(md5(text), 1, 1) = '0' THEN "
+        f"chr(10) || 'note lorem ipsum boilerplate marker.' "
+        f"WHEN substr(md5(text), 1, 1) = '1' THEN "
+        f"chr(10) || 'widget {{ display none }}' ELSE '' END) AS text "
+        f"FROM (SELECT doc_id AS id, text, "
+        f"list_filter(string_split_regex(text, '\\s+'), s -> s <> '') "
+        f"AS w FROM documents)")
+
+
+def _line_filter_sql():
+    from nacc_form_validator_spark.functions.linefilter import (
+        line_filter_sql)
+    return line_filter_sql(_lined_corpus_sql())
+
+
+def _line_lineage_sql():
+    from nacc_form_validator_spark.functions.linefilter import (
+        line_lineage_sql)
+    return line_lineage_sql(_lined_corpus_sql())
+
+
+def q_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning (functions/linefilter.py): keep
+    lines with >= 3 words ending in terminal punctuation and no
+    'javascript'; drop whole pages on lorem-ipsum / brace / too few
+    surviving lines.  ONE map-side projection — split, per-line
+    lambda, rejoin — zero shuffles, zero Python; page text never
+    moves."""
+    from nacc_form_validator_spark.functions.linefilter import line_filter
+    return line_filter(_lined_corpus(spark, sf_dir), id_col="doc_id")
+
+
+def q_line_lineage(spark, sf_dir):
+    """Per-dropped-line lineage for the C4 line filter: one row per
+    dropped line carrying the FIRST failing rule in the documented
+    order (MIN_WORDS, TERMINAL_PUNCT, JAVASCRIPT) — the reference's
+    ErrorHandler record discipline at line granularity.  Map-side
+    posexplode; nothing shuffles until the caller sinks it."""
+    from nacc_form_validator_spark.functions.linefilter import line_lineage
+    return line_lineage(_lined_corpus(spark, sf_dir), id_col="doc_id")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -1550,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": q_mixture_temperature,
         "fim_transform": q_fim_transform,
         "nb_calibration": q_nb_calibration,
+        "line_filter": q_line_filter,
+        "line_lineage": q_line_lineage,
         # --- load-bearing previously-green rows (keep in window) ---
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
@@ -1676,6 +1771,8 @@ def oracle_sql() -> dict[str, str]:
             weights=_mix_temperature_weights()),
         "fim_transform": _fim_sql(),
         "nb_calibration": oracle.nb_calibration_sql(),
+        "line_filter": _line_filter_sql(),
+        "line_lineage": _line_lineage_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),
