@@ -934,6 +934,98 @@ def q_line_lineage(spark, sf_dir):
     return line_lineage(_lined_corpus(spark, sf_dir), id_col="doc_id")
 
 
+def q_host_reputation(spark, sf_dir):
+    """Host reputation (operators/reputation.py): link-graph PageRank
+    x per-host quality keep rate over the SAME linked-pages fixture as
+    host_pagerank; keep = re-extracted text has >= 25 words.  One
+    corpus-sized agg; the rank join is hosts-sized (AQE-sized)."""
+    from nacc_form_validator_spark.functions.extract import extract_text
+    from nacc_form_validator_spark.operators.reputation import (
+        host_reputation)
+    pages = _linked_pages(spark, sf_dir)
+    keep = F.size(F.filter(
+        F.split(extract_text(F.col("html")), r"\s+"),
+        lambda s: s != "")) >= 25
+    return host_reputation(pages, keep)
+
+
+def _host_reputation_sql():
+    from nacc_form_validator_spark.functions.extract import (
+        extract_text_sql)
+    from nacc_form_validator_spark.operators.reputation import (
+        host_reputation_sql)
+    keep = (f"len(list_filter(string_split_regex("
+            f"{extract_text_sql('html_str')}, '\\s+'), s -> s <> '')) "
+            f">= 25")
+    return host_reputation_sql(_linked_pages_sql(), keep)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (operators/index.py): token -> df +
+    sorted posting list, with min_df=2 / max_df_ratio=0.8 stopword
+    elision — the retrieval-shaped artifact a RAG-data pipeline
+    freezes after filtering.  Two keyed aggregates with map-side
+    partials; the df cap bounds every retained posting list."""
+    from nacc_form_validator_spark.operators.index import inverted_index
+    return inverted_index(_docs(spark, sf_dir), min_df=2,
+                          max_df_ratio=0.8)
+
+
+def _inverted_index_sql():
+    from nacc_form_validator_spark.operators.index import (
+        inverted_index_sql)
+    return inverted_index_sql("SELECT doc_id AS id, text FROM documents",
+                              min_df=2, max_df_ratio=0.8)
+
+
+def _crawl_corpus(spark, sf_dir):
+    """Fixture prep for the change-rate query: each doc becomes
+    1..4 crawls of one url; a crawl's text drifts (deterministic
+    md5(doc-crawl) coin) by appending ' rev{k}' to the ORIGINAL text,
+    so A->B->A version patterns genuinely occur (drifted crawl followed
+    by an un-drifted one) and n_versions != n_changes on some urls.
+    Mirrored literally in _crawl_corpus_sql."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n = (F.col("doc_id") % 4 + 1).cast("int")
+    d = d.withColumn("crawl", F.explode(F.sequence(F.lit(0), n - 1)))
+    h = F.substring(
+        F.md5(F.concat_ws("-", F.col("doc_id"), F.col("crawl"))), 1, 1)
+    text = F.when(
+        (F.col("crawl") > 0) & h.isin(*"01234567"),
+        F.concat(F.col("text"), F.lit(" rev"),
+                 F.col("crawl").cast("string"))).otherwise(F.col("text"))
+    return d.select(
+        F.concat(F.lit("https://h/"), F.col("doc_id")).alias("url"),
+        F.col("crawl"), text.alias("text"))
+
+
+def _crawl_corpus_sql() -> str:
+    return (
+        "SELECT 'https://h/' || doc_id AS url, crawl AS ord, "
+        "(CASE WHEN crawl > 0 AND substr(md5(doc_id || '-' || crawl), "
+        "1, 1) IN ('0','1','2','3','4','5','6','7') "
+        "THEN text || ' rev' || crawl ELSE text END) AS text "
+        "FROM (SELECT doc_id, text, "
+        "unnest(range(0, doc_id % 4 + 1)) AS crawl FROM documents)")
+
+
+def q_url_change_stats(spark, sf_dir):
+    """Per-url recrawl change-rate (operators/crawlstats.py): crawl
+    count, distinct versions, digest transitions, change rate — the
+    Cho/Garcia-Molina crawl-scheduling signal.  Lag window + per-url
+    aggregate share ONE hash(url) Exchange."""
+    from nacc_form_validator_spark.operators.crawlstats import (
+        url_change_stats)
+    return url_change_stats(_crawl_corpus(spark, sf_dir),
+                            order_col="crawl")
+
+
+def _url_change_stats_sql():
+    from nacc_form_validator_spark.operators.crawlstats import (
+        url_change_stats_sql)
+    return url_change_stats_sql(_crawl_corpus_sql())
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -1645,6 +1737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_calibration": q_nb_calibration,
         "line_filter": q_line_filter,
         "line_lineage": q_line_lineage,
+        "inverted_index": q_inverted_index,
+        "url_change_stats": q_url_change_stats,
+        "host_reputation": q_host_reputation,
         # --- load-bearing previously-green rows (keep in window) ---
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
@@ -1773,6 +1868,9 @@ def oracle_sql() -> dict[str, str]:
         "nb_calibration": oracle.nb_calibration_sql(),
         "line_filter": _line_filter_sql(),
         "line_lineage": _line_lineage_sql(),
+        "inverted_index": _inverted_index_sql(),
+        "url_change_stats": _url_change_stats_sql(),
+        "host_reputation": _host_reputation_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

@@ -80,6 +80,42 @@ def contention_probe() -> float:
     return round(100 / best, 1)
 
 
+def contention_probe_parallel(n_threads: int = 32) -> dict:
+    """AGGREGATE sha256 throughput across ``n_threads`` concurrent
+    threads (hashlib releases the GIL on MB-sized buffers), plus the
+    per-thread parallel efficiency vs one thread.
+
+    Why a second sentinel: the single-thread probe is BLIND to
+    multi-core oversubscription — measured on this host (2026-08-18),
+    1 thread read 1.11x idle speed while 32 threads aggregated only
+    0.30x of 32x single, i.e. ~10 effective cores for a local[32]
+    Spark job.  That regime triples pipeline wall time with the scalar
+    sentinel reading 'not contended'; par_eff is the number that
+    explains driver-vs-builder timing deltas."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+    buf = b"\xab" * (1 << 20)
+
+    def work(n):
+        for _ in range(n):
+            hashlib.sha256(buf).digest()
+
+    work(20)
+    t0 = time.perf_counter()
+    work(100)
+    single = 100 / (time.perf_counter() - t0)
+    with ThreadPoolExecutor(n_threads) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(work, [100] * n_threads))
+        dt = time.perf_counter() - t0
+    agg = n_threads * 100 / dt
+    return {"threads": n_threads,
+            "aggregate_mb_s": round(agg, 1),
+            "single_mb_s": round(single, 1),
+            "par_eff": round(agg / (single * n_threads), 3),
+            "effective_cores": round(agg / single, 1)}
+
+
 def run_bench(spark, sf_dir: str, sf: float) -> dict:
     import __spark_entry__ as entry
     from nacc_form_validator_spark.qualityfilter import QualityFilterPipeline
@@ -159,7 +195,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "bpe_encode_pretrained", "dsir_weights_pretrained",
                  "semdedup", "dedup_incremental_bloom",
                  "mixture_temperature", "fim_transform",
-                 "nb_calibration"]:
+                 "nb_calibration", "ppl_kn_bigram", "paragraph_dedup",
+                 "hll_distinct", "heavy_hitters", "host_pagerank",
+                 "line_filter", "line_lineage", "inverted_index",
+                 "url_change_stats", "host_reputation"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

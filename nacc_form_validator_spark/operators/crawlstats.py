@@ -1,0 +1,71 @@
+"""Per-url recrawl change-rate statistics — the crawl-scheduling signal.
+
+A production crawler decides how often to revisit a url from how often
+its content actually changes (Cho & Garcia-Molina 2003's frequency
+estimation).  This operator computes, per url over its crawl history
+in order: crawl count, distinct content versions, transition count
+(digest != previous digest), and the change rate — the longitudinal
+per-subject discipline of the reference's temporalrules (previous
+record via the ordered visit chain,
+/root/reference/nacc_form_validator/quality_check.py:38 pk + orderby),
+recast as a content-drift aggregate.
+
+Scale shape (10^12 crawls): digesting is map-side; the lag window and
+the per-url aggregate share ONE hash(url) Exchange (Catalyst reuses
+the window's partitioning for the groupBy on the same key), so the
+whole operator is a single corpus-sized shuffle.  Per-url state is the
+crawl group — the same bounded-window-group story as the temporal rule
+engine, with the same salting escape hatch (history.py) if one url
+absorbs a pathological share of crawls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def url_change_stats(crawls: DataFrame, url_col: str = "url",
+                     order_col: str = "warc_ts",
+                     text_col: str = "text") -> DataFrame:
+    """(url, n_crawls, n_versions, n_changes, change_rate): change_rate
+    = transitions / (n_crawls - 1), null for single-crawl urls.
+    ``n_versions`` counts distinct digests (A->B->A is 2 versions but
+    2 changes — both signals matter to a scheduler)."""
+    w = Window.partitionBy("url").orderBy("__o")
+    d = crawls.select(
+        F.col(url_col).alias("url"), F.col(order_col).alias("__o"),
+        F.md5(F.col(text_col)).alias("__dig"))
+    d = d.withColumn("__prev", F.lag("__dig").over(w))
+    changed = (F.col("__prev").isNotNull() &
+               (F.col("__prev") != F.col("__dig"))).cast("long")
+    out = (d.groupBy("url")
+           .agg(F.count("*").alias("n_crawls"),
+                F.countDistinct("__dig").alias("n_versions"),
+                F.sum(changed).alias("n_changes")))
+    rate = F.when(
+        F.col("n_crawls") > 1,
+        F.round(F.col("n_changes") / (F.col("n_crawls") - 1), 6))
+    return (out.select("url", "n_crawls", "n_versions", "n_changes",
+                       rate.alias("change_rate"))
+            .orderBy("url"))
+
+
+def url_change_stats_sql(table_sql: str) -> str:
+    """DuckDB mirror of :func:`url_change_stats` over ``table_sql`` (a
+    subquery yielding (url, ord, text)) — same digest, same lag
+    semantics, same single-crawl null."""
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"d AS (SELECT url, md5(text) AS dig, "
+        f"lag(md5(text)) OVER (PARTITION BY url ORDER BY ord) AS prev "
+        f"FROM src), "
+        f"a AS (SELECT url, count(*) AS n_crawls, "
+        f"count(DISTINCT dig) AS n_versions, "
+        f"CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> dig "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_changes FROM d "
+        f"GROUP BY url) "
+        f"SELECT url, n_crawls, n_versions, n_changes, "
+        f"(CASE WHEN n_crawls > 1 THEN "
+        f"round(n_changes / (n_crawls - 1.0), 6) END) AS change_rate "
+        f"FROM a ORDER BY url")

@@ -1,0 +1,54 @@
+"""Host-reputation goldens: keep-rate arithmetic, zero-rank fallback
+for hosts outside the link graph, and the precomputed-ranks
+(train-once/score-many) path matching the inline path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.operators.linkgraph import host_pagerank
+from nacc_form_validator_spark.operators.reputation import host_reputation
+
+
+def _pages(spark):
+    def pg(host, i, links, nwords):
+        body = " ".join(f"w{j}" for j in range(nwords))
+        anchors = "".join(f'<a href="https://{h}/x">l</a>' for h in links)
+        return (f"https://{host}/p/{i}",
+                f"<p>{body}</p>{anchors}".encode())
+    rows = [
+        pg("a.example", 0, ["b.example"], 30),   # keep
+        pg("a.example", 1, ["b.example"], 3),    # drop
+        pg("b.example", 0, ["a.example"], 30),   # keep
+        pg("c.example", 0, [], 30),              # keep; no links at all
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def _keep():
+    from nacc_form_validator_spark.functions.extract import extract_text
+    return F.size(F.filter(F.split(extract_text(F.col("html")), r"\s+"),
+                           lambda s: s != "")) >= 20
+
+
+def test_host_reputation_golden(spark):
+    out = {r["host"]: r for r in
+           host_reputation(_pages(spark), _keep()).collect()}
+    assert out["a.example"]["n_pages"] == 2
+    assert out["a.example"]["keep_rate"] == 0.5
+    assert out["b.example"]["keep_rate"] == 1.0
+    # c.example never appears in the a<->b link graph -> rank 0
+    assert out["c.example"]["rank"] == 0.0
+    assert out["c.example"]["reputation"] == 0.0
+    for h in ("a.example", "b.example"):
+        assert out[h]["reputation"] == round(
+            out[h]["rank"] * out[h]["keep_rate"], 12)
+        assert out[h]["rank"] > 0
+
+
+def test_host_reputation_pretrained_ranks_match(spark):
+    pages = _pages(spark)
+    inline = host_reputation(pages, _keep()).collect()
+    ranks = host_pagerank(pages)
+    split = host_reputation(pages, _keep(), ranks=ranks).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, split))
