@@ -1026,6 +1026,250 @@ def _url_change_stats_sql():
     return url_change_stats_sql(_crawl_corpus_sql())
 
 
+#: BM25 fixture queries — terms drawn from the synthetic corpus vocab
+_BM25_QUERIES = [("q1", "spark window merge"),
+                 ("q2", "hash join table scan"),
+                 ("q3", "stream batch customer")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/retrieval.py): Lucene-variant
+    idf + tf saturation over the corpus statistics, query terms
+    broadcast, round-before-rank fp-tie discipline.  The corpus is
+    touched once (the same two shuffles as the inverted-index build);
+    everything after the tf aggregate is query-term-sized."""
+    from nacc_form_validator_spark.operators.retrieval import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=5)
+
+
+def _bm25_topk_sql():
+    from nacc_form_validator_spark.operators.retrieval import (
+        bm25_topk_sql)
+    return bm25_topk_sql("SELECT doc_id AS id, text FROM documents",
+                         _BM25_QUERIES, k=5)
+
+
+def _carded_docs(spark, sf_dir):
+    """Fixture prep for the Luhn scrub: deterministic card-shaped
+    strings appended per doc — a Luhn-valid Visa (doc_id%7==0), a
+    checksum-INVALID near-miss (%7==1, must survive), and a valid
+    Amex (%7==2).  Mirrored literally in _cc_scrub_sql."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    suffix = (F.when(F.col("doc_id") % 7 == 0,
+                     F.lit(" card 4111111111111111 thanks"))
+              .when(F.col("doc_id") % 7 == 1,
+                    F.lit(" ref 4111111111111112 invalid"))
+              .when(F.col("doc_id") % 7 == 2,
+                    F.lit(" amex 378282246310005 ok"))
+              .otherwise(F.lit("")))
+    return d.select("doc_id",
+                    F.concat(F.col("text"), suffix).alias("text"))
+
+
+_CARDED_SQL = ("SELECT doc_id AS id, text || (CASE "
+               "WHEN doc_id % 7 = 0 THEN ' card 4111111111111111 thanks' "
+               "WHEN doc_id % 7 = 1 THEN ' ref 4111111111111112 invalid' "
+               "WHEN doc_id % 7 = 2 THEN ' amex 378282246310005 ok' "
+               "ELSE '' END) AS text FROM documents")
+
+
+def q_cc_scrub(spark, sf_dir):
+    """Checksum-validated PII scrub (functions/pii.py): only 13-19
+    digit runs passing the Luhn mod-10 gate mask — byte-identical
+    scrubbed text under the oracle, zero shuffles, zero Python."""
+    from nacc_form_validator_spark.functions.pii import cc_scrub
+    return cc_scrub(_carded_docs(spark, sf_dir))
+
+
+def _cc_scrub_sql():
+    from nacc_form_validator_spark.functions.pii import cc_scrub_sql
+    return cc_scrub_sql(_CARDED_SQL)
+
+
+def _anchored_pages(spark, sf_dir):
+    """Fixture prep for anchor-text aggregation: each page links one
+    deterministic cross-host target with anchor text drawn from the
+    doc's OWN text (first 24 chars), plus an uppercase HREF to a sink
+    host carrying more doc text — so per-host anchor-term counts have
+    a real corpus-shaped distribution.  Mirrored in the oracle SQL."""
+    d = _docs(spark, sf_dir)
+    host = F.floor(F.sqrt(F.col("doc_id") % 256)).cast("long")
+    t1 = (F.col("doc_id") * 7 + 3) % 16
+    html = F.concat(
+        F.lit("<html><body><p>x</p>"),
+        F.lit('<a href="https://host'), t1,
+        F.lit('.example/a">'), F.substring(F.col("text"), 1, 24),
+        F.lit('</a><a HREF="https://sink.example/">'),
+        F.substring(F.col("text"), 25, 16),
+        F.lit("</a></body></html>"))
+    return d.select(
+        F.concat(F.lit("https://host"), host, F.lit(".example/p/"),
+                 F.col("doc_id")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+
+
+_ANCHORED_SQL = (
+    "SELECT 'https://host' || CAST(floor(sqrt(doc_id % 256)) AS BIGINT) "
+    "|| '.example/p/' || doc_id AS url, "
+    "'<html><body><p>x</p><a href=\"https://host' || "
+    "(doc_id * 7 + 3) % 16 || '.example/a\">' || substr(text, 1, 24) || "
+    "'</a><a HREF=\"https://sink.example/\">' || substr(text, 25, 16) || "
+    "'</a></body></html>' AS html_str FROM documents")
+
+
+def q_anchor_topk(spark, sf_dir):
+    """Inbound anchor-text top-k per destination host
+    (operators/linkgraph.py anchor_topk): the external topicality /
+    quality signal search engines and curation pipelines key on.
+    One corpus pass; the only shuffle is the (host, token) count."""
+    from nacc_form_validator_spark.operators.linkgraph import anchor_topk
+    return anchor_topk(_anchored_pages(spark, sf_dir), k=3)
+
+
+def _anchor_topk_sql():
+    from nacc_form_validator_spark.operators.linkgraph import (
+        anchor_topk_sql)
+    return anchor_topk_sql(_ANCHORED_SQL, k=3)
+
+
+def q_shard_by_bytes(spark, sf_dir):
+    """Byte-balanced output sharding (operators/packing.py
+    shard_by_bytes): the distributed two-level prefix sum — per-bucket
+    cumsum windows + a buckets-sized offset table broadcast back — so
+    no global sort or single-task window touches the corpus."""
+    from nacc_form_validator_spark.operators.packing import shard_by_bytes
+    return shard_by_bytes(_docs(spark, sf_dir), target_bytes=65536,
+                          buckets=32)
+
+
+def _shard_by_bytes_sql():
+    from nacc_form_validator_spark.operators.packing import (
+        shard_by_bytes_sql)
+    return shard_by_bytes_sql("SELECT doc_id AS id, text FROM documents",
+                              65536, 32)
+
+
+def _hosted_crawls(spark, sf_dir):
+    """Crawl fixture whose urls live on the SAME linked hosts as
+    _linked_pages, so the frontier-priority join has real ranks."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n = (F.col("doc_id") % 3 + 1).cast("int")
+    d = d.withColumn("crawl", F.explode(F.sequence(F.lit(0), n - 1)))
+    h = F.substring(
+        F.md5(F.concat_ws("-", F.col("doc_id"), F.col("crawl"))), 1, 1)
+    text = F.when(
+        (F.col("crawl") > 0) & h.isin(*"01234567"),
+        F.concat(F.col("text"), F.lit(" rev"),
+                 F.col("crawl").cast("string"))).otherwise(F.col("text"))
+    return d.select(
+        F.concat(F.lit("https://host"), F.col("doc_id") % 16,
+                 F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        F.col("crawl"), text.alias("text"))
+
+
+_HOSTED_CRAWLS_SQL = (
+    "SELECT 'https://host' || doc_id % 16 || '.example/p/' || doc_id "
+    "AS url, crawl AS ord, (CASE WHEN crawl > 0 AND "
+    "substr(md5(doc_id || '-' || crawl), 1, 1) IN "
+    "('0','1','2','3','4','5','6','7') THEN text || ' rev' || crawl "
+    "ELSE text END) AS text FROM (SELECT doc_id, text, "
+    "unnest(range(0, doc_id % 3 + 1)) AS crawl FROM documents)")
+
+
+def q_crawl_priority(spark, sf_dir):
+    """Crawl-frontier priority (operators/crawlstats.py
+    crawl_priority): per-url change rate x host PageRank — the
+    Cho/Garcia-Molina revisit signal blended with centrality.  The
+    link-graph ranks table is passed PREcomputed (train-once /
+    score-many, like host_reputation)."""
+    from nacc_form_validator_spark.operators.crawlstats import (
+        crawl_priority)
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_pagerank)
+    ranks = host_pagerank(_linked_pages(spark, sf_dir))
+    return crawl_priority(_hosted_crawls(spark, sf_dir), ranks,
+                          order_col="crawl")
+
+
+def _crawl_priority_sql():
+    from nacc_form_validator_spark.operators.crawlstats import (
+        crawl_priority_sql)
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_pagerank_sql)
+    return crawl_priority_sql(_HOSTED_CRAWLS_SQL,
+                              host_pagerank_sql(_linked_pages_sql()))
+
+
+def q_importance_sample(spark, sf_dir):
+    """Importance resampling (operators/sampling.py
+    importance_sample): DSIR log-weights realized into an actual
+    subsample — keep_p = min(1, rate * exp(lw)) decided by the shared
+    md5 uniform; map-side filter, zero shuffles past the weights."""
+    from nacc_form_validator_spark.operators.sampling import (
+        importance_sample)
+    from nacc_form_validator_spark.operators.selection import (
+        dsir_logweights)
+    docs = _docs(spark, sf_dir)
+    target = F.col("source").isin("src0", "src1", "src2", "src3")
+    w = dsir_logweights(docs, target)
+    return importance_sample(w, 0.3, id_col="id",
+                             logweight_col="log_weight")
+
+
+def _importance_sample_sql():
+    from nacc_form_validator_spark.operators.sampling import (
+        importance_sample_sql)
+    from nacc_form_validator_spark.plans import oracle
+    return importance_sample_sql(
+        f"SELECT id, log_weight AS logweight FROM "
+        f"({oracle.dsir_logweights_sql()})", 0.3)
+
+
+def _robots_pages(spark, sf_dir):
+    """Fixture prep for the consent gate: 1/5 of pages carry a noai
+    robots meta, 1/5 an allow-all meta (incl. uppercase attributes),
+    the rest none.  Mirrored literally in _meta_robots_sql."""
+    d = _docs(spark, sf_dir)
+    tag = (F.when(F.col("doc_id") % 5 == 0,
+                  F.lit('<meta name="robots" '
+                        'content="noai, nofollow">'))
+           .when(F.col("doc_id") % 5 == 1,
+                 F.lit('<META NAME="robots" '
+                       'CONTENT="index, follow">'))
+           .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), tag,
+                    F.lit("</head><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+    return d.select(F.col("doc_id").alias("id"),
+                    F.encode(html, "utf-8").alias("html"))
+
+
+def q_meta_robots_gate(spark, sf_dir):
+    """Robots/noai consent gate (functions/urlfilter.py
+    meta_robots_optout): machine-readable in-page opt-outs honored
+    before any content processing — fail-closed pre-gate, pure
+    row-side regex, zero shuffles."""
+    from nacc_form_validator_spark.functions.urlfilter import (
+        meta_robots_optout)
+    p = _robots_pages(spark, sf_dir)
+    return (p.select("id",
+                     meta_robots_optout(F.col("html")).alias("opt_out"))
+            .orderBy("id"))
+
+
+def _meta_robots_sql():
+    from nacc_form_validator_spark.functions.urlfilter import (
+        meta_robots_optout_sql)
+    html = ("'<html><head>' || (CASE WHEN doc_id % 5 = 0 THEN "
+            "'<meta name=\"robots\" content=\"noai, nofollow\">' "
+            "WHEN doc_id % 5 = 1 THEN "
+            "'<META NAME=\"robots\" CONTENT=\"index, follow\">' "
+            "ELSE '' END) || '</head><body>' || text || "
+            "'</body></html>'")
+    return (f"SELECT doc_id AS id, {meta_robots_optout_sql(html)} "
+            f"AS opt_out FROM documents ORDER BY id")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -1708,19 +1952,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
-        "simhash_signatures": q_simhash,
-        "simsearch_topk": q_simsearch_topk,
-        "simsearch_lsh": q_simsearch_lsh,
-        "simsearch_ivf": q_simsearch_ivf,
-        "tokens_quality": q_tokens_quality,
-        "ppl_bigram": q_ppl_bigram,
-        "multimodal_features": q_multimodal,
-        "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_real_decode_jpeg": q_multimodal_real_decode_jpeg,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "tpch_q1": q_tpch_q1,
-        # --- new in round 5 ---
+        # --- new operators in round 5 ---
+        "bm25_topk": q_bm25_topk,
+        "cc_scrub": q_cc_scrub,
+        "anchor_topk": q_anchor_topk,
+        "shard_by_bytes": q_shard_by_bytes,
+        "crawl_priority": q_crawl_priority,
+        "importance_sample": q_importance_sample,
+        "meta_robots_gate": q_meta_robots_gate,
+        # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
         "hll_distinct": q_hll_distinct,
@@ -1751,17 +1992,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
         "rules_compatibility": q_rules_compatibility,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_exact": q_dedup_incremental_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "kmeans_train": q_kmeans_train,
+        # --- past the 50-row window: green in r02-r04 driver files ---
         "rules_logic": q_rules_logic,
         "rules_compare_with": q_rules_compare_with,
         "rules_gds": q_rules_gds,
         "rules_fields": q_rules_fields,
         "rules_cast": q_rules_cast,
         "rules_membership": q_rules_membership,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_exact": q_dedup_incremental_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "kmeans_train": q_kmeans_train,
-        # --- past the 50-row window: green in r02-r04 driver files ---
+        "simhash_signatures": q_simhash,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_lsh": q_simsearch_lsh,
+        "simsearch_ivf": q_simsearch_ivf,
+        "tokens_quality": q_tokens_quality,
+        "ppl_bigram": q_ppl_bigram,
+        "multimodal_features": q_multimodal,
+        "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "tpch_q1": q_tpch_q1,
         "dedup_minhash_lsh": q_dedup_minhash,
         "rules_compare_age": q_rules_compare_age,
         "rules_score_variables": q_rules_score_variables,
@@ -1871,6 +2123,13 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _inverted_index_sql(),
         "url_change_stats": _url_change_stats_sql(),
         "host_reputation": _host_reputation_sql(),
+        "bm25_topk": _bm25_topk_sql(),
+        "cc_scrub": _cc_scrub_sql(),
+        "anchor_topk": _anchor_topk_sql(),
+        "shard_by_bytes": _shard_by_bytes_sql(),
+        "crawl_priority": _crawl_priority_sql(),
+        "importance_sample": _importance_sample_sql(),
+        "meta_robots_gate": _meta_robots_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

@@ -198,7 +198,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "nb_calibration", "ppl_kn_bigram", "paragraph_dedup",
                  "hll_distinct", "heavy_hitters", "host_pagerank",
                  "line_filter", "line_lineage", "inverted_index",
-                 "url_change_stats", "host_reputation"]:
+                 "url_change_stats", "host_reputation", "bm25_topk",
+                 "cc_scrub", "anchor_topk", "shard_by_bytes",
+                 "crawl_priority", "importance_sample",
+                 "meta_robots_gate"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

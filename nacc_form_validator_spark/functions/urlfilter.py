@@ -82,3 +82,47 @@ def with_url_filter(df: DataFrame,
         out = out.withColumn(flag_col, blocked).drop("__blk_hit")
         return out
     return out.withColumn(flag_col, blocked)
+
+
+# ---------------------------------------------------------------------------
+# Consent gates: robots meta directives and data-licensing opt-outs.
+# A compliant training-data pipeline honors in-page machine-readable
+# opt-outs (robots noindex; the emerging noai/noimageai directives)
+# BEFORE any content processing — the same fail-closed pre-gate
+# discipline as the reference's system-error channel (a record that
+# cannot legally/structurally be processed never reaches the rules).
+# ---------------------------------------------------------------------------
+
+#: <meta name="robots" content="..."> — content captured; attribute
+#: order is fixed name-then-content (the overwhelmingly common form;
+#: a production gate adds the swapped-order variant the same way)
+META_ROBOTS_RE = ('(?i)<meta [^>]*name="robots"[^>]*'
+                  'content="([^"]*)"')
+
+#: directive tokens that opt the page out of indexing / AI training
+OPT_OUT_DIRECTIVES = ("noindex", "noai", "noimageai")
+
+
+def meta_robots_optout(html: Column) -> Column:
+    """True iff any robots meta tag in the (binary) html payload
+    carries an opt-out directive.  Pure row-side regex + token
+    membership — zero shuffles, runs as part of whatever corpus pass
+    is already scanning the page."""
+    contents = F.regexp_extract_all(
+        F.decode(html, "utf-8"), F.lit(META_ROBOTS_RE), F.lit(1))
+    toks = F.flatten(F.transform(
+        contents,
+        lambda c: F.filter(F.split(F.lower(c), "[^a-z]+"),
+                           lambda s: s != "")))
+    return F.arrays_overlap(
+        toks, F.array(*[F.lit(d) for d in OPT_OUT_DIRECTIVES]))
+
+
+def meta_robots_optout_sql(html_expr: str = "html_str") -> str:
+    """DuckDB mirror of :func:`meta_robots_optout` (html as VARCHAR)."""
+    dirs = ", ".join(f"'{d}'" for d in OPT_OUT_DIRECTIVES)
+    return (
+        f"len(list_filter(flatten(list_transform("
+        f"regexp_extract_all({html_expr}, '{META_ROBOTS_RE}', 1), "
+        f"c -> string_split_regex(lower(c), '[^a-z]+'))), "
+        f"s -> s IN ({dirs}))) > 0")

@@ -69,3 +69,56 @@ def url_change_stats_sql(table_sql: str) -> str:
         f"(CASE WHEN n_crawls > 1 THEN "
         f"round(n_changes / (n_crawls - 1.0), 6) END) AS change_rate "
         f"FROM a ORDER BY url")
+
+
+def crawl_priority(crawls: DataFrame, ranks: DataFrame,
+                   url_col: str = "url", order_col: str = "warc_ts",
+                   text_col: str = "text") -> DataFrame:
+    """(url, host, change_rate, rank, priority): the crawl-frontier
+    score — revisit urls whose content actually changes, on hosts the
+    link graph says matter.  priority = round((0.25 + 0.75 *
+    coalesce(change_rate, 0.5)) * rank, 12): a never-yet-recrawled url
+    (null change_rate) gets the 0.5 uniform prior, a provably static
+    url keeps a 0.25 floor (content can start changing), and host
+    authority multiplies.  Cho & Garcia-Molina's frequency signal x
+    centrality — the standard frontier-prioritization blend.
+
+    Scale shape: :func:`url_change_stats` is one url-hash shuffle;
+    ``ranks`` is the hosts-sized PageRank table (AQE-sized join, the
+    repo's broadcast_model=None contract); the blend is a projection.
+    ``ranks`` is accepted precomputed (train-once/score-many, like
+    host_reputation) because a production frontier reuses one
+    link-graph snapshot across many scheduling runs."""
+    from nacc_form_validator_spark.functions.urlfilter import url_host
+
+    stats = url_change_stats(crawls, url_col=url_col,
+                             order_col=order_col, text_col=text_col)
+    s = stats.withColumn("host", url_host(F.col("url")))
+    r = ranks.select(F.col("node").alias("host"),
+                     F.col("rank").alias("rank"))
+    pr = (F.lit(0.25) + F.lit(0.75) *
+          F.coalesce(F.col("change_rate"), F.lit(0.5)))
+    return (s.join(r, "host", "left")
+            .select("url", "host", "change_rate",
+                    F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank"),
+                    F.round(pr * F.coalesce(F.col("rank"), F.lit(0.0)),
+                            12).alias("priority"))
+            .orderBy("url"))
+
+
+def crawl_priority_sql(crawls_sql: str, ranks_sql: str) -> str:
+    """DuckDB mirror of :func:`crawl_priority`: ``crawls_sql`` yields
+    (url, ord, text), ``ranks_sql`` yields (node, rank)."""
+    from nacc_form_validator_spark.functions.urlfilter import url_host_sql
+
+    stats = url_change_stats_sql(crawls_sql)
+    host = url_host_sql("url")
+    return (
+        f"WITH stats AS ({stats}), ranks AS ({ranks_sql}), "
+        f"s AS (SELECT url, {host} AS host, change_rate FROM stats) "
+        f"SELECT s.url, s.host, s.change_rate, "
+        f"coalesce(ranks.rank, 0.0) AS rank, "
+        f"round((0.25 + 0.75 * coalesce(s.change_rate, 0.5)) * "
+        f"coalesce(ranks.rank, 0.0), 12) AS priority "
+        f"FROM s LEFT JOIN ranks ON s.host = ranks.node "
+        f"ORDER BY s.url")

@@ -144,3 +144,83 @@ def host_pagerank_sql(pages_sql: str, iters: int = 3,
     return (f"WITH {', '.join(ctes)} "
             f"SELECT node, round(rank, 6) AS rank FROM r{iters} "
             f"ORDER BY node")
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation: what the web SAYS a host is about.  Inbound
+# anchor terms are the classic external quality/topicality signal
+# (used by search engines since Google '98, and by curation pipelines
+# as a host-level prior alongside centrality).  Recast of the
+# reference's cross-record evidence idea (a record judged by OTHER
+# records' content, temporalrules/datastore.py) at host granularity.
+# ---------------------------------------------------------------------------
+
+#: full <a ...> tags; [^>]*/[^<]* keep it linear-time and portable
+#: between Java regex (Spark) and RE2 (DuckDB)
+ANCHOR_TAG_RE = '(?i)<a [^>]*href="[^"]+"[^>]*>[^<]*</a>'
+_HREF_OF_TAG = '(?i)href="([^"]+)"'
+_TEXT_OF_TAG = ">([^<]*)</a>"
+
+
+def anchor_topk(pages: DataFrame, k: int = 3, html_col: str = "html",
+                url_col: str = "url") -> DataFrame:
+    """(host, token, n, rank): top ``k`` inbound anchor-text tokens per
+    DESTINATION host by count (ties: token asc).  Self-links drop (a
+    host's own nav anchors are boilerplate, not evidence).
+
+    Scale shape: tag extraction + per-tag href/text regex + tokenize
+    all happen inside the row (one corpus pass, no Python); the only
+    corpus-sized shuffle is the (host, token) count aggregate, whose
+    keys are short strings with map-side combine; the top-k window
+    runs on the aggregated (hosts x tokens) table, not the corpus.
+    Hot hosts skew the AGGREGATED table only - bounded by vocabulary,
+    not by page count."""
+    from pyspark.sql import Window
+
+    html = F.decode(F.col(html_col), "utf-8")
+    tags = F.regexp_extract_all(html, F.lit(ANCHOR_TAG_RE), F.lit(0))
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            url_host(F.regexp_extract(t, _HREF_OF_TAG, 1)).alias("dst"),
+            F.lower(F.regexp_extract(t, _TEXT_OF_TAG, 1)).alias("atext")))
+    ex = (pages.select(url_host(F.col(url_col)).alias("src"),
+                       F.explode(pairs).alias("p"))
+          .select("src", F.col("p.dst").alias("host"),
+                  F.col("p.atext").alias("atext"))
+          .where((F.col("host") != "") & (F.col("src") != F.col("host"))))
+    tok = ex.select(
+        "host",
+        F.explode(F.filter(F.split(F.col("atext"), "[^a-z0-9]+"),
+                           lambda s: s != "")).alias("token"))
+    counts = tok.groupBy("host", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(),
+                                           F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("host", "rank"))
+
+
+def anchor_topk_sql(pages_sql: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`anchor_topk` over ``pages_sql`` (a
+    subquery yielding (url, html_str)) — same tag regex, same per-tag
+    href/text extraction, same tokenizer and tie order."""
+    src = url_host_sql("url")
+    dst = url_host_sql("regexp_extract(tag, '(?i)href=\"([^\"]+)\"', 1)")
+    return (
+        f"WITH pages AS ({pages_sql}), "
+        f"tags AS (SELECT {src} AS src, unnest(regexp_extract_all("
+        f"html_str, '{ANCHOR_TAG_RE}', 0)) AS tag FROM pages), "
+        f"ex AS (SELECT src, {dst} AS host, "
+        f"lower(regexp_extract(tag, '>([^<]*)</a>', 1)) AS atext "
+        f"FROM tags), "
+        f"tok AS (SELECT host, unnest(list_filter(string_split_regex("
+        f"atext, '[^a-z0-9]+'), s -> s <> '')) AS token FROM ex "
+        f"WHERE host <> '' AND src <> host), "
+        f"counts AS (SELECT host, token, count(*) AS n FROM tok "
+        f"GROUP BY host, token), "
+        f"ranked AS (SELECT host, token, n, row_number() OVER ("
+        f"PARTITION BY host ORDER BY n DESC, token ASC) AS rank "
+        f"FROM counts) "
+        f"SELECT host, token, n, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY host, rank")

@@ -61,3 +61,75 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
             .withColumn("seq_offset",
                         (start - F.col("seq_id") * budget).cast("long"))
             .orderBy("id"))
+
+
+def shard_by_bytes(docs: DataFrame, target_bytes: int,
+                   buckets: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, doc_bytes, shard, shard_offset): assign each document to a
+    byte-balanced output shard — every shard holds a CONTIGUOUS run of
+    the global (bucket, id) order totalling ~``target_bytes`` — the
+    "publish the corpus as equal-size files" step after filtering.
+
+    This is the distributed prefix-sum pattern a global running total
+    needs at 10^12 docs: a single global cumsum window would serialize
+    the corpus through one task, so instead
+    (1) docs hash into ``buckets`` groups; the cumsum window runs
+        per-bucket ordered by id — ``buckets`` parallel, bounded
+        windows instead of one global one;
+    (2) per-bucket byte totals (a ``buckets``-row aggregate) turn into
+        exclusive bucket offsets via a window over that TINY table and
+        broadcast back;
+    (3) global offset = bucket offset + local cumsum, a pure
+        projection; shard = floor(offset / target_bytes).
+    Deterministic across retries/resumes (md5 bucketing, id order),
+    like every sampling/packing operator here.  ``buckets`` scales
+    with the corpus the same way pack_sequences' ``shards`` does.
+    """
+    key = F.col(id_col).cast("string")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets))
+    d = docs.select(
+        F.col(id_col).alias("id"), b.alias("b"),
+        F.octet_length(F.col(text_col)).cast("long").alias("doc_bytes"))
+    w = (Window.partitionBy("b").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = F.sum("doc_bytes").over(w) - F.col("doc_bytes")
+    totals = d.groupBy("b").agg(F.sum("doc_bytes").alias("tot"))
+    wb = (Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "b", F.coalesce(F.sum("tot").over(wb),
+                        F.lit(0).cast("long")).alias("off"))
+    pos = F.col("off") + F.col("__local")
+    shard = F.floor(pos / target_bytes).cast("long")
+    return (d.withColumn("__local", local)
+            .join(F.broadcast(offs), "b")
+            .select("id", "doc_bytes", shard.alias("shard"),
+                    (pos - shard * target_bytes).alias("shard_offset"))
+            .orderBy("id"))
+
+
+def shard_by_bytes_sql(table_sql: str, target_bytes: int,
+                       buckets: int = 64) -> str:
+    """DuckDB mirror of :func:`shard_by_bytes` over ``table_sql`` (a
+    subquery yielding (id, text)) — same md5 bucketing, same two-level
+    prefix sum, same floor arithmetic."""
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"d AS (SELECT id, CAST(concat('0x', substr(md5(CAST(id AS "
+        f"VARCHAR)), 1, 8)) AS BIGINT) % {buckets} AS b, "
+        f"CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes "
+        f"FROM src), "
+        f"loc AS (SELECT id, b, doc_bytes, sum(doc_bytes) OVER ("
+        f"PARTITION BY b ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND CURRENT ROW) - doc_bytes AS local FROM d), "
+        f"offs AS (SELECT b, coalesce(sum(tot) OVER (ORDER BY b "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+        f"FROM (SELECT b, sum(doc_bytes) AS tot FROM d GROUP BY b)) "
+        f"SELECT id, doc_bytes, "
+        f"CAST(floor((off + local) / {target_bytes}) AS BIGINT) "
+        f"AS shard, CAST((off + local) - CAST(floor((off + local) / "
+        f"{target_bytes}) AS BIGINT) * {target_bytes} AS BIGINT) "
+        f"AS shard_offset FROM loc JOIN offs USING (b) ORDER BY id")

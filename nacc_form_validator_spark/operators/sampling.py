@@ -132,3 +132,44 @@ def mixture_resample(df: DataFrame, weights: Dict[str, float],
                 9).alias("rate"))
     return (df.join(F.broadcast(rates), stratum_col)
             .where(hash_uniform(F.col(key_col)) < F.col("rate")))
+
+
+def importance_sample(weights: DataFrame, rate: float,
+                      id_col: str = "id",
+                      logweight_col: str = "logweight") -> DataFrame:
+    """(id, keep_p) for rows KEPT by importance resampling: keep
+    probability = min(1, rate * exp(logweight)), decided by the shared
+    md5 uniform of the id — the realization step after DSIR-style
+    importance weighting (operators/selection.py dsir_logweights):
+    weights say how target-like a document is; this turns them into an
+    actual subsample whose expected composition matches the weights at
+    overall rate ``rate``.
+
+    Deterministic (resume/retry-stable) like every sampler here; pure
+    map-side filter over the (id, logweight) table, zero shuffles —
+    at 10^12 docs the decision rides the weights table's partitioning,
+    and joining kept ids back to text is an id-co-keyed join.  keep_p
+    rounds to 9 decimals BEFORE the comparison (the mixture_resample
+    discipline) so Spark and the DuckDB oracle decide identically at
+    exp()'s last-ulp boundaries."""
+    keep_p = F.round(
+        F.least(F.lit(1.0),
+                F.lit(float(rate)) * F.exp(F.col(logweight_col))), 9)
+    return (weights
+            .withColumn("__p", keep_p)
+            .where(hash_uniform(F.col(id_col)) < F.col("__p"))
+            .select(F.col(id_col).alias("id"),
+                    F.col("__p").alias("keep_p"))
+            .orderBy("id"))
+
+
+def importance_sample_sql(weights_sql: str, rate: float) -> str:
+    """DuckDB mirror of :func:`importance_sample` over ``weights_sql``
+    (a subquery yielding (id, logweight))."""
+    u = ("CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) "
+         "AS BIGINT) / 4294967296.0")
+    return (
+        f"WITH w AS ({weights_sql}), "
+        f"p AS (SELECT id, round(least(1.0, {float(rate)!r} * "
+        f"exp(logweight)), 9) AS keep_p FROM w) "
+        f"SELECT id, keep_p FROM p WHERE {u} < keep_p ORDER BY id")
