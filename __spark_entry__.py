@@ -1270,6 +1270,43 @@ def _meta_robots_sql():
             f"AS opt_out FROM documents ORDER BY id")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/events.py): the canonical
+    clickstream/crawl-burst grouping — lag + running cumsum over ONE
+    hash(user) window Exchange; micros-exact across engines."""
+    from nacc_form_validator_spark.operators.events import sessionize
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _sessionize_sql():
+    from nacc_form_validator_spark.operators.events import sessionize_sql
+    return sessionize_sql("SELECT event_id, user_id, ts FROM events",
+                          1800)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/events.py): every event joined to the
+    latest prior purchase value per user — Spark lacks ASOF JOIN, so
+    this is the union + last(ignorenulls) window form (ONE corpus
+    Exchange, no join explosion on hot keys); the oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, an independent implementation of the same
+    semantics."""
+    from nacc_form_validator_spark.operators.events import asof_join
+    ev = _events(spark, sf_dir)
+    right = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return asof_join(ev.select("user_id", "ts", "event_id"), right)
+
+
+def _asof_join_sql():
+    from nacc_form_validator_spark.operators.events import asof_join_sql
+    return asof_join_sql(
+        "SELECT user_id, ts, event_id FROM events",
+        "SELECT user_id, ts, max(value) AS value FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts",
+        carry_cols=("event_id",))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -1961,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority": q_crawl_priority,
         "importance_sample": q_importance_sample,
         "meta_robots_gate": q_meta_robots_gate,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1985,11 +2024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_pipeline_gated": q_qf_pipeline_gated,
-        "qf_keep_drop": q_keep_drop,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
         "qf_streaming_dedup": q_qf_streaming_dedup,
-        "temporal_events": q_temporal_events,
         "rules_temporal": q_rules_temporal,
         "rules_compatibility": q_rules_compatibility,
         "dedup_incremental": q_dedup_incremental,
@@ -1997,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "qf_keep_drop": q_keep_drop,
+        "temporal_events": q_temporal_events,
         "rules_logic": q_rules_logic,
         "rules_compare_with": q_rules_compare_with,
         "rules_gds": q_rules_gds,
@@ -2130,6 +2169,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_priority": _crawl_priority_sql(),
         "importance_sample": _importance_sample_sql(),
         "meta_robots_gate": _meta_robots_sql(),
+        "sessionize": _sessionize_sql(),
+        "asof_join": _asof_join_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),
