@@ -1270,6 +1270,74 @@ def _meta_robots_sql():
             f"AS opt_out FROM documents ORDER BY id")
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character Shannon entropy (operators/textstats.py
+    char_entropy): the compressibility-proxy quality gate — pure
+    nested-HOF row algebra, zero shuffles."""
+    from nacc_form_validator_spark.operators.textstats import (
+        char_entropy)
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("id"),
+                    char_entropy(F.col("text")).alias("entropy"))
+            .orderBy("id"))
+
+
+def _char_entropy_sql():
+    from nacc_form_validator_spark.operators.textstats import (
+        char_entropy_sql)
+    return (f"SELECT doc_id AS id, {char_entropy_sql('text')} "
+            f"AS entropy FROM documents ORDER BY id")
+
+
+def q_sample_k_per_group(spark, sf_dir):
+    """Deterministic per-group quota sampling (operators/sampling.py
+    sample_k_per_group): the k smallest md5 key-hashes per language —
+    reservoir semantics without RNG state, resume-stable."""
+    from nacc_form_validator_spark.operators.sampling import (
+        sample_k_per_group)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (sample_k_per_group(d, 5, "lang", "doc_id")
+            .orderBy("lang", "doc_id"))
+
+
+def _sample_k_per_group_sql():
+    return ("SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY "
+            "md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk "
+            "FROM documents) WHERE rk <= 5 ORDER BY lang, doc_id")
+
+
+#: keep-best quality for the fixture: lexical diversity (1 at all-
+#: distinct words), the cheapest defensible cluster-argmax score
+def _diversity_score():
+    from nacc_form_validator_spark.functions.heuristics import words
+    w = words(F.col("text"))
+    return F.when(
+        F.size(w) > 0,
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-argmax fuzzy dedup (operators/dedup.py
+    dedup_keep_best): MinHash-LSH pairs -> connected components ->
+    keep each cluster's highest-quality member (not first-id) — what
+    production pipelines actually keep.  One extra window over the
+    components table vs dedup_clusters."""
+    from nacc_form_validator_spark.operators.dedup import dedup_keep_best
+    return dedup_keep_best(_docs(spark, sf_dir), _diversity_score())
+
+
+def _dedup_keep_best_sql():
+    from nacc_form_validator_spark.plans import oracle
+    words = ("list_filter(string_split_regex(text, '\\s+'), "
+             "x -> x <> '')")
+    score = (f"CASE WHEN len({words}) > 0 THEN "
+             f"round(len(list_distinct({words})) / "
+             f"CAST(len({words}) AS DOUBLE), 6) ELSE 0.0 END")
+    return oracle.dedup_keep_best_sql(score)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/events.py): the canonical
     clickstream/crawl-burst grouping — lag + running cumsum over ONE
@@ -2000,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots_gate": q_meta_robots_gate,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "char_entropy": q_char_entropy,
+        "sample_k_per_group": q_sample_k_per_group,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2024,9 +2095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline": q_qf_pipeline,
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_pipeline_gated": q_qf_pipeline_gated,
-        "qf_streaming": q_qf_streaming,
-        "qf_recrawl_stateful": q_qf_recrawl_stateful,
-        "qf_streaming_dedup": q_qf_streaming_dedup,
         "rules_temporal": q_rules_temporal,
         "rules_compatibility": q_rules_compatibility,
         "dedup_incremental": q_dedup_incremental,
@@ -2034,6 +2102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "qf_streaming": q_qf_streaming,
+        "qf_recrawl_stateful": q_qf_recrawl_stateful,
+        "qf_streaming_dedup": q_qf_streaming_dedup,
         "qf_keep_drop": q_keep_drop,
         "temporal_events": q_temporal_events,
         "rules_logic": q_rules_logic,
@@ -2171,6 +2242,9 @@ def oracle_sql() -> dict[str, str]:
         "meta_robots_gate": _meta_robots_sql(),
         "sessionize": _sessionize_sql(),
         "asof_join": _asof_join_sql(),
+        "char_entropy": _char_entropy_sql(),
+        "sample_k_per_group": _sample_k_per_group_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

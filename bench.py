@@ -201,7 +201,9 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "url_change_stats", "host_reputation", "bm25_topk",
                  "cc_scrub", "anchor_topk", "shard_by_bytes",
                  "crawl_priority", "importance_sample",
-                 "meta_robots_gate", "sessionize", "asof_join"]:
+                 "meta_robots_gate", "sessionize", "asof_join",
+                 "char_entropy", "sample_k_per_group",
+                 "dedup_keep_best"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

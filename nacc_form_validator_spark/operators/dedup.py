@@ -21,7 +21,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -818,3 +818,40 @@ def exact_substring_stats(df: DataFrame, text_col: str = "text",
            .orderBy("id"))
     out._persisted_intermediates = [pos]
     return out
+
+
+def dedup_keep_best(df: DataFrame, score: Column,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 8, bands: int = 4, n: int = 3,
+                    pairs: DataFrame = None) -> DataFrame:
+    """(doc_id, cluster_id, quality, keep): fuzzy-dedup decision that
+    keeps each duplicate cluster's HIGHEST-``score`` member (ties by
+    min id) instead of :func:`dedup_components`'s first-id-wins.
+
+    This is what production pipelines actually do: near-duplicate
+    groups usually contain one clean page and N mirror/boilerplate
+    variants, and "keep the first crawled" throws away quality signal.
+    The reference analogue is still the primary-key first-record-wins
+    check (nacc_validator.py pk check) — this generalizes the keep
+    rule to an argmax over the cluster.
+
+    Scale shape: everything up to components is
+    :func:`dedup_components`'s story; the argmax is ONE window over
+    (cluster_id) on the (id, cluster, score) table — scores ride
+    along, text never moves, and cluster sizes are near-dup group
+    sizes (bounded by the LSH bucket guards upstream)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, k=k,
+                                  bands=bands, n=n)
+    comp = connected_components(pairs)
+    scored = (df.select(F.col(id_col), score.alias("quality"))
+              .join(comp, df[id_col] == comp["id"], "left")
+              .select(F.col(id_col),
+                      F.coalesce(F.col("component"),
+                                 F.col(id_col)).alias("cluster_id"),
+                      "quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .orderBy(id_col))

@@ -173,3 +173,24 @@ def importance_sample_sql(weights_sql: str, rate: float) -> str:
         f"p AS (SELECT id, round(least(1.0, {float(rate)!r} * "
         f"exp(logweight)), 9) AS keep_p FROM w) "
         f"SELECT id, keep_p FROM p WHERE {u} < keep_p ORDER BY id")
+
+
+def sample_k_per_group(df: DataFrame, k: int, group_col: str,
+                       key_col: str) -> DataFrame:
+    """Uniform-without-replacement ``k`` rows per group, deterministic:
+    the kept rows are the group's k smallest md5 key-hashes (ties by
+    key) — reservoir-sampling semantics without RNG state, so retries
+    and resumes keep the identical sample and the same keys stay
+    sampled as the corpus grows (a group member only leaves the sample
+    when a smaller hash arrives, exactly like a k-min-hash sketch).
+
+    Complements :func:`hash_sample` (rate-based; group size unknown)
+    when the contract is an exact per-group quota — e.g. "at most k
+    eval docs per domain".  One window over (group, hash-rank); at
+    scale the rank filter runs map-side partial like per_group_topk."""
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(),
+                                              F.col(key_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk"))

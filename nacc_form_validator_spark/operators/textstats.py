@@ -67,3 +67,39 @@ def fingerprint(text: Column) -> Column:
         return F.pmod(acc * 31 + h, F.lit(FINGERPRINT_MOD))
 
     return F.aggregate(w, F.lit(0).cast("long"), roll)
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the cheap compressibility proxy quality pipelines
+    use to catch keyboard-mash / repeated-boilerplate / base64-blob
+    pages (too LOW entropy = degenerate repetition, too HIGH =
+    binary-ish noise; natural language sits ~3.5-4.5 bits/char).
+
+    Implementation is pure nested-HOF Column algebra over the row:
+    distinct chars x count-by-filter, O(len * alphabet) per row —
+    right for natural-language alphabets (tens of distinct chars).
+    A corpus whose rows are megabyte blobs with huge alphabets would
+    instead explode chars through the (id, char) count aggregate; the
+    per-row form keeps the stat shuffle-free, which is what a gate
+    column wants."""
+    chars = F.regexp_extract_all(text, F.lit(r"(?s)(.)"), 1)
+    n = F.size(chars)
+    d = F.array_distinct(chars)
+    p_of = (lambda c: F.size(F.filter(chars, lambda x: x == c)) /
+            n.cast("double"))
+    ent = F.aggregate(
+        d, F.lit(0.0),
+        lambda acc, c: acc - p_of(c) * F.log2(p_of(c)))
+    return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
+
+
+def char_entropy_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`char_entropy` — same distinct/filter
+    fold, same log2 arithmetic, same empty-string zero."""
+    chars = f"regexp_extract_all({text_expr}, '(?s)(.)', 1)"
+    p = (f"(len(list_filter({chars}, x -> x = c)) / "
+         f"CAST(len({chars}) AS DOUBLE))")
+    return (f"CASE WHEN len({chars}) > 0 THEN "
+            f"round(list_sum(list_transform(list_distinct({chars}), "
+            f"c -> -{p} * log2({p}))), 6) ELSE 0.0 END")

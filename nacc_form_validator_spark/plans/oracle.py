@@ -209,6 +209,32 @@ def dedup_components_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
         f"min(lab) = u AS keep FROM reach GROUP BY u ORDER BY doc_id")
 
 
+def dedup_keep_best_sql(score_sql: str, k: int = 8, bands: int = 4,
+                        n: int = 3) -> str:
+    """Oracle for dedup_keep_best: same transitive closure as
+    dedup_components_sql, then an argmax window per cluster on
+    ``score_sql`` (a scalar expression over a documents row)."""
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    return (
+        f"WITH RECURSIVE {ctes}, "
+        f"pairs AS ({pair_select}), "
+        f"edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        f"UNION SELECT id_b, id_a FROM pairs), "
+        f"reach(u, lab) AS ("
+        f"SELECT doc_id, doc_id FROM documents "
+        f"UNION "
+        f"SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u), "
+        f"comp AS (SELECT u AS doc_id, min(lab) AS cluster_id "
+        f"FROM reach GROUP BY u), "
+        f"q AS (SELECT doc_id, {score_sql} AS quality FROM documents), "
+        f"j AS (SELECT comp.doc_id, comp.cluster_id, q.quality, "
+        f"row_number() OVER (PARTITION BY comp.cluster_id "
+        f"ORDER BY q.quality DESC, comp.doc_id ASC) AS rn "
+        f"FROM comp JOIN q USING (doc_id)) "
+        f"SELECT doc_id, cluster_id, quality, rn = 1 AS keep "
+        f"FROM j ORDER BY doc_id")
+
+
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8) -> str:
     sh = _shingles(n)
     return (
