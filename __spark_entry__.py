@@ -1375,6 +1375,34 @@ def _asof_join_sql():
         carry_cols=("event_id",))
 
 
+def q_sessionize_stream(spark, sf_dir):
+    """STATEFUL streaming sessionization under the correctness gate
+    (streaming/pipeline.py streaming_sessionize): per-user
+    (last_ts, last_idx) state across micro-batches; on the
+    availableNow replay of the events corpus its output must
+    value-hash-match the BATCH window oracle (same SQL as the batch
+    sessionize row)."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        EVENTS_SCHEMA, streaming_sessionize)
+    base = tempfile.mkdtemp(prefix="qf_sess_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    _events(spark, sf_dir).coalesce(1).write.mode("overwrite") \
+        .parquet(inp)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(inp)
+    q = (streaming_sessionize(stream, gap_seconds=1800)
+         .writeStream.format("parquet")
+         .option("path", outp)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    return spark.read.parquet(outp).orderBy("event_id")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -2071,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "sample_k_per_group": q_sample_k_per_group,
         "dedup_keep_best": q_dedup_keep_best,
+        "sessionize_stream": q_sessionize_stream,
         # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2098,10 +2127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_temporal": q_rules_temporal,
         "rules_compatibility": q_rules_compatibility,
         "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_exact": q_dedup_incremental_exact,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "dedup_incremental_exact": q_dedup_incremental_exact,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
         "qf_streaming_dedup": q_qf_streaming_dedup,
@@ -2245,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _char_entropy_sql(),
         "sample_k_per_group": _sample_k_per_group_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "sessionize_stream": _sessionize_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

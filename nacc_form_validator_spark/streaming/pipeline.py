@@ -236,3 +236,95 @@ def streaming_exact_dedup(pages_stream: DataFrame,
         stateStructType=DEDUP_STATE,
         outputMode="append",
         timeoutConf=timeout))
+
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+SESSION_OUT = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
+    T.StructField("session_idx", T.LongType()),
+    T.StructField("session_id", T.StringType()),
+])
+
+#: (last event's epoch micros, last assigned session index)
+SESSION_STATE = T.StructType([
+    T.StructField("last_us", T.LongType()),
+    T.StructField("last_idx", T.LongType()),
+])
+
+
+def _make_session_fn(gap_us: int):
+    """Per-user sessionization state fn: carries (last event micros,
+    last session index) across micro-batches so a session spanning a
+    batch boundary keeps its index and a post-gap event starts a new
+    one — value-identical to the batch window (operators/events.py
+    sessionize) when events arrive per-user in ts order across
+    batches (the operator's ordering contract; out-of-order streams
+    want the watermarker upstream).
+
+    Vectorized: one sort + one shifted-diff + one cumsum per group
+    per batch; no per-row Python loop."""
+
+    def _fn(key, pdfs, state: GroupState):
+        import numpy as np
+        (user, ) = key
+        if state.exists:
+            last_us, last_idx = state.get
+        else:
+            last_us, last_idx = None, -1
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            if state.exists:
+                state.update((last_us, last_idx))
+            yield pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                        "session_idx", "session_id"])
+            return
+        pdf = (pd.concat(frames) if len(frames) > 1 else
+               frames[0]).sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        seed = us[0] if last_us is None else int(last_us)
+        prev = np.concatenate(([seed], us[:-1]))
+        new_s = (us - prev) > gap_us
+        new_s[0] = (last_us is None) or (us[0] - last_us > gap_us)
+        # fresh user: last_idx=-1 and new_s[0]=True -> first idx 0
+        idx = int(last_idx) + np.cumsum(new_s.astype("int64"))
+        state.update((int(us[-1]), int(idx[-1])))
+        yield pd.DataFrame({
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": user,
+            "ts": pdf["ts"].to_numpy(),
+            "session_idx": idx,
+            "session_id": [f"{user}#{i}" for i in idx]})
+
+    return _fn
+
+
+def streaming_sessionize(events_stream: DataFrame,
+                         gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization as a stateful streaming operator
+    (applyInPandasWithState): per-user state is 16 bytes (last event
+    micros + last session index), so an open session survives
+    micro-batch boundaries indefinitely — the streaming counterpart
+    of operators/events.py sessionize, value-identical on an ordered
+    replay.  The only wide op is the groupBy(user) state exchange —
+    the same shuffle shape as the batch window, held open over time.
+    Production note: per-user state this small lives comfortably in
+    the default state store; unbounded user churn wants the RocksDB
+    provider + a processing-time TTL at the session horizon, the same
+    recipe as streaming_exact_dedup."""
+    return (events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(int(gap_seconds) * 1_000_000),
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
