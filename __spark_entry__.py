@@ -1403,6 +1403,31 @@ def q_sessionize_stream(spark, sf_dir):
     return spark.read.parquet(outp).orderBy("event_id")
 
 
+def q_warc_source(spark, sf_dir):
+    """WARC ingest roundtrip (sources/warc.py): spec-shaped records
+    written from the documents table, then parsed back by the
+    delimiter-split text reader (record = split unit, pure-Column
+    header/payload regexes, type filter on real bytes).  The oracle
+    reconstructs the expected parse from the SOURCE table, so this
+    row is a write-parse roundtrip, not the parser checking itself."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources.warc import (read_warc,
+                                                        write_warc_fixture)
+    path = tempfile.mkdtemp(prefix="qf_warc_") + "/w"
+    write_warc_fixture(_docs(spark, sf_dir), path)
+    return (read_warc(spark, path)
+            .select("url", "warc_ts",
+                    F.octet_length("html").alias("n_bytes"),
+                    F.decode("html", "utf-8").alias("body_text"))
+            .orderBy("url"))
+
+
+def _warc_source_sql():
+    from nacc_form_validator_spark.sources.warc import warc_roundtrip_sql
+    return warc_roundtrip_sql()
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -2100,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "dedup_keep_best": q_dedup_keep_best,
         "sessionize_stream": q_sessionize_stream,
+        "warc_source": q_warc_source,
         # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2126,10 +2152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline_gated": q_qf_pipeline_gated,
         "rules_temporal": q_rules_temporal,
         "rules_compatibility": q_rules_compatibility,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "qf_streaming": q_qf_streaming,
         "qf_recrawl_stateful": q_qf_recrawl_stateful,
@@ -2275,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_per_group": _sample_k_per_group_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
         "sessionize_stream": _sessionize_sql(),
+        "warc_source": _warc_source_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

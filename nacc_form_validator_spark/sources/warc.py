@@ -1,0 +1,106 @@
+"""WARC source: parse Web-ARChive records into the pages table.
+
+Common Crawl publishes its corpus as WARC files (ISO 28500): records
+framed by a ``WARC/1.0`` version line, ``Name: value`` headers, one
+blank line, then the payload block.  This source turns a directory of
+WARC files into the engine's canonical pages shape
+(url, warc_ts, html) — the ingest edge of the north_rule's
+Common-Crawl-style input — the way the reference's CSV CLI turns raw
+csv rows into validated records (docs/validate_csv_records.py).
+
+Scale shape (the whole point of doing this in the reader):
+- ``spark.read.text`` with ``lineSep='WARC/1.0\\r\\n'`` makes the
+  RECORD the split unit — Spark's text source splits files at
+  delimiter boundaries, so a 1 GB WARC fans out across tasks instead
+  of one task parsing one file (the binaryFile-then-parse antipattern);
+- header extraction and payload slicing are pure Column regexes over
+  the record string: zero Python, zero shuffles — a WARC scan is a
+  projection, and Catalyst prunes it like any other scan;
+- non-response records (warcinfo, request, metadata) drop in the same
+  projection via the WARC-Type header.
+
+The fixture writer below emits spec-shaped records deterministically
+from a documents frame; the oracle reconstructs the expected parse
+from the same source-of-truth table, so the test is a real
+write-parse ROUNDTRIP, not the parser checking itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: record delimiter — the WARC version line that opens every record
+WARC_DELIM = "WARC/1.0\r\n"
+
+_URI_RE = r"WARC-Target-URI: ([^\r\n]+)"
+_DATE_RE = r"WARC-Date: ([^\r\n]+)"
+_TYPE_RE = r"WARC-Type: ([^\r\n]+)"
+#: payload = everything after the first blank line, up to the
+#: record-terminating blank line(s)
+_BODY_RE = r"(?s)\r\n\r\n(.*?)(?:\r\n)*$"
+
+_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, html) from every WARC *response* record under
+    ``path``.  html is the raw payload bytes; warc_ts parses the
+    WARC-Date header (ISO-8601 Z)."""
+    raw = (spark.read.option("lineSep", WARC_DELIM).text(path)
+           .where(F.col("value") != ""))
+    rtype = F.regexp_extract(F.col("value"), _TYPE_RE, 1)
+    body = F.regexp_extract(F.col("value"), _BODY_RE, 1)
+    return (raw.where(rtype == "response")
+            .select(
+                F.regexp_extract(F.col("value"), _URI_RE, 1).alias("url"),
+                F.to_timestamp_ntz(
+                    F.regexp_extract(F.col("value"), _DATE_RE, 1),
+                    F.lit(_DATE_FMT)).alias("warc_ts"),
+                F.encode(body, "utf-8").alias("html")))
+
+
+def write_warc_fixture(docs: DataFrame, path: str,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Writes spec-shaped WARC response records built deterministically
+    from ``docs``: url https://w.example/p/<id>, date 2024-01-01 +
+    <id> minutes, payload an html-wrapped doc text.  One record per
+    text row; Spark's text writer newline-separates rows, which the
+    delimiter-based reader tolerates (trailing-\\n stripping is part
+    of the payload regex).  Every third doc becomes a *request*
+    record so the type filter is exercised by real bytes."""
+    ts = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+        F.make_interval(mins=F.col(id_col).cast("int")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rtype = F.when(F.col(id_col) % 3 == 0, F.lit("request")) \
+        .otherwise(F.lit("response"))
+    body = F.concat(F.lit("<html><body>"), F.col(text_col),
+                    F.lit("</body></html>"))
+    rec = F.concat(
+        F.lit(WARC_DELIM),
+        F.lit("WARC-Type: "), rtype, F.lit("\r\n"),
+        F.lit("WARC-Target-URI: https://w.example/p/"),
+        F.col(id_col).cast("string"), F.lit("\r\n"),
+        F.lit("WARC-Date: "), ts, F.lit("\r\n"),
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n"))
+    docs.select(rec.alias("value")).coalesce(1) \
+        .write.mode("overwrite").text(path)
+
+
+def warc_roundtrip_sql(table: str = "documents") -> str:
+    """Expected parse of :func:`write_warc_fixture`'s bytes,
+    reconstructed from the SOURCE table (not from the parser):
+    response records only, same url/date/body derivations.  Output
+    shape matches the q_warc_source projection
+    (url, warc_ts, n_bytes, body_text)."""
+    return (
+        f"SELECT 'https://w.example/p/' || doc_id AS url, "
+        f"TIMESTAMP '2024-01-01 00:00:00' + "
+        f"to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts, "
+        f"octet_length(encode('<html><body>' || text || "
+        f"'</body></html>')) AS n_bytes, "
+        f"'<html><body>' || text || '</body></html>' AS body_text "
+        f"FROM {table} WHERE doc_id % 3 <> 0 ORDER BY url")
