@@ -1428,6 +1428,30 @@ def _warc_source_sql():
     return warc_roundtrip_sql()
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (sources/bucketing.py): both sides
+    written catalog-bucketed on doc_id once, then joined with ZERO
+    Exchange on either side (plan contract asserted in
+    tests/test_bucketing.py under the no-broadcast regime) — the
+    storage layout that amortizes the daily id-keyed joins a 100 TB
+    pipeline runs.  Idempotent overwrite of two fixed warehouse
+    tables; values match a plain join oracle."""
+    from nacc_form_validator_spark.sources.bucketing import (
+        bucketed_join, write_bucketed)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    scores = docs.select("doc_id",
+                         (F.col("n_chars") % 97).alias("score"))
+    write_bucketed(docs, "qb_docs", "doc_id", buckets=8)
+    write_bucketed(scores, "qb_scores", "doc_id", buckets=8)
+    return (bucketed_join(spark, "qb_docs", "qb_scores", "doc_id")
+            .orderBy("doc_id"))
+
+
+def _bucketed_join_sql():
+    return ("SELECT doc_id, lang, n_chars, n_chars % 97 AS score "
+            "FROM documents ORDER BY doc_id")
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -2126,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "sessionize_stream": q_sessionize_stream,
         "warc_source": q_warc_source,
+        "bucketed_join": q_bucketed_join,
         # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2151,10 +2176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_pipeline_gated": q_qf_pipeline_gated,
         "rules_temporal": q_rules_temporal,
-        "rules_compatibility": q_rules_compatibility,
         "dedup_clusters": q_dedup_clusters,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "rules_compatibility": q_rules_compatibility,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "qf_streaming": q_qf_streaming,
@@ -2302,6 +2327,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_sql(),
         "sessionize_stream": _sessionize_sql(),
         "warc_source": _warc_source_sql(),
+        "bucketed_join": _bucketed_join_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),
