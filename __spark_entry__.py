@@ -1452,6 +1452,23 @@ def _bucketed_join_sql():
             "FROM documents ORDER BY doc_id")
 
 
+def q_quality_ensemble(spark, sf_dir):
+    """Multi-signal quality ensemble (operators/ensemble.py): Gopher
+    bounds x trained-NB score x CCNet ppl tertile x entropy band,
+    per-signal booleans + keep + n_fails — the FineWeb-style shipped
+    verdict.  Heuristics + entropy in ONE projection; only the two
+    corpus-trained signals join back, both id-co-keyed."""
+    from nacc_form_validator_spark.operators.ensemble import (
+        quality_ensemble)
+    return quality_ensemble(_docs(spark, sf_dir))
+
+
+def _quality_ensemble_sql():
+    from nacc_form_validator_spark.plans.oracle import (
+        quality_ensemble_sql)
+    return quality_ensemble_sql()
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/semdedup.py): k-means-trained cells bound
     the pairwise-cosine term; a doc drops iff a lower-id cell-mate has
@@ -2151,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream": q_sessionize_stream,
         "warc_source": q_warc_source,
         "bucketed_join": q_bucketed_join,
+        "quality_ensemble": q_quality_ensemble,
         # --- round-4 additions first driver-checked in r05 ---
         "ppl_kn_bigram": q_ppl_kn_bigram,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2176,9 +2194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_pipeline_udf": q_qf_pipeline_udf,
         "qf_pipeline_gated": q_qf_pipeline_gated,
         "rules_temporal": q_rules_temporal,
-        "dedup_clusters": q_dedup_clusters,
         "kmeans_train": q_kmeans_train,
         # --- past the 50-row window: green in r02-r04 driver files ---
+        "dedup_clusters": q_dedup_clusters,
         "rules_compatibility": q_rules_compatibility,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2328,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_stream": _sessionize_sql(),
         "warc_source": _warc_source_sql(),
         "bucketed_join": _bucketed_join_sql(),
+        "quality_ensemble": _quality_ensemble_sql(),
         "nb_quality": oracle.nb_quality_sql(),
         "nb_quality_pretrained": oracle.nb_quality_sql(),
         "dsir_weights": oracle.dsir_logweights_sql(),

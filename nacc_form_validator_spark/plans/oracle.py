@@ -1499,6 +1499,38 @@ def nb_quality_sql() -> str:
         f"FROM r ORDER BY id")
 
 
+def quality_ensemble_sql(nb_threshold: float = 0.0,
+                         entropy_band: tuple = (2.0, 6.0)) -> str:
+    """Oracle for operators/ensemble.py quality_ensemble: the gopher
+    label + char entropy recomputed per row, joined with the
+    nb_quality and ppl_buckets subqueries on id."""
+    from nacc_form_validator_spark.operators.textstats import (
+        char_entropy_sql)
+    lo, hi = (float(entropy_band[0]), float(entropy_band[1]))
+    g = _gopher_label_sql()
+    ent = char_entropy_sql("text")
+    checks = {
+        "g_ok": "b.gopher_ok",
+        "nb_ok": f"nb.score > {float(nb_threshold)!r}",
+        "ppl_ok": "pb.bucket <> 'tail'",
+        "ent_ok": f"b.entropy BETWEEN {lo!r} AND {hi!r}",
+    }
+    oks = ", ".join(f"{e} AS {k}" for k, e in checks.items())
+    allok = " AND ".join(f"({e})" for e in checks.values())
+    fails = " + ".join(f"(CASE WHEN {e} THEN 0 ELSE 1 END)"
+                       for e in checks.values())
+    return (
+        f"WITH nb AS (SELECT * FROM ({nb_quality_sql()})), "
+        f"pb AS (SELECT * FROM ({ppl_buckets_sql()})), "
+        f"b AS (SELECT doc_id AS id, {g} AS gopher_ok, {ent} AS "
+        f"entropy FROM documents) "
+        f"SELECT b.id, b.gopher_ok, nb.score AS nb_score, "
+        f"pb.bucket AS ppl_bucket, b.entropy, {oks}, "
+        f"({allok}) AS keep, CAST({fails} AS BIGINT) AS n_fails "
+        f"FROM b JOIN nb ON b.id = nb.id JOIN pb ON b.id = pb.id "
+        f"ORDER BY b.id")
+
+
 def nb_calibration_sql(thresholds: tuple = None) -> str:
     """Oracle for selection.nb_calibration: the nb_quality query as a
     subquery, exploded against the threshold literals, one aggregate;
