@@ -203,7 +203,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "crawl_priority", "importance_sample",
                  "meta_robots_gate", "sessionize", "asof_join",
                  "char_entropy", "sample_k_per_group",
-                 "dedup_keep_best", "warc_source"]:
+                 "dedup_keep_best", "warc_source", "quality_ensemble"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
