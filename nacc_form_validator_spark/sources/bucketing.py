@@ -27,11 +27,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of a STALE managed location:
+    a fresh session's catalog does not know tables a previous session
+    wrote, but the warehouse directory persists, and ``saveAsTable``
+    then fails with LOCATION_ALREADY_EXISTS.  Uses the Hadoop FS API
+    so it works for any warehouse filesystem, not just local."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str,
                    buckets: int = 8) -> None:
     """Write ``df`` as a catalog table bucketed (and sorted) by
     ``key`` — the one-time layout cost every later co-located join
-    amortizes."""
+    amortizes.  Idempotent across sessions (clears stale catalog
+    entries AND stale managed locations first)."""
+    _drop_table_and_location(df.sparkSession, table)
     (df.write.mode("overwrite")
      .bucketBy(buckets, key)
      .sortBy(key)
