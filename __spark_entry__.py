@@ -2133,6 +2133,76 @@ def q_tpch_q1(spark, sf_dir):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def q_minhash_verified(spark, sf_dir):
+    """Two-stage near-dup join (operators/dedup.py
+    minhash_verified_pairs): MinHash-LSH banding proposes candidate
+    pairs, exact shingle-set Jaccard disposes — the RefinedWeb /
+    SlimPajama production recipe.  Shingle table computed once
+    (persisted, shared by signatures and verification); verification
+    joins ship arrays only for banding collisions."""
+    from nacc_form_validator_spark.operators.dedup import (
+        minhash_verified_pairs)
+    return minhash_verified_pairs(_docs(spark, sf_dir))
+
+
+def _minhash_verified_sql():
+    from nacc_form_validator_spark.plans.oracle import (
+        minhash_verified_sql)
+    return minhash_verified_sql()
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window token chunking (operators/packing.py
+    chunk_overlap): size-16 windows advancing 12 tokens — the RAG /
+    long-doc context-window prep.  Zero shuffles: one sequence+explode
+    codegen projection."""
+    from nacc_form_validator_spark.operators.packing import chunk_overlap
+    return chunk_overlap(_docs(spark, sf_dir), size=16, stride=12)
+
+
+def _chunk_overlap_sql():
+    from nacc_form_validator_spark.operators.packing import (
+        chunk_overlap_sql)
+    return chunk_overlap_sql("SELECT doc_id, text FROM documents",
+                             size=16, stride=12)
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Seeded deterministic corpus permutation into training shards
+    (operators/sampling.py corpus_shuffle): md5(seed:id) rank, shard
+    from the same key — epoch reshuffle without RNG state, no global
+    sort (per-shard bounded windows)."""
+    from nacc_form_validator_spark.operators.sampling import (
+        corpus_shuffle)
+    d = _docs(spark, sf_dir).select("doc_id")
+    return corpus_shuffle(d, seed="ep0", n_shards=8)
+
+
+def _corpus_shuffle_sql():
+    from nacc_form_validator_spark.operators.sampling import (
+        corpus_shuffle_sql)
+    return corpus_shuffle_sql("SELECT doc_id FROM documents",
+                              seed="ep0", n_shards=8)
+
+
+def q_recrawl_delta(spark, sf_dir):
+    """Content-level recrawl delta (operators/crawlstats.py
+    recrawl_delta): fraction of a crawl's distinct words absent from
+    the previous crawl of the same url — separates boilerplate-rotation
+    from real updates, over the same drifting crawl fixture as
+    url_change_stats.  One hash(url) Exchange; word sets ride inside
+    the row."""
+    from nacc_form_validator_spark.operators.crawlstats import (
+        recrawl_delta)
+    return recrawl_delta(_crawl_corpus(spark, sf_dir), order_col="crawl")
+
+
+def _recrawl_delta_sql():
+    from nacc_form_validator_spark.operators.crawlstats import (
+        recrawl_delta_sql)
+    return recrawl_delta_sql(_crawl_corpus_sql())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -2153,6 +2223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_full_corpus": q_full_corpus,
         "multimodal_real_decode_jpeg": q_multimodal_real_decode_jpeg,
         # --- new operators in round 5 ---
+        "minhash_verified": q_minhash_verified,
+        "chunk_overlap": q_chunk_overlap,
+        "corpus_shuffle": q_corpus_shuffle,
+        "recrawl_delta": q_recrawl_delta,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2257,6 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_verified": _minhash_verified_sql(),
+        "chunk_overlap": _chunk_overlap_sql(),
+        "corpus_shuffle": _corpus_shuffle_sql(),
+        "recrawl_delta": _recrawl_delta_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

@@ -203,7 +203,9 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "crawl_priority", "importance_sample",
                  "meta_robots_gate", "sessionize", "asof_join",
                  "char_entropy", "sample_k_per_group",
-                 "dedup_keep_best", "warc_source", "quality_ensemble"]:
+                 "dedup_keep_best", "warc_source", "quality_ensemble",
+                 "minhash_verified", "chunk_overlap", "corpus_shuffle",
+                 "recrawl_delta"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -122,3 +122,60 @@ def crawl_priority_sql(crawls_sql: str, ranks_sql: str) -> str:
         f"coalesce(ranks.rank, 0.0), 12) AS priority "
         f"FROM s LEFT JOIN ranks ON s.host = ranks.node "
         f"ORDER BY s.url")
+
+
+def recrawl_delta(crawls: DataFrame, url_col: str = "url",
+                  order_col: str = "warc_ts",
+                  text_col: str = "text") -> DataFrame:
+    """(url, ord, n_words, novel_frac): CONTENT-level recrawl delta —
+    what fraction of a crawl's distinct (normalized) words did the
+    previous crawl of the same url not have.  Where
+    :func:`url_change_stats` sees only digest transitions (any edit is
+    a "change"), this measures HOW MUCH changed — the signal that
+    separates a timestamp-rotating boilerplate page (novel_frac ~ 0,
+    skip re-ingesting) from a genuinely updated article; it is also the
+    incremental-ingest volume estimate (only novel content enters the
+    training corpus twice).
+
+    novel_frac is null for a url's first crawl, 0.0 for an empty crawl
+    with a predecessor, else round(1 - |w ∩ w_prev| / |w|, 6).
+
+    Scale: one hash(url) Exchange for the lag window, word sets ride
+    inside the row (no explode) — per-url crawl chains are short and
+    bounded, the same group-shape as the temporal rule engine."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   r"\s+", " "))
+    wset = F.array_distinct(
+        F.filter(F.split(norm, " "), lambda s: s != ""))
+    w = Window.partitionBy("url").orderBy("ord")
+    d = (crawls.select(F.col(url_col).alias("url"),
+                       F.col(order_col).alias("ord"),
+                       wset.alias("w"))
+         .withColumn("prev", F.lag("w").over(w)))
+    inter = F.size(F.array_intersect("w", "prev"))
+    novel = F.when(F.col("prev").isNull(), F.lit(None).cast("double")) \
+        .when(F.size("w") == 0, F.lit(0.0)) \
+        .otherwise(F.round(1.0 - inter / F.size("w"), 6))
+    return (d.select("url", "ord",
+                     F.size("w").cast("long").alias("n_words"),
+                     novel.alias("novel_frac"))
+            .orderBy("url", "ord"))
+
+
+def recrawl_delta_sql(table_sql: str) -> str:
+    """DuckDB mirror of :func:`recrawl_delta` over ``table_sql`` (a
+    subquery yielding (url, ord, text)) — same normalization, same
+    distinct-word-set lag Jaccard."""
+    wset = ("list_distinct(list_filter(string_split(trim("
+            "regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+            "x -> x <> ''))")
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"d AS (SELECT url, ord, {wset} AS w FROM src), "
+        f"l AS (SELECT url, ord, w, lag(w) OVER ("
+        f"PARTITION BY url ORDER BY ord) AS prev FROM d) "
+        f"SELECT url, ord, CAST(len(w) AS BIGINT) AS n_words, "
+        f"(CASE WHEN prev IS NULL THEN NULL "
+        f"WHEN len(w) = 0 THEN 0.0 "
+        f"ELSE round(1.0 - len(list_intersect(w, prev)) * 1.0 / len(w), "
+        f"6) END) AS novel_frac FROM l ORDER BY url, ord")

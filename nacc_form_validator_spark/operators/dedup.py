@@ -214,13 +214,19 @@ def minhash_signature(text: Column, k: int = 8, n: int = 3) -> Column:
 
 
 def _minhash_banded(df: DataFrame, text_col: str, id_col: str, k: int,
-                    bands: int, n: int) -> DataFrame:
+                    bands: int, n: int,
+                    sh_df: "DataFrame | None" = None) -> DataFrame:
     """(id, band, key) MinHash-LSH band table: k salted-md5 minhash
     permutations sliced into ``bands`` bands; a bucket key is the md5 of
     its concatenated slice.  bands × docs rows of 32-byte keys — tiny
-    relative to the corpus, so downstream joins ship keys, never docs."""
+    relative to the corpus, so downstream joins ship keys, never docs.
+
+    ``sh_df`` lets a caller that ALSO needs the (id, sh) shingle table
+    (e.g. the verified-pairs operator) pass a persisted one in, so the
+    text->shingle pipeline runs once, not once per consumer."""
     rows = k // bands
-    sh_df = _with_shingles(df, text_col, id_col, n)
+    if sh_df is None:
+        sh_df = _with_shingles(df, text_col, id_col, n)
 
     def perm(i):
         return F.array_min(
@@ -261,6 +267,59 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                      F.col("r.id").alias("id_b"))
              .distinct())
     return pairs.orderBy("id_a", "id_b")
+
+
+def minhash_verified_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           bands: int = 4, n: int = 3,
+                           threshold: float = 0.5) -> DataFrame:
+    """The production two-stage near-dup join: MinHash-LSH banding
+    PROPOSES candidate pairs, exact shingle-set Jaccard DISPOSES
+    (keeps only pairs with true similarity >= ``threshold``).
+
+    This is the shape large-corpus dedup actually runs (the RefinedWeb
+    / SlimPajama recipe): banding bounds the join to collision buckets
+    — O(docs × bands) 32-byte keys, never a corpus self-join — and the
+    exact verification removes the LSH false positives that a
+    banding-only pass (``minhash_lsh_pairs``) would feed into
+    clustering.  Contrast with ``ngram_jaccard_pairs``, which is exact
+    over ALL pairs via prefix filtering: that one is the oracle-grade
+    path; this one trades recall (bounded by the banding collision
+    probability 1-(1-J^r)^b) for a corpus-scan-shaped cost profile.
+
+    Scale: the shingle table is computed ONCE (persisted, shared by the
+    signature pass and the verification joins — the same caller-owned
+    release contract as ngram_jaccard_pairs); the verification joins
+    ship shingle arrays only for docs that appear in some candidate
+    pair, which at production thresholds is a vanishing fraction of the
+    corpus.  Reference analogue: none (recast LLM-corpus surface).
+    """
+    sh = (_with_shingles(df, text_col, id_col, n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    banded = _minhash_banded(df, text_col, id_col, k, bands, n,
+                             sh_df=sh)
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (left.join(right, ["band", "key"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"))
+            .distinct())
+    ver = (cand
+           .join(sh.select(F.col("id").alias("id_a"),
+                           F.col("sh").alias("sa")), "id_a")
+           .join(sh.select(F.col("id").alias("id_b"),
+                           F.col("sh").alias("sb")), "id_b"))
+    shared = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - shared
+    out = (ver.withColumn(
+        "jaccard",
+        F.when(union > 0, F.round(shared / union, 6))
+        .otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b"))
+    out._persisted_intermediates = [sh]
+    return out
 
 
 def incremental_minhash_pairs(corpus: DataFrame, delta: DataFrame,

@@ -111,6 +111,62 @@ def shard_by_bytes(docs: DataFrame, target_bytes: int,
             .orderBy("id"))
 
 
+def chunk_overlap(docs: DataFrame, size: int = 64, stride: int = 48,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): sliding-window token
+    chunking with overlap — the context-window prep step for RAG
+    indexing and long-doc pretraining (window ``size`` tokens, advance
+    ``stride``; overlap = size - stride keeps boundary-spanning content
+    inside some chunk).
+
+    Chunks start at token 1, 1+stride, 1+2·stride, ... while the start
+    is inside the doc; the final chunk may be shorter than ``size`` (no
+    token is ever dropped).  Empty docs emit no chunks.
+
+    Scale: zero shuffles — one sequence+explode projection, entirely
+    whole-stage-codegen; output size is n_tokens/stride rows per doc,
+    decided per row.  Deterministic, so resume-safe.  Reference
+    analogue: none (recast LLM-corpus surface).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda s: s != "")
+    d = (docs.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+         .where(F.size("w") > 0))
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(stride))
+    d = d.select("doc_id", "w",
+                 F.posexplode(starts).alias("chunk_id", "s"))
+    chunk = F.slice(F.col("w"), F.col("s"), size)
+    return (d.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+        .orderBy("doc_id", "chunk_id"))
+
+
+def chunk_overlap_sql(table_sql: str, size: int = 64,
+                      stride: int = 48) -> str:
+    """DuckDB mirror of :func:`chunk_overlap` over ``table_sql`` (a
+    subquery yielding (doc_id, text)): same start lattice
+    1 + j·stride <= n_tokens, same inclusive slice arithmetic."""
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"w AS (SELECT doc_id, list_filter(string_split_regex(text, "
+        f"'\\s+'), x -> x <> '') AS w FROM src), "
+        f"c AS (SELECT doc_id, w, unnest(range(0, CAST(floor("
+        f"(len(w) - 1) / {stride}) AS BIGINT) + 1)) AS j "
+        f"FROM w WHERE len(w) > 0) "
+        f"SELECT doc_id, j AS chunk_id, "
+        f"CAST(len(list_slice(w, 1 + j * {stride}, "
+        f"j * {stride} + {size})) AS BIGINT) AS n_tokens, "
+        f"array_to_string(list_slice(w, 1 + j * {stride}, "
+        f"j * {stride} + {size}), ' ') AS chunk_text "
+        f"FROM c ORDER BY doc_id, chunk_id")
+
+
 def shard_by_bytes_sql(table_sql: str, target_bytes: int,
                        buckets: int = 64) -> str:
     """DuckDB mirror of :func:`shard_by_bytes` over ``table_sql`` (a

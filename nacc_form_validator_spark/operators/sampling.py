@@ -194,3 +194,54 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k)
             .drop("__rk"))
+
+
+def corpus_shuffle(docs: DataFrame, seed: str = "s0",
+                   n_shards: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shard, pos): deterministic seeded global permutation of
+    the corpus, published as ``n_shards`` training shards — the
+    "shuffle the corpus before an epoch" step.  Changing ``seed``
+    produces an independent permutation (a new epoch order) without any
+    RNG state; retries/resumes reproduce the identical order.
+
+    key = md5(seed:id) is the permutation rank; shard = first-8-hex of
+    the key mod n_shards (so shard assignment IS part of the
+    permutation, not a second hash), and ``pos`` is the rank within the
+    shard.  A reader consuming shards round-robin by pos sees a
+    uniformly shuffled stream.
+
+    Scale: no global sort — the only shuffle is hash(shard), and each
+    shard orders independently (n_shards parallel bounded sorts, the
+    same law pack_sequences uses).  ``n_shards`` must grow with the
+    corpus; the default 8 is fixture-sized.  Reference analogue: none
+    (recast LLM-corpus surface)."""
+    key = F.md5(F.concat_ws(":", F.lit(seed),
+                            F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col).alias("doc_id"), key.alias("__k"))
+    shard = F.pmod(
+        F.conv(F.substring(F.col("__k"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("__k").asc(),
+                                            F.col("doc_id").asc())
+    return (d.withColumn("shard", shard)
+            .withColumn("pos",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .select("doc_id", "shard", "pos")
+            .orderBy("doc_id"))
+
+
+def corpus_shuffle_sql(table_sql: str, seed: str = "s0",
+                       n_shards: int = 8) -> str:
+    """DuckDB mirror of :func:`corpus_shuffle` over ``table_sql`` (a
+    subquery yielding doc_id): same md5 permutation key, same
+    first-8-hex shard arithmetic, same per-shard rank."""
+    key = f"md5('{seed}:' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"k AS (SELECT doc_id, {key} AS k, "
+        f"CAST(concat('0x', substr({key}, 1, 8)) AS BIGINT) % "
+        f"{n_shards} AS shard FROM src) "
+        f"SELECT doc_id, shard, CAST(row_number() OVER ("
+        f"PARTITION BY shard ORDER BY k ASC, doc_id ASC) - 1 AS BIGINT) "
+        f"AS pos FROM k ORDER BY doc_id")

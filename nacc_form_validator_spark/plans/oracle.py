@@ -172,6 +172,25 @@ def minhash_lsh_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
     return f"WITH {ctes} {pair_select} ORDER BY id_a, id_b"
 
 
+def minhash_verified_sql(k: int = 8, bands: int = 4, n: int = 3,
+                         threshold: float = 0.5) -> str:
+    """Oracle for dedup.minhash_verified_pairs: the band-collision
+    candidate set, each candidate verified with exact list_intersect
+    Jaccard over the same shingle CTE the signatures came from."""
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    inter = "len(list_intersect(a.sh, b.sh))"
+    union = f"(len(a.sh) + len(b.sh) - {inter})"
+    jac = (f"CASE WHEN {union} > 0 THEN round({inter} * 1.0 / {union}, 6) "
+           f"ELSE 0.0 END")
+    return (
+        f"WITH {ctes}, pairs AS ({pair_select}) "
+        f"SELECT id_a, id_b, jaccard FROM ("
+        f"SELECT id_a, id_b, {jac} AS jaccard "
+        f"FROM pairs JOIN sh a ON pairs.id_a = a.id "
+        f"JOIN sh b ON pairs.id_b = b.id) "
+        f"WHERE jaccard >= {threshold} ORDER BY id_a, id_b")
+
+
 def minhash_incremental_sql(k: int = 8, bands: int = 4,
                             n: int = 3) -> str:
     """Oracle for dedup.incremental_minhash_pairs over the md5-prefix
