@@ -2203,6 +2203,51 @@ def _recrawl_delta_sql():
     return recrawl_delta_sql(_crawl_corpus_sql())
 
 
+def q_sq8_topk(spark, sf_dir):
+    """SQ8-quantized ANN top-k (operators/simsearch.py sq8_topk):
+    per-dimension min/max codebook (one aggregate, 2*64 doubles,
+    broadcast), corpus encoded to uint8 codes (4x smaller scan than
+    float32), queries full-precision against dequantized codes (ADC) —
+    the FAISS SQ8 memory-compression recipe with oracle-exact
+    arithmetic."""
+    from nacc_form_validator_spark.operators.simsearch import sq8_topk
+    emb = _emb(spark, sf_dir)
+    qs = (emb.where(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    return sq8_topk(emb, qs, k=5, dim=64)
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget data selection (operators/sampling.py
+    budget_select): keep the highest-quality docs (unique-word ratio
+    here) while the running token total stays under half the corpus's
+    tokens — the distributed histogram form (256 score bins, per-bin
+    bounded windows, no global sort), checked against the exact global
+    cumsum oracle."""
+    from nacc_form_validator_spark.operators.sampling import budget_select
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda s: s != "")
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", toks.alias("w"))
+         .where(F.size("w") > 0)
+         .select("doc_id",
+                 F.round(F.size(F.array_distinct("w")) / F.size("w"),
+                         6).alias("score"),
+                 F.size("w").cast("long").alias("n_tokens")))
+    return budget_select(d, budget_frac=0.5, buckets=256)
+
+
+def _budget_select_sql():
+    from nacc_form_validator_spark.operators.sampling import (
+        budget_select_sql)
+    scored = (
+        "SELECT doc_id, round(len(list_distinct(w)) * 1.0 / len(w), 6) "
+        "AS score, CAST(len(w) AS BIGINT) AS n_tokens FROM ("
+        "SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '') AS w FROM documents) WHERE len(w) > 0")
+    return budget_select_sql(scored, budget_frac=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -2227,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
         "recrawl_delta": q_recrawl_delta,
+        "sq8_topk": q_sq8_topk,
+        "budget_select": q_budget_select,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2335,6 +2382,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_overlap": _chunk_overlap_sql(),
         "corpus_shuffle": _corpus_shuffle_sql(),
         "recrawl_delta": _recrawl_delta_sql(),
+        "sq8_topk": oracle.sq8_topk_sql(),
+        "budget_select": _budget_select_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

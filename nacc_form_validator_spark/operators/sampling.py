@@ -245,3 +245,94 @@ def corpus_shuffle_sql(table_sql: str, seed: str = "s0",
         f"SELECT doc_id, shard, CAST(row_number() OVER ("
         f"PARTITION BY shard ORDER BY k ASC, doc_id ASC) - 1 AS BIGINT) "
         f"AS pos FROM k ORDER BY doc_id")
+
+
+def budget_select(df: DataFrame, budget_frac: float = 0.5,
+                  score_col: str = "score",
+                  tokens_col: str = "n_tokens",
+                  id_col: str = "doc_id",
+                  buckets: Optional[int] = 256) -> DataFrame:
+    """(doc_id, score, n_tokens, cum_tokens): greedy data selection
+    under a token budget — keep the highest-quality documents (by
+    ``score_col`` desc, ``id_col`` asc tiebreak) while the running token
+    total stays <= floor(total_tokens * budget_frac).  This is the
+    "fill the pretraining budget best-first" step every token-capped
+    run performs after scoring.
+
+    Two value-identical forms:
+
+    - ``buckets=None`` — the textbook global cumsum: ONE window over
+      (score desc, id).  A single-partition global sort — the oracle
+      form, correct but a scale anti-pattern.
+    - ``buckets=B`` (default) — the distributed form: scores histogram
+      into B fixed-width bins (bin 0 = best), per-bin token totals
+      (<= B rows) carry an exclusive prefix sum, and the in-bin running
+      total is a window PARTITIONED by bin — B-way parallel bounded
+      sorts instead of one global sort.  Because equal scores always
+      share a bin and the in-bin order is the same (score desc, id),
+      cum_tokens — and therefore the selected set — is IDENTICAL to the
+      exact form; only the physical plan changes.  The <= B-row bin
+      table broadcasts back.  Reference analogue: none (recast
+      LLM-corpus surface).
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in (0, 1]")
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.col(score_col).cast("double").alias("score"),
+                  F.col(tokens_col).cast("long").alias("n_tokens"))
+    budget = d.agg(F.floor(F.sum("n_tokens") * F.lit(budget_frac))
+                   .cast("long").alias("__budget"))
+    if buckets is None:
+        w = (Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = d.withColumn("cum_tokens",
+                           F.sum("n_tokens").over(w).cast("long"))
+    else:
+        stats = d.agg(F.min("score").alias("__lo"),
+                      F.max("score").alias("__hi"))
+        b = d.crossJoin(F.broadcast(stats))
+        step = (F.col("__hi") - F.col("__lo")) / F.lit(float(buckets))
+        raw = F.least(F.lit(buckets - 1).cast("long"),
+                      F.floor((F.col("score") - F.col("__lo")) / step))
+        bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)) \
+            .otherwise(F.lit(buckets - 1) - raw).cast("int")
+        b = b.select("doc_id", "score", "n_tokens", bin_.alias("__bin"))
+        wb = (Window.orderBy("__bin")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        btot = (b.groupBy("__bin").agg(F.sum("n_tokens").alias("__bt"))
+                .withColumn("__above",
+                            F.coalesce(F.sum("__bt").over(wb),
+                                       F.lit(0)).cast("long"))
+                .drop("__bt"))
+        win = (Window.partitionBy("__bin")
+               .orderBy(F.col("score").desc(), F.col("doc_id"))
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+        out = (b.join(F.broadcast(btot), "__bin")
+               .withColumn("cum_tokens",
+                           (F.col("__above") +
+                            F.sum("n_tokens").over(win)).cast("long"))
+               .drop("__bin", "__above"))
+    return (out.crossJoin(F.broadcast(budget))
+            .where(F.col("cum_tokens") <= F.col("__budget"))
+            .select("doc_id", "score", "n_tokens", "cum_tokens")
+            .orderBy("doc_id"))
+
+
+def budget_select_sql(table_sql: str, budget_frac: float = 0.5) -> str:
+    """DuckDB mirror of :func:`budget_select` over ``table_sql`` (a
+    subquery yielding (doc_id, score, n_tokens)) — the EXACT global
+    cumsum form; the histogram form is value-identical by construction,
+    so one oracle covers both paths."""
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"d AS (SELECT doc_id, CAST(score AS DOUBLE) AS score, "
+        f"CAST(n_tokens AS BIGINT) AS n_tokens FROM src), "
+        f"bud AS (SELECT CAST(floor(sum(n_tokens) * {budget_frac}) "
+        f"AS BIGINT) AS budget FROM d), "
+        f"c AS (SELECT doc_id, score, n_tokens, "
+        f"CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS cum_tokens FROM d) "
+        f"SELECT doc_id, score, n_tokens, cum_tokens "
+        f"FROM c, bud WHERE cum_tokens <= budget ORDER BY doc_id")

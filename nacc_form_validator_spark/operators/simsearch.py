@@ -333,3 +333,116 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .orderBy("q_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (FAISS-style): compress array<float> corpus
+# vectors to uint8 codes (4x smaller than float32, 8x smaller than the
+# double-cast scan) and score queries against DEQUANTIZED codes
+# (asymmetric distance computation: the query stays full-precision).
+# At 100 TB the scan cost of ANN is memory bandwidth — shipping 1 byte
+# per dimension instead of 4 is the difference between a corpus that
+# fits executor page cache and one that doesn't.  The codebook is one
+# (lo, hi) pair per dimension trained with a single min/max aggregate,
+# so unlike PQ there is no iterative training and the whole path stays
+# value-reproducible in the DuckDB oracle (plans/oracle.py
+# sq8_topk_sql).  Reference analogue: none (recast LLM-corpus surface).
+
+def sq8_codebook(emb: DataFrame, vec_col: str = "embedding",
+                 dim: int = 64) -> DataFrame:
+    """1-row (lo: array<double>, hi: array<double>) codebook: exact
+    per-dimension min/max over the corpus.  ONE aggregate pass with
+    map-side partial combine; the result is 2*dim doubles — trivially
+    broadcastable at any corpus size."""
+    ed = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    d = emb.select(ed.alias("__ed"))
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.col("__ed")[i]).alias(f"__lo{i}"))
+        aggs.append(F.max(F.col("__ed")[i]).alias(f"__hi{i}"))
+    row = d.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"__lo{i}") for i in range(dim)]).alias("lo"),
+        F.array(*[F.col(f"__hi{i}") for i in range(dim)]).alias("hi"))
+
+
+def _sq8_code(v: Column, lo: Column, hi: Column) -> Column:
+    """uint8 bucket of one component: floor((v-lo)/step), step =
+    (hi-lo)/255, clamped to 255 (v == hi may land on either side of the
+    255 boundary in floating point; the clamp makes it exact).
+    Degenerate dimensions (hi == lo) code to 0."""
+    step = (hi - lo) / F.lit(255.0)
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(F.lit(255).cast("long"),
+                F.floor((v - lo) / step))).cast("int")
+
+
+def _sq8_dequant(code: Column, lo: Column, hi: Column) -> Column:
+    """Bucket-midpoint reconstruction: lo + (code + 0.5) * step."""
+    step = (hi - lo) / F.lit(255.0)
+    return F.when(hi == lo, lo).otherwise(
+        lo + (code.cast("double") + F.lit(0.5)) * step)
+
+
+def sq8_encode(emb: DataFrame, codebook: Optional[DataFrame] = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
+    """(vec_id, code: array<int>) — the quantized corpus.  Pure
+    projection against the broadcast 1-row codebook; train-once /
+    encode-many callers pass a materialized ``codebook`` (the
+    frozen-model pattern), self-contained callers let it train inline."""
+    cb = codebook if codebook is not None else sq8_codebook(
+        emb, vec_col=vec_col, dim=dim)
+    ed = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    d = (emb.select(F.col(id_col).alias("vec_id"), ed.alias("vd"))
+         .crossJoin(F.broadcast(cb)))
+    code = F.transform(
+        F.arrays_zip("vd", "lo", "hi"),
+        lambda s: _sq8_code(s["vd"], s["lo"], s["hi"]))
+    return d.select("vec_id", code.alias("code"))
+
+
+def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             dim: int = 64, codebook: Optional[DataFrame] = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id",
+             q_vec_col: str = "q_vec") -> DataFrame:
+    """(q_id, vec_id, score, rank): approximate top-k by dot product in
+    the compressed domain — corpus vectors dequantized from their SQ8
+    codes, queries full-precision (ADC).  Same broadcast-queries /
+    per-query-window shape as brute_force_topk; what changes at scale is
+    the scanned corpus: 1 byte/dim instead of 4 (the production form
+    materializes sq8_encode's output as the stored index and never
+    rereads the float column).
+
+    The encode is built inline (same expressions as sq8_encode) so the
+    codebook's 1-row aggregate appears ONCE in the plan — train-once /
+    search-many callers pass a materialized ``codebook`` and a stored
+    code table instead."""
+    cb = codebook if codebook is not None else sq8_codebook(
+        emb, vec_col=vec_col, dim=dim)
+    ed = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    base = (emb.select(F.col(id_col).alias("vec_id"), ed.alias("vd"))
+            .crossJoin(F.broadcast(cb)))
+    code = F.transform(
+        F.arrays_zip("vd", "lo", "hi"),
+        lambda s: _sq8_code(s["vd"], s["lo"], s["hi"]))
+    enc = base.select("vec_id", code.alias("code"), "lo", "hi")
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.transform(F.col(q_vec_col),
+                        lambda v: v.cast("double")).alias("qvd")))
+    d = enc.crossJoin(q)
+    dq = F.transform(
+        F.arrays_zip("code", "lo", "hi"),
+        lambda s: _sq8_dequant(s["code"], s["lo"], s["hi"]))
+    score = F.round(
+        F.aggregate(F.zip_with(dq, F.col("qvd"), lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v), 6)
+    scored = d.select("q_id", "vec_id", score.alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("q_id", "rank"))

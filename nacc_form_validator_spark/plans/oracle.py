@@ -350,6 +350,38 @@ def brute_topk_sql(k: int = 5, n_queries: int = 5) -> str:
         f"ORDER BY q_id, rank")
 
 
+def sq8_topk_sql(k: int = 5, n_queries: int = 5, dim: int = 64) -> str:
+    """Oracle for simsearch.sq8_topk: per-dimension min/max codebook,
+    floor((v-lo)/step) uint8 codes clamped at 255, bucket-midpoint
+    dequantization, full-precision-query dot (ADC) — the identical
+    double arithmetic as the Spark form, so values match exactly."""
+    code_i = ("CASE WHEN hi[i] = lo[i] THEN 0 ELSE CAST(least(255, "
+              "floor((vd[i] - lo[i]) / ((hi[i] - lo[i]) / 255.0))) "
+              "AS INT) END")
+    dq_i = ("CASE WHEN cb.hi[i] = cb.lo[i] THEN cb.lo[i] ELSE cb.lo[i] "
+            "+ (code[i] + 0.5) * ((cb.hi[i] - cb.lo[i]) / 255.0) END")
+    return (
+        f"WITH e AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> x::DOUBLE) AS vd FROM embeddings), "
+        f"cbd AS (SELECT i, min(vd[i]) AS lo, max(vd[i]) AS hi "
+        f"FROM e, range(1, {dim + 1}) t(i) GROUP BY i), "
+        f"cb AS (SELECT list(lo ORDER BY i) AS lo, "
+        f"list(hi ORDER BY i) AS hi FROM cbd), "
+        f"enc AS (SELECT vec_id, list_transform(range(1, {dim + 1}), "
+        f"i -> {code_i}) AS code FROM e, cb), "
+        f"q AS (SELECT vec_id AS q_id, vd AS qvd FROM e "
+        f"WHERE vec_id < {n_queries}), "
+        f"scored AS (SELECT q.q_id, enc.vec_id, "
+        f"round(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> ({dq_i}) * qvd[i])), 6) AS score "
+        f"FROM enc, cb CROSS JOIN q), "
+        f"ranked AS (SELECT q_id, vec_id, score, row_number() OVER ("
+        f"PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank "
+        f"FROM scored) "
+        f"SELECT q_id, vec_id, score, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY q_id, rank")
+
+
 def _lsh_planes_literal(dim: int, n_planes: int) -> str:
     from nacc_form_validator_spark.operators.simsearch import _hyperplanes
     planes = _hyperplanes(dim, n_planes)

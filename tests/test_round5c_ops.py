@@ -1,0 +1,149 @@
+"""Round-5 additions, third batch: SQ8 scalar-quantized ANN and
+token-budget data selection.
+
+Each operator is additionally under a full DuckDB value oracle via its
+__spark_entry__ queries()/oracle_sql() pair; these tests pin the
+semantics with hand-checkable fixtures.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _emb_fixture(spark, dim=4, n=10):
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# ------------------------------------------------------------- sq8
+def test_sq8_codebook_is_per_dim_min_max(spark):
+    from nacc_form_validator_spark.operators.simsearch import sq8_codebook
+    emb = _emb_fixture(spark, dim=4)
+    row = sq8_codebook(emb, dim=4).collect()[0]
+    vecs = [r["embedding"] for r in emb.collect()]
+    for i in range(4):
+        assert row["lo"][i] == pytest.approx(min(v[i] for v in vecs))
+        assert row["hi"][i] == pytest.approx(max(v[i] for v in vecs))
+
+
+def test_sq8_encode_codes_bounded_and_midpoint_error(spark):
+    from nacc_form_validator_spark.operators.simsearch import (
+        sq8_codebook, sq8_encode)
+    emb = _emb_fixture(spark, dim=4, n=12)
+    cb = sq8_codebook(emb, dim=4)
+    codes = {r["vec_id"]: r["code"]
+             for r in sq8_encode(emb, codebook=cb, dim=4).collect()}
+    cbr = cb.collect()[0]
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for vid, code in codes.items():
+        for i, c in enumerate(code):
+            assert 0 <= c <= 255
+            lo, hi = cbr["lo"][i], cbr["hi"][i]
+            step = (hi - lo) / 255.0
+            if hi == lo:
+                assert c == 0
+                continue
+            # bucket-midpoint reconstruction error is at most step/2
+            dq = lo + (c + 0.5) * step
+            assert abs(dq - float(vecs[vid][i])) <= step / 2 + 1e-9
+
+
+def test_sq8_degenerate_dimension_codes_zero(spark):
+    from nacc_form_validator_spark.operators.simsearch import sq8_encode
+    emb = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 2.0]), (3, [5.0, 3.0])],
+        "vec_id long, embedding array<float>")
+    codes = {r["vec_id"]: r["code"]
+             for r in sq8_encode(emb, dim=2).collect()}
+    assert all(c[0] == 0 for c in codes.values())   # constant dim
+    assert codes[1][1] == 0 and codes[3][1] == 255  # min / max ends
+
+
+def test_sq8_topk_matches_exact_dot_on_well_separated_vectors(spark):
+    from nacc_form_validator_spark.operators.simsearch import sq8_topk
+    # clusters far apart so 8-bit quantization cannot reorder them
+    rows = []
+    for i in range(9):
+        base = float(i // 3) * 100.0
+        rows.append((i, [base + float(i % 3),
+                         -base + float(i % 3), 1.0, 0.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = (emb.where(F.col("vec_id").isin(0, 4, 8))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    got = {}
+    for r in sq8_topk(emb, qs, k=3, dim=4).collect():
+        got.setdefault(r["q_id"], []).append(r["vec_id"])
+    # exact full-precision DOT ranking (the metric sq8_topk approximates)
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    for q in (0, 4, 8):
+        scored = sorted(
+            ((sum(a * b for a, b in zip(vecs[q], v)), -vid, vid)
+             for vid, v in vecs.items()), reverse=True)
+        exact = [vid for _, _, vid in scored[:3]]
+        assert got[q] == exact, f"q={q}"
+
+
+def test_sq8_topk_frozen_codebook_matches_inline(spark):
+    from nacc_form_validator_spark.operators.simsearch import (
+        sq8_codebook, sq8_topk)
+    emb = _emb_fixture(spark, dim=4, n=16)
+    qs = (emb.where(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    inline = sq8_topk(emb, qs, k=4, dim=4).collect()
+    frozen_cb = spark.createDataFrame(
+        sq8_codebook(emb, dim=4).collect())
+    frozen = sq8_topk(emb, qs, k=4, dim=4, codebook=frozen_cb).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in frozen]
+
+
+# --------------------------------------------------- budget_select
+def _scored_fixture(spark):
+    # (doc_id, score, n_tokens); scores descending with ties
+    rows = [(1, 0.9, 10), (2, 0.9, 20), (3, 0.7, 30), (4, 0.7, 5),
+            (5, 0.5, 40), (6, 0.3, 25), (7, 0.1, 70)]
+    return spark.createDataFrame(rows,
+                                 "doc_id long, score double, n_tokens long")
+
+
+def test_budget_select_exact_greedy_prefix(spark):
+    from nacc_form_validator_spark.operators.sampling import budget_select
+    d = _scored_fixture(spark)
+    # total = 200, budget = 100: greedy order 1,2,3,4,5 cum 10,30,60,65,105
+    out = budget_select(d, budget_frac=0.5, buckets=None).collect()
+    kept = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert kept == {1: 10, 2: 30, 3: 60, 4: 65}
+
+
+def test_budget_select_histogram_identical_to_exact(spark):
+    from nacc_form_validator_spark.operators.sampling import budget_select
+    d = _scored_fixture(spark)
+    for frac in (0.2, 0.5, 0.9, 1.0):
+        exact = [tuple(r) for r in
+                 budget_select(d, budget_frac=frac, buckets=None).collect()]
+        hist = [tuple(r) for r in
+                budget_select(d, budget_frac=frac, buckets=16).collect()]
+        assert exact == hist, f"frac={frac}"
+
+
+def test_budget_select_all_equal_scores_uses_id_order(spark):
+    from nacc_form_validator_spark.operators.sampling import budget_select
+    d = spark.createDataFrame(
+        [(i, 1.0, 10) for i in range(1, 7)],
+        "doc_id long, score double, n_tokens long")
+    # budget = 30 -> ids 1..3 by the id tiebreak; hi == lo degenerate bin
+    out = budget_select(d, budget_frac=0.5, buckets=8).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+
+
+def test_budget_select_rejects_bad_frac(spark):
+    from nacc_form_validator_spark.operators.sampling import budget_select
+    d = _scored_fixture(spark)
+    with pytest.raises(ValueError):
+        budget_select(d, budget_frac=0.0)
+    with pytest.raises(ValueError):
+        budget_select(d, budget_frac=1.5)
