@@ -2248,6 +2248,49 @@ def _budget_select_sql():
     return budget_select_sql(scored, budget_frac=0.5)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-Res):
+    exactly 100 docs, inclusion probability proportional to n_chars —
+    ln(u)/w rank keys, global top-k via TakeOrderedAndProject (partial
+    per-partition top-k, no global sort)."""
+    from nacc_form_validator_spark.operators.sampling import (
+        weighted_sample)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("wgt"))
+    return weighted_sample(d, k=100, weight_col="wgt", key_col="doc_id")
+
+
+def _weighted_sample_sql():
+    from nacc_form_validator_spark.operators.sampling import (
+        weighted_sample_sql)
+    return weighted_sample_sql(
+        "SELECT doc_id AS key, CAST(n_chars AS DOUBLE) AS weight "
+        "FROM documents", k=100)
+
+
+def q_hll_overlap(spark, sf_dir):
+    """Corpus-overlap estimate from HLL sketches alone
+    (operators/sketches.py hll_overlap): two overlapping crawl slices
+    of documents (75% each, 50% shared), distinct-text overlap by
+    register-max union + inclusion-exclusion — neither corpus is ever
+    joined or shuffled by content."""
+    from nacc_form_validator_spark.operators.sketches import hll_overlap
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 4 < 3)
+    b = d.where(F.col("doc_id") % 4 > 0)
+    return hll_overlap(a, b, F.col("text"), F.col("text"), m=256)
+
+
+def _hll_overlap_sql():
+    from nacc_form_validator_spark.operators.sketches import (
+        hll_overlap_sql)
+    return hll_overlap_sql(
+        "SELECT text AS k FROM documents WHERE doc_id % 4 < 3",
+        "SELECT text AS k FROM documents WHERE doc_id % 4 > 0",
+        m=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -2274,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_delta": q_recrawl_delta,
         "sq8_topk": q_sq8_topk,
         "budget_select": q_budget_select,
+        "weighted_sample": q_weighted_sample,
+        "hll_overlap": q_hll_overlap,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2384,6 +2429,8 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_delta": _recrawl_delta_sql(),
         "sq8_topk": oracle.sq8_topk_sql(),
         "budget_select": _budget_select_sql(),
+        "weighted_sample": _weighted_sample_sql(),
+        "hll_overlap": _hll_overlap_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

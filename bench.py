@@ -205,7 +205,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "char_entropy", "sample_k_per_group",
                  "dedup_keep_best", "warc_source", "quality_ensemble",
                  "minhash_verified", "chunk_overlap", "corpus_shuffle",
-                 "recrawl_delta", "sq8_topk", "budget_select"]:
+                 "recrawl_delta", "sq8_topk", "budget_select",
+                 "weighted_sample", "hll_overlap"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -336,3 +336,57 @@ def budget_select_sql(table_sql: str, budget_frac: float = 0.5) -> str:
         f"AS cum_tokens FROM d) "
         f"SELECT doc_id, score, n_tokens, cum_tokens "
         f"FROM c, bud WHERE cum_tokens <= budget ORDER BY doc_id")
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id") -> DataFrame:
+    """(key, weight, rank_key): deterministic weighted sampling WITHOUT
+    replacement — exactly ``k`` rows, each row's inclusion probability
+    proportional to ``weight_col`` (Efraimidis & Spirakis 2006, A-Res):
+    rank_key = ln(u) / w with u the md5-derived uniform of the key, and
+    the sample is the global top-k by rank_key.  Deterministic across
+    retries/resumes like every sampler here — no RNG state — and a new
+    "draw" is a new salt on the key, not mutable state.
+
+    Quality-weighted subsampling is the corpus use ("keep 10M docs,
+    favor high quality but keep tail diversity" — hard thresholding
+    keeps none of the tail; weighted sampling keeps it in proportion).
+
+    Scale: orderBy().limit(k) compiles to TakeOrderedAndProject — a
+    per-partition partial top-k with a k-row driver merge, NO global
+    sort shuffle.  Rows with weight <= 0 or a zero uniform get
+    rank_key -inf and are never selected before any positive-weight
+    row.  Reference analogue: none (recast LLM-corpus surface)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = hash_uniform(F.col(key_col))
+    w = F.col(weight_col).cast("double")
+    # u > 0 guard: Spark's log returns NULL at 0 where DuckDB's ln
+    # returns -inf; pinning both to -inf keeps the engines identical
+    # even on the 2^-32 zero-uniform corner
+    rank_key = F.when((w > 0) & (u > 0), F.log(u) / w).otherwise(
+        F.lit(float("-inf")))
+    return (df.select(F.col(key_col).alias("key"),
+                      w.alias("weight"),
+                      F.round(rank_key, 6).alias("rank_key"),
+                      rank_key.alias("__rk"))
+            .orderBy(F.col("__rk").desc(), F.col("key"))
+            .limit(k)
+            .drop("__rk")
+            .orderBy("key"))
+
+
+def weighted_sample_sql(table_sql: str, k: int) -> str:
+    """DuckDB mirror of :func:`weighted_sample` over ``table_sql`` (a
+    subquery yielding (key, weight)): same md5 uniform, same
+    ln(u)/w rank, same top-k + key tiebreak."""
+    u = ("CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8)) "
+         "AS BIGINT) / 4294967296.0")
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"r AS (SELECT key, CAST(weight AS DOUBLE) AS weight, "
+        f"CASE WHEN CAST(weight AS DOUBLE) > 0 AND {u} > 0 "
+        f"THEN ln({u}) / CAST(weight AS DOUBLE) "
+        f"ELSE CAST('-infinity' AS DOUBLE) END AS rk FROM src) "
+        f"SELECT key, weight, round(rk, 6) AS rank_key "
+        f"FROM r ORDER BY rk DESC, key LIMIT {k}")

@@ -222,3 +222,91 @@ def heavy_hitters_sql(table: str = "documents", text_col: str = "text",
         f"SELECT exact.tok AS token, est.est AS est, exact.exact AS exact "
         f"FROM exact JOIN est ON exact.tok = est.tok "
         f"ORDER BY est DESC, token LIMIT {k}")
+
+
+def _est_expr(m: int):
+    """(n_filled, s) -> est Column with the small-range correction —
+    the same expression hll_estimate builds, factored for reuse."""
+    alpha = _alpha(m)
+    zeros = (F.lit(m) - F.col("n_filled")).cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("s") + zeros)
+    return F.when((raw <= 2.5 * m) & (zeros > 0),
+                  F.lit(float(m)) * F.log(F.lit(m) / zeros)).otherwise(raw)
+
+
+def hll_overlap(a: DataFrame, b: DataFrame, key_a: Column,
+                key_b: Column, m: int = 256) -> DataFrame:
+    """1 row (est_a, est_b, est_union, est_overlap): estimated distinct
+    counts of two corpora and of their intersection, from HLL sketches
+    alone — est_overlap = max(0, est_a + est_b - est_union) by
+    inclusion-exclusion, where the union sketch is the register-wise
+    max of the two sides' registers (the merge property).
+
+    This is the corpus-overlap question ("how much of crawl B is
+    already in crawl A?", "how much do these two sources share?")
+    answered WITHOUT joining either corpus: each side contributes one
+    bounded m-register aggregate, and everything after is sketch
+    algebra.  A production pipeline persists each batch's registers and
+    answers any pairwise overlap later — the self-contained form here
+    rebuilds both.  Standard-error caveat: inclusion-exclusion
+    compounds the ±1.04/sqrt(m) error of three estimates, so small true
+    overlaps need a larger m (default 256 here vs 64 for plain
+    distinct).  Reference analogue: none (recast LLM-corpus surface)."""
+    ra = hll_registers(a, key_a, m=m)
+    rb = hll_registers(b, key_b, m=m)
+
+    def est(regs, name):
+        agg = regs.agg(F.count("*").alias("n_filled"),
+                       F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s"))
+        return agg.select(F.round(_est_expr(m), 4).alias(name))
+
+    ea = est(ra, "est_a")
+    eb = est(rb, "est_b")
+    eu = est(hll_merge(ra, rb), "est_union")
+    out = ea.crossJoin(eb).crossJoin(eu)
+    overlap = F.round(
+        F.greatest(F.lit(0.0),
+                   F.col("est_a") + F.col("est_b") - F.col("est_union")),
+        4)
+    return out.select("est_a", "est_b", "est_union",
+                      overlap.alias("est_overlap"))
+
+
+def hll_overlap_sql(a_sql: str, b_sql: str, key_sql: str = "k",
+                    m: int = 256) -> str:
+    """DuckDB mirror of :func:`hll_overlap`: ``a_sql`` / ``b_sql`` are
+    subqueries each yielding a key column named by ``key_sql``; same
+    register arithmetic, same register-max union, same
+    inclusion-exclusion."""
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+
+    def regs(src: str, name: str) -> str:
+        return (
+            f"{name}h AS (SELECT md5({key_sql}) AS hx FROM {src}), "
+            f"{name} AS (SELECT "
+            f"CAST(concat('0x', substr(hx, 1, 4)) AS BIGINT) % {m} "
+            f"AS bucket, max(CASE WHEN CAST(concat('0x', substr(hx, 5, "
+            f"8)) AS BIGINT) = 0 THEN 33 ELSE 32 - length(bin(CAST("
+            f"concat('0x', substr(hx, 5, 8)) AS BIGINT))) + 1 END) "
+            f"AS reg FROM {name}h GROUP BY bucket)")
+
+    def est(regs_name: str, col: str) -> str:
+        z = f"CAST({m} - n_filled AS DOUBLE)"
+        raw = f"{amm} / (s + {z})"
+        return (
+            f"{col}_agg AS (SELECT count(*) AS n_filled, "
+            f"sum(pow(2.0, -reg)) AS s FROM {regs_name}), "
+            f"{col}_e AS (SELECT round(CASE WHEN {raw} <= 2.5 * {m} "
+            f"AND {z} > 0 THEN CAST({m} AS DOUBLE) * ln({m} / {z}) "
+            f"ELSE {raw} END, 4) AS {col} FROM {col}_agg)")
+
+    return (
+        f"WITH sa AS ({a_sql}), sb AS ({b_sql}), "
+        f"{regs('sa', 'ra')}, {regs('sb', 'rb')}, "
+        f"ru AS (SELECT bucket, max(reg) AS reg FROM "
+        f"(SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket), "
+        f"{est('ra', 'est_a')}, {est('rb', 'est_b')}, "
+        f"{est('ru', 'est_union')} "
+        f"SELECT est_a, est_b, est_union, "
+        f"round(greatest(0.0, est_a + est_b - est_union), 4) "
+        f"AS est_overlap FROM est_a_e, est_b_e, est_union_e")

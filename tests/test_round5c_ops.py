@@ -147,3 +147,83 @@ def test_budget_select_rejects_bad_frac(spark):
         budget_select(d, budget_frac=0.0)
     with pytest.raises(ValueError):
         budget_select(d, budget_frac=1.5)
+
+
+# ------------------------------------------------- weighted_sample
+def test_weighted_sample_matches_python_ares_reference(spark):
+    import hashlib
+    import math
+    from nacc_form_validator_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(i, float(1 + (i * 13) % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt double")
+    got = sorted(r["key"] for r in
+                 weighted_sample(df, k=10, weight_col="wgt").collect())
+
+    def u(key):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+
+    ranked = sorted(((math.log(u(i)) / w, -i, i) for i, w in rows),
+                    reverse=True)
+    want = sorted(i for _, _, i in ranked[:10])
+    assert got == want
+
+
+def test_weighted_sample_huge_weight_always_in(spark):
+    from nacc_form_validator_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(i, 1.0) for i in range(50)] + [(99, 1e12)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt double")
+    got = {r["key"] for r in
+           weighted_sample(df, k=5, weight_col="wgt").collect()}
+    assert 99 in got and len(got) == 5
+
+
+def test_weighted_sample_nonpositive_weights_lose(spark):
+    from nacc_form_validator_spark.operators.sampling import (
+        weighted_sample)
+    rows = [(1, 1.0), (2, 0.0), (3, -4.0), (4, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt double")
+    got = {r["key"] for r in
+           weighted_sample(df, k=2, weight_col="wgt").collect()}
+    assert got == {1, 4}
+    with pytest.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="wgt")
+
+
+# ----------------------------------------------------- hll_overlap
+def _keyed(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def test_hll_overlap_identical_corpora(spark):
+    from nacc_form_validator_spark.operators.sketches import hll_overlap
+    keys = [f"key{i}" for i in range(300)]
+    a, b = _keyed(spark, keys), _keyed(spark, keys)
+    r = hll_overlap(a, b, F.col("k"), F.col("k"), m=256).collect()[0]
+    assert r["est_a"] == r["est_b"] == r["est_union"]
+    assert r["est_overlap"] == pytest.approx(r["est_a"])
+
+
+def test_hll_overlap_disjoint_corpora_near_zero(spark):
+    from nacc_form_validator_spark.operators.sketches import hll_overlap
+    a = _keyed(spark, [f"a{i}" for i in range(400)])
+    b = _keyed(spark, [f"b{i}" for i in range(400)])
+    r = hll_overlap(a, b, F.col("k"), F.col("k"), m=256).collect()[0]
+    # inclusion-exclusion compounds three +-1.04/sqrt(m) errors
+    assert r["est_overlap"] <= 0.25 * r["est_union"]
+
+
+def test_hll_overlap_union_equals_hll_distinct_of_union(spark):
+    from nacc_form_validator_spark.operators.sketches import (
+        hll_distinct, hll_overlap)
+    a = _keyed(spark, [f"x{i}" for i in range(200)])
+    b = _keyed(spark, [f"x{i}" for i in range(100, 350)])
+    r = hll_overlap(a, b, F.col("k"), F.col("k"), m=256).collect()[0]
+    exact_union = hll_distinct(a.unionByName(b), F.col("k"),
+                               m=256).collect()[0]
+    # register-max merge == registers of the concatenated corpus
+    assert r["est_union"] == exact_union["est_distinct"]
+    # 50%-ish true overlap (150 of 450) estimated within sketch error
+    assert 60 <= r["est_overlap"] <= 260
