@@ -2248,6 +2248,38 @@ def _budget_select_sql():
     return budget_select_sql(scored, budget_frac=0.5)
 
 
+def q_qf_streaming_minhash(spark, sf_dir):
+    """STATEFUL streaming NEAR-dup detection under the correctness
+    gate: streaming/pipeline.py streaming_minhash_dedup keeps
+    per-(band, key) MinHash-LSH state across micro-batches; on the
+    availableNow replay of the recrawl corpus (drifted recrawls ARE
+    near-dups) its first_seen flags must value-hash-match the batch
+    band-table window oracle."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, streaming_minhash_dedup)
+    base = tempfile.mkdtemp(prefix="qf_sminhash_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    pages_from_documents(_docs(spark, sf_dir)).write.mode(
+        "overwrite").parquet(inp)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    q = (streaming_minhash_dedup(stream)
+         .writeStream.format("parquet")
+         .option("path", outp)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "band", "key", "first_seen").orderBy("band", "key", "ts", "url")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-Res):
@@ -2319,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "weighted_sample": q_weighted_sample,
         "hll_overlap": q_hll_overlap,
+        "qf_streaming_minhash": q_qf_streaming_minhash,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2431,6 +2464,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _budget_select_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "hll_overlap": _hll_overlap_sql(),
+        "qf_streaming_minhash": oracle.streaming_minhash_dedup_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

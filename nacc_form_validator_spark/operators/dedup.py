@@ -914,3 +914,35 @@ def dedup_keep_best(df: DataFrame, score: Column,
     return (scored
             .withColumn("keep", F.row_number().over(w) == 1)
             .orderBy(id_col))
+
+
+def minhash_band_keys(text: Column, k: int = 8, bands: int = 4,
+                      n: int = 3) -> Column:
+    """array<struct<band:int, key:string>>: the MinHash-LSH band keys
+    of one text — the COLUMN form of the ``_minhash_banded`` table
+    (same normalization, same salted-md5 permutations, same
+    '|'-concatenated band digest) for callers that must keep their own
+    surrounding columns, e.g. the stateful streaming near-dup operator
+    (streaming/pipeline.py streaming_minhash_dedup) where the banded
+    table shape would lose url/warc_ts.  Any expression drift from
+    _minhash_banded breaks batch/stream parity — change both
+    together."""
+    rows = k // bands
+    w = F.split(normalized(text), " ")
+    sh = shingles_from_words(w, n)
+
+    def perm(i):
+        # single-arg lambda: a 2-arg lambda would make F.transform
+        # bind the ARRAY INDEX to the second parameter
+        salt = f"#{i}"
+        return F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(s, F.lit(salt)))))
+
+    sig = F.array(*[perm(i) for i in range(k)])
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "|", *[sig[b * rows + r] for r in range(rows)])).alias(
+                    "key"))
+        for b in range(bands)])

@@ -944,6 +944,35 @@ def streaming_dedup_sql() -> str:
         f"FROM d ORDER BY digest, ts, url")
 
 
+def streaming_minhash_dedup_sql(k: int = 8, bands: int = 4,
+                                n: int = 3) -> str:
+    """Batch oracle for the STATEFUL streaming near-dup detector
+    (streaming/pipeline.py streaming_minhash_dedup): first_seen == the
+    (warc_ts, url)-minimal row per (band, key) over the full recrawl
+    pages corpus — the same band-key arithmetic as _minhash_ctes,
+    keyed by (url, warc_ts) instead of doc_id."""
+    rows = k // bands
+    sh = _shingles(n)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}'))) AS s{i}"
+        for i in range(k))
+    band_rows = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"s{b * rows + r}" for r in range(rows))
+        band_rows.append(f"SELECT url, warc_ts, {b} AS band, "
+                         f"md5({key}) AS key FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return (
+        f"WITH p AS ({pages_cte(with_ts=True)}), "
+        f"sh AS (SELECT url, warc_ts, {sh} AS sh FROM p), "
+        f"sigs AS (SELECT url, warc_ts, {sig_cols} FROM sh), "
+        f"banded AS ({banded}) "
+        f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+        f"band, key, (row_number() OVER (PARTITION BY band, key "
+        f"ORDER BY warc_ts, url) = 1) AS first_seen "
+        f"FROM banded ORDER BY band, key, ts, url")
+
+
 def temporal_events_sql() -> str:
     """compare_with previous_record (ignore_empty) over events: value must
     not drop below half the previous value; first event passes."""

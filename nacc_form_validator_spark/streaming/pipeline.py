@@ -328,3 +328,92 @@ def streaming_sessionize(events_stream: DataFrame,
         stateStructType=SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+MINHASH_DEDUP_OUT = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("first_seen", T.BooleanType()),
+])
+
+
+def _make_band_fn(ttl_ms: "int | None"):
+    """Per-(band, key) state fn — same contract as _make_dedup_fn (the
+    exact-digest form): exactly the (warc_ts, url)-first row of a
+    never-seen band key is flagged first_seen; TTL evicts keys unseen
+    for the horizon."""
+
+    def _fn(key, pdfs, state: GroupState):
+        import numpy as np
+        band, bkey = key
+        cols = ["url", "warc_ts", "band", "key", "first_seen"]
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        seen = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((seen, ))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = (pd.concat(frames) if len(frames) > 1 else
+               frames[0]).sort_values(["warc_ts", "url"])
+        first = np.zeros(len(pdf), dtype=bool)
+        if seen == 0:
+            first[0] = True
+        state.update((seen + len(pdf), ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"url": pdf["url"].to_numpy(),
+                            "warc_ts": pdf["warc_ts"].to_numpy(),
+                            "band": band,
+                            "key": bkey,
+                            "first_seen": first})
+
+    return _fn
+
+
+def streaming_minhash_dedup(pages_stream: DataFrame, k: int = 8,
+                            bands: int = 4, n: int = 3,
+                            state_ttl_ms: "int | None" = None
+                            ) -> DataFrame:
+    """Streaming NEAR-dup detection: the batch MinHash-LSH banding
+    (operators/dedup.py) as a stateful streaming operator.  Each page
+    emits its ``bands`` band keys map-side (pure Column algebra via
+    minhash_band_keys — no Python in the key path); per-(band, key)
+    state marks the first-ever arrival, so a near-duplicate of ANY
+    earlier page — drifted recrawl, boilerplate clone on another url —
+    surfaces as first_seen=false rows at band granularity.  A consumer
+    flags a page as a near-dup candidate when any/majority of its bands
+    collided (the same disposition step the batch two-stage
+    minhash_verified_pairs performs exactly).
+
+    Scale: the state exchange ships (band, 32-byte key), never text —
+    the identical shuffle shape as the batch band table, held open over
+    time; state is 8 B per live band key (bands x distinct-ish docs),
+    bounded by ``state_ttl_ms`` (the recrawl horizon) exactly as in
+    streaming_exact_dedup, with the same RocksDB state-store expectation
+    for production."""
+    from nacc_form_validator_spark.operators.dedup import (
+        minhash_band_keys)
+
+    banded = (pages_stream.select(
+        "url", "warc_ts",
+        F.explode(minhash_band_keys(F.col("text"), k, bands,
+                                    n)).alias("bk"))
+        .select("url", "warc_ts",
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key")))
+    timeout = (GroupStateTimeout.NoTimeout if state_ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (banded.groupBy("band", "key").applyInPandasWithState(
+        _make_band_fn(state_ttl_ms),
+        outputStructType=MINHASH_DEDUP_OUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=timeout))

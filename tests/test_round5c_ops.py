@@ -227,3 +227,49 @@ def test_hll_overlap_union_equals_hll_distinct_of_union(spark):
     assert r["est_union"] == exact_union["est_distinct"]
     # 50%-ish true overlap (150 of 450) estimated within sketch error
     assert 60 <= r["est_overlap"] <= 260
+
+
+# ------------------------------------------- streaming_minhash_dedup
+def test_streaming_minhash_dedup_cross_batch_state(spark, tmp_path):
+    import os
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, streaming_minhash_dedup)
+    from pyspark.sql import Row
+    import datetime as dt
+
+    def page(url, ts_min, text):
+        return Row(url=url,
+                   warc_ts=dt.datetime(2025, 1, 1, 0, ts_min),
+                   html=None, text=text, lang="en")
+
+    base = "the quick brown fox jumps over the lazy dog and then naps"
+    inp = str(tmp_path / "in")
+    # batch 1: original; batch 2 (separate file + maxFilesPerTrigger=1
+    # forces a second micro-batch): an exact clone on another url and a
+    # fresh doc
+    spark.createDataFrame([page("u1", 0, base)], PAGES_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(inp)
+    spark.createDataFrame(
+        [page("u2", 5, base),
+         page("u3", 6, "completely different words entirely here "
+                       "nothing shared at all")],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    outp, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (streaming_minhash_dedup(stream)
+         .writeStream.format("parquet")
+         .option("path", outp).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(outp).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r["first_seen"])
+    # u1 arrived first: all 4 bands first_seen
+    assert by_url["u1"] == [True] * 4
+    # u2 is an exact clone -> identical signature -> every band key
+    # already in state from the earlier micro-batch
+    assert by_url["u2"] == [False] * 4
+    # u3 shares no shingles -> all its band keys are fresh
+    assert by_url["u3"] == [True] * 4
