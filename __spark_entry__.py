@@ -2280,6 +2280,32 @@ def q_qf_streaming_minhash(spark, sf_dir):
         "band", "key", "first_seen").orderBy("band", "key", "ts", "url")
 
 
+def q_jsonl_source(spark, sf_dir):
+    """JSONL ingest roundtrip (sources/jsonl.py): the documents table
+    written as JSON Lines with deterministic truncated lines injected
+    (doc_id % 50 == 7), parsed back against an explicit schema in
+    PERMISSIVE mode — good rows verbatim, bad lines quarantined in
+    _corrupt_record instead of failing the job.  The oracle
+    reconstructs the expected parse from the source table."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources.jsonl import (
+        read_jsonl, write_jsonl_fixture)
+    path = tempfile.mkdtemp(prefix="qf_jsonl_") + "/j"
+    write_jsonl_fixture(_docs(spark, sf_dir), path)
+    return (read_jsonl(spark, path)
+            .select("doc_id", "text", "lang",
+                    F.col("_corrupt_record").alias("corrupt_raw"),
+                    "is_corrupt")
+            .orderBy("is_corrupt", "doc_id", "corrupt_raw"))
+
+
+def _jsonl_source_sql():
+    from nacc_form_validator_spark.sources.jsonl import (
+        jsonl_roundtrip_sql)
+    return jsonl_roundtrip_sql()
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-Res):
@@ -2352,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hll_overlap": q_hll_overlap,
         "qf_streaming_minhash": q_qf_streaming_minhash,
+        "jsonl_source": q_jsonl_source,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2465,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "hll_overlap": _hll_overlap_sql(),
         "qf_streaming_minhash": oracle.streaming_minhash_dedup_sql(),
+        "jsonl_source": _jsonl_source_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

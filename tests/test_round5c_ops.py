@@ -273,3 +273,26 @@ def test_streaming_minhash_dedup_cross_batch_state(spark, tmp_path):
     assert by_url["u2"] == [False] * 4
     # u3 shares no shingles -> all its band keys are fresh
     assert by_url["u3"] == [True] * 4
+
+
+# ------------------------------------------------------ jsonl source
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from nacc_form_validator_spark.sources.jsonl import (
+        read_jsonl, write_jsonl_fixture)
+    docs = spark.createDataFrame(
+        [(i, f"text with \"quotes\" and \\ backslash {i}", "en")
+         for i in range(12)],
+        "doc_id long, text string, lang string")
+    path = str(tmp_path / "j")
+    write_jsonl_fixture(docs, path, corrupt_mod=5, corrupt_rem=2)
+    out = read_jsonl(spark, path).collect()
+    good = {r["doc_id"]: r["text"] for r in out if not r["is_corrupt"]}
+    bad = [r for r in out if r["is_corrupt"]]
+    # ids 2 and 7 were truncated -> quarantined with raw line kept
+    assert sorted(good) == [0, 1, 3, 4, 5, 6, 8, 9, 10, 11]
+    # escapes survive the write-parse roundtrip byte-exactly
+    assert good[3] == 'text with "quotes" and \\ backslash 3'
+    assert len(bad) == 2
+    assert all(r["doc_id"] is None and
+               r["_corrupt_record"].startswith('{"doc_id":')
+               for r in bad)
