@@ -2306,6 +2306,57 @@ def _jsonl_source_sql():
     return jsonl_roundtrip_sql()
 
 
+def q_langid_confidence(spark, sf_dir):
+    """Language-ID confidence margin (functions/langid.py
+    langid_confidence): top-profile score minus runner-up, normalized
+    by doc length — the CCNet 'keep only confidently-classified docs'
+    signal, with a 0.02 gate column.  Same one-fold-per-profile plan
+    hygiene as the plain langid stage."""
+    from nacc_form_validator_spark.functions.langid import (
+        langid_confidence)
+    d = _docs(spark, sf_dir)
+    s = langid_confidence(F.col("text"))
+    out = d.select("doc_id", s.alias("s")).select(
+        "doc_id", "s.lang", "s.top1", "s.top2", "s.margin", "s.conf")
+    return (out.withColumn(
+        "confident",
+        (F.col("conf") >= 0.02) & ~F.col("lang").isin("und", "zh"))
+        .orderBy("doc_id"))
+
+
+def _langid_confidence_sql():
+    from nacc_form_validator_spark.functions.langid import (
+        langid_confidence_sql)
+    frag = langid_confidence_sql("text")
+    return (f"SELECT *, conf >= 0.02 AND lang NOT IN ('und', 'zh') "
+            f"AS confident FROM (SELECT doc_id, {frag} "
+            f"FROM documents) ORDER BY doc_id")
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable histogram sketch + quantile estimation
+    (operators/sketches.py histogram_sketch/histogram_quantiles): the
+    doc-length distribution summarized in 64 bounded cells (map-side
+    combinable, batch-mergeable like HLL/CMS), then p10/p50/p90/p99
+    interpolated from the sketch — the corpus is touched exactly
+    once."""
+    from nacc_form_validator_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch)
+    d = _docs(spark, sf_dir)
+    sk = histogram_sketch(d, F.col("n_chars"), lo=0.0, hi=1500.0,
+                          bins=64)
+    return histogram_quantiles(sk, [0.1, 0.5, 0.9, 0.99],
+                               lo=0.0, hi=1500.0, bins=64)
+
+
+def _quantile_sketch_sql():
+    from nacc_form_validator_spark.operators.sketches import (
+        histogram_quantiles_sql)
+    return histogram_quantiles_sql(
+        "SELECT n_chars FROM documents", "n_chars",
+        [0.1, 0.5, 0.9, 0.99], lo=0.0, hi=1500.0, bins=64)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-Res):
@@ -2379,6 +2430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "qf_streaming_minhash": q_qf_streaming_minhash,
         "jsonl_source": q_jsonl_source,
+        "langid_confidence": q_langid_confidence,
+        "quantile_sketch": q_quantile_sketch,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2493,6 +2546,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_overlap": _hll_overlap_sql(),
         "qf_streaming_minhash": oracle.streaming_minhash_dedup_sql(),
         "jsonl_source": _jsonl_source_sql(),
+        "langid_confidence": _langid_confidence_sql(),
+        "quantile_sketch": _quantile_sketch_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

@@ -179,3 +179,77 @@ def make_langid_udf(spark: Optional[SparkSession] = None,
         return texts.map(one)
 
     return _langid
+
+
+def langid_confidence(text: Column) -> Column:
+    """struct(lang, top1, top2, margin, conf): the langid verdict plus
+    HOW SURE it is — margin = best profile score minus runner-up, conf
+    = margin / n_words.  CCNet keeps only documents whose language
+    classifier is confident (its lang-score threshold); this is that
+    signal for the stopword-profile model, with the same zh/und
+    overrides as :func:`langid_expr` (zh and und verdicts carry the
+    profile margin anyway — a zh doc's stopword margin is typically 0,
+    which is itself the honest confidence).
+
+    Same one-fold-per-profile hygiene as langid_from_words; the top-2
+    extraction sorts the 4-element score array, not the corpus."""
+    w = _words(text)
+    cjk = F.regexp_count(text, F.lit(r"[一-鿿]"))
+
+    def profile_hits(profile):
+        return F.aggregate(
+            w, F.lit(0),
+            lambda a, x: a + F.when(x.isin(*profile), 1).otherwise(0))
+
+    entries = []
+    for i, (lang, profile) in enumerate(PROFILES):
+        entries.append(
+            F.struct(profile_hits(profile).alias("score"),
+                     F.lit(-i).alias("neg_i"),
+                     F.lit(lang).alias("lang")))
+    arr = F.array_sort(F.array(*entries))
+    best = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    lang = F.when(cjk * 2 > F.length(text), F.lit("zh")).otherwise(
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(UNKNOWN)))
+    margin = (best["score"] - second["score"]).cast("long")
+    conf = F.round(margin / F.greatest(F.size(w), F.lit(1)), 6)
+    return F.struct(lang.alias("lang"),
+                    best["score"].cast("long").alias("top1"),
+                    second["score"].cast("long").alias("top2"),
+                    margin.alias("margin"),
+                    conf.alias("conf"))
+
+
+def langid_confidence_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`langid_confidence` as five aliased
+    expressions (lang, top1, top2, margin, conf) — same profile
+    scores, same sort-based top-2, same zh/und overrides.  Returns a
+    SELECT-list fragment; embed as
+    ``SELECT doc_id, {fragment} FROM ...``."""
+    w = (f"list_filter(string_split(regexp_replace(lower({text_expr}), "
+         f"'\\s+', ' ', 'g'), ' '), x -> x <> '')")
+    scores = []
+    for lang, profile in PROFILES:
+        plist = "[" + ", ".join(f"'{p}'" for p in profile) + "]"
+        scores.append(
+            f"len(list_filter({w}, x -> list_contains({plist}, x)))")
+    slist = "[" + ", ".join(scores) + "]"
+    srt = f"list_sort({slist}, 'DESC')"
+    # argmax with the same strictly-greater, first-profile tie-break
+    expr = f"'{UNKNOWN}'"
+    best = "0"
+    for (lang, _), score in zip(PROFILES, scores):
+        expr = f"CASE WHEN {score} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, {score})"
+    cjk = (f"length(regexp_replace({text_expr}, "
+           f"'[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))")
+    lang_sql = (f"CASE WHEN {cjk} * 2 > length({text_expr}) THEN 'zh' "
+                f"ELSE {expr} END")
+    return (
+        f"{lang_sql} AS lang, "
+        f"CAST({srt}[1] AS BIGINT) AS top1, "
+        f"CAST({srt}[2] AS BIGINT) AS top2, "
+        f"CAST({srt}[1] - {srt}[2] AS BIGINT) AS margin, "
+        f"round(({srt}[1] - {srt}[2]) * 1.0 / "
+        f"greatest(len({w}), 1), 6) AS conf")

@@ -26,7 +26,7 @@ needed (estimates still round to 4 decimals for the hash gate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: HLL bias-correction constant alpha_m = 0.7213 / (1 + 1.079 / m)
@@ -310,3 +310,93 @@ def hll_overlap_sql(a_sql: str, b_sql: str, key_sql: str = "k",
         f"SELECT est_a, est_b, est_union, "
         f"round(greatest(0.0, est_a + est_b - est_union), 4) "
         f"AS est_overlap FROM est_a_e, est_b_e, est_union_e")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram + quantile estimation
+# ---------------------------------------------------------------------------
+def histogram_sketch(df: DataFrame, value: Column, lo: float, hi: float,
+                     bins: int = 64) -> DataFrame:
+    """(bin, c): the bounded equi-width histogram of ``value`` clamped
+    to [lo, hi] — the third mergeable sketch of the family (HLL =
+    distincts, CMS = frequencies, histogram = DISTRIBUTION).  One
+    aggregate whose map-side partials are bounded at ``bins`` cells per
+    partition; merge = cell-sum (histogram_merge), so per-batch
+    histograms roll up to any window without re-reading a corpus —
+    the production form of what ppl_buckets_approx does inline.
+
+    Fixed [lo, hi] (not data-derived) is what makes the sketch
+    mergeable across batches; values outside clamp into the edge bins,
+    which is the standard monitoring trade-off."""
+    if hi <= lo or bins <= 0:
+        raise ValueError("need hi > lo and bins > 0")
+    step = (hi - lo) / float(bins)
+    v = value.cast("double")
+    b = F.least(F.lit(bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((v - F.lit(lo)) / F.lit(step)))
+                ).cast("int")
+    return (df.select(b.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("c")))
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches of the same (lo, hi, bins) geometry."""
+    return (a.unionByName(b)
+            .groupBy("bin").agg(F.sum("c").alias("c")))
+
+
+def histogram_quantiles(sketch: DataFrame, qs: "list[float]",
+                        lo: float, hi: float,
+                        bins: int = 64) -> DataFrame:
+    """(q, est): quantile estimates from the sketch by linear
+    interpolation inside the containing bin — error bounded by one bin
+    width, the same guarantee ppl_buckets_approx documents.  Every op
+    here runs on the <= ``bins``-row sketch (a window over bins rows,
+    a broadcast to |qs| rows); the corpus was touched once, by
+    histogram_sketch."""
+    step = (hi - lo) / float(bins)
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = sketch.withColumn("cum", F.sum("c").over(w))
+    total = sketch.agg(F.sum("c").cast("double").alias("__t"))
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    j = (qdf.crossJoin(F.broadcast(total))
+         .crossJoin(F.broadcast(cum))
+         .where(F.col("cum") >= F.col("q") * F.col("__t")))
+    rw = Window.partitionBy("q").orderBy("bin")
+    hit = (j.withColumn("__rn", F.row_number().over(rw))
+           .where(F.col("__rn") == 1))
+    target = F.col("q") * F.col("__t")
+    est = (F.lit(lo) + F.col("bin") * F.lit(step) +
+           (target - (F.col("cum") - F.col("c"))) / F.col("c") *
+           F.lit(step))
+    return (hit.select("q", F.round(est, 6).alias("est"))
+            .orderBy("q"))
+
+
+def histogram_quantiles_sql(table_sql: str, value_sql: str,
+                            qs: "list[float]", lo: float, hi: float,
+                            bins: int = 64) -> str:
+    """DuckDB mirror of histogram_sketch + histogram_quantiles over
+    ``table_sql`` — same clamp/floor binning, same cumulative
+    interpolation arithmetic."""
+    step = (hi - lo) / float(bins)
+    qlist = ", ".join(f"({float(q)!r})" for q in qs)
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"h AS (SELECT CAST(least({bins - 1}, greatest(0, "
+        f"floor((CAST({value_sql} AS DOUBLE) - {lo!r}) / {step!r}))) "
+        f"AS INT) AS bin, count(*) AS c FROM src GROUP BY bin), "
+        f"cu AS (SELECT bin, c, sum(c) OVER (ORDER BY bin "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        f"FROM h), "
+        f"t AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM h), "
+        f"qv (q) AS (VALUES {qlist}), "
+        f"hit AS (SELECT q, bin, c, cum, tot, row_number() OVER ("
+        f"PARTITION BY q ORDER BY bin) AS rn "
+        f"FROM qv, t, cu WHERE cum >= q * tot) "
+        f"SELECT q, round({lo!r} + bin * {step!r} + "
+        f"(q * tot - (cum - c)) / c * {step!r}, 6) AS est "
+        f"FROM hit WHERE rn = 1 ORDER BY q")

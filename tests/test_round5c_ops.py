@@ -296,3 +296,75 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert all(r["doc_id"] is None and
                r["_corrupt_record"].startswith('{"doc_id":')
                for r in bad)
+
+
+# ------------------------------------------------ langid_confidence
+def test_langid_confidence_margin_and_ties(spark):
+    from nacc_form_validator_spark.functions.langid import (
+        langid_confidence)
+    docs = spark.createDataFrame(
+        [(1, "the the the of la"),     # en=4, es=1 -> margin 3
+         (2, "de la"),                 # es=2, fr=2 tie -> es, margin 0
+         (3, "xyzzy qqqq zzz")],       # nothing -> und
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", langid_confidence(F.col("text")).alias("s")).collect()}
+    assert out[1]["lang"] == "en" and out[1]["margin"] == 3
+    assert out[1]["conf"] == pytest.approx(3 / 5)
+    assert out[2]["lang"] == "es" and out[2]["margin"] == 0
+    assert out[3]["lang"] == "und" and out[3]["top1"] == 0
+
+
+def test_langid_confidence_agrees_with_plain_langid(spark):
+    from nacc_form_validator_spark.functions.langid import (
+        langid_confidence, langid_expr)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .where(F.col("doc_id") < 200))
+    both = docs.select(
+        langid_expr(F.col("text")).alias("a"),
+        langid_confidence(F.col("text"))["lang"].alias("b"))
+    assert both.where(F.col("a") != F.col("b")).count() == 0
+
+
+# ------------------------------------------------- histogram sketch
+def test_histogram_sketch_clamps_and_merges_exactly(spark):
+    from nacc_form_validator_spark.operators.sketches import (
+        histogram_merge, histogram_sketch)
+    a = spark.createDataFrame([(v,) for v in [-5.0, 2.0, 3.0]],
+                              "v double")
+    b = spark.createDataFrame([(v,) for v in [2.5, 1000.0]], "v double")
+    sa = histogram_sketch(a, F.col("v"), lo=0.0, hi=10.0, bins=10)
+    sb = histogram_sketch(b, F.col("v"), lo=0.0, hi=10.0, bins=10)
+    union = histogram_sketch(a.unionByName(b), F.col("v"),
+                             lo=0.0, hi=10.0, bins=10)
+    merged = histogram_merge(sa, sb)
+    assert (sorted(map(tuple, merged.collect())) ==
+            sorted(map(tuple, union.collect())))
+    cells = dict(map(tuple, union.collect()))
+    assert cells[0] == 1 and cells[9] == 1  # clamped edges
+
+
+def test_histogram_quantiles_interpolation_golden(spark):
+    from nacc_form_validator_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch)
+    d = spark.createDataFrame([(v,) for v in [1.0, 1.0, 3.0, 3.0]],
+                              "v double")
+    sk = histogram_sketch(d, F.col("v"), lo=0.0, hi=4.0, bins=4)
+    out = {r["q"]: r["est"] for r in histogram_quantiles(
+        sk, [0.5, 1.0], lo=0.0, hi=4.0, bins=4).collect()}
+    # target 2 lands at the top of bin 1: 1 + (2-0)/2 * 1 = 2.0
+    assert out[0.5] == pytest.approx(2.0)
+    # q=1 -> top of bin 3: 3 + (4-2)/2 * 1 = 4.0
+    assert out[1.0] == pytest.approx(4.0)
+
+
+def test_histogram_quantiles_tracks_exact_on_uniform(spark):
+    from nacc_form_validator_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch)
+    d = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    sk = histogram_sketch(d, F.col("v"), lo=0.0, hi=1000.0, bins=64)
+    out = {r["q"]: r["est"] for r in histogram_quantiles(
+        sk, [0.1, 0.5, 0.9], lo=0.0, hi=1000.0, bins=64).collect()}
+    # error bounded by one bin width (1000/64 = 15.6)
+    for q, true in [(0.1, 100.0), (0.5, 500.0), (0.9, 900.0)]:
+        assert abs(out[q] - true) <= 1000.0 / 64 + 1e-6
