@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: scheme://[userinfo@]HOST[:port][/...] — capture group 1 is the host
@@ -126,3 +126,112 @@ def meta_robots_optout_sql(html_expr: str = "html_str") -> str:
         f"regexp_extract_all({html_expr}, '{META_ROBOTS_RE}', 1), "
         f"c -> string_split_regex(lower(c), '[^a-z]+'))), "
         f"s -> s IN ({dirs}))) > 0")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: Disallow-prefix parsing + URL gate
+# ---------------------------------------------------------------------------
+#: line shapes (REP, RFC 9309 subset: User-agent groups + Disallow
+#: path prefixes; comments and unknown directives ignored)
+_UA_RE = r"(?i)^\s*user-agent:\s*(\S+)"
+_DIS_RE = r"(?i)^\s*disallow:\s*(\S+)"
+
+
+def parse_robots_rules(robots: DataFrame, host_col: str = "host",
+                       body_col: str = "robots_txt") -> DataFrame:
+    """(host, prefix): the Disallow path prefixes governing the ``*``
+    user-agent, parsed from one robots.txt body per host.
+
+    Group semantics per RFC 9309: consecutive User-agent lines open ONE
+    group; Disallow lines bind to the most recent group; only groups
+    naming ``*`` emit rules here (a crawler with its own token adds a
+    second pass the same way).  The line-state problem ("which group am
+    I in") is expressed as windows over the exploded line table — block
+    starts where a User-agent line follows a non-User-agent line, a
+    running sum numbers the blocks, last(ignorenulls) assigns each line
+    its governing block — so the parse is one hash(host) Exchange and
+    stays fully distributed; robots bodies are KB-sized, so per-host
+    line groups are tiny.  Reference analogue: none (recast crawl-side
+    surface; complements meta_robots_optout, the page-side opt-out)."""
+    ln = (robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("i", "line")))
+    agent = F.regexp_extract(F.col("line"), _UA_RE, 1)
+    dis = F.regexp_extract(F.col("line"), _DIS_RE, 1)
+    ln = ln.select("host", "i", agent.alias("agent"), dis.alias("dis"))
+    w = Window.partitionBy("host").orderBy("i")
+    is_ua = F.col("agent") != ""
+    prev_ua = F.lag(is_ua).over(w)
+    start = is_ua & (prev_ua.isNull() | ~prev_ua)
+    ln = ln.withColumn(
+        "block",
+        F.sum(start.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gov = F.last(F.when(is_ua, F.col("block")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ln = ln.withColumn("gov", gov)
+    star = (ln.where((F.col("agent") == "*"))
+            .select("host", F.col("block").alias("gov"))
+            .distinct())
+    return (ln.where((F.col("dis") != "") & (F.col("agent") == ""))
+            .join(star, ["host", "gov"])
+            .select("host", F.col("dis").alias("prefix"))
+            .distinct())
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame,
+                url_col: str = "url") -> DataFrame:
+    """(url, blocked): True iff the url's path starts with any
+    Disallow prefix its host published for ``*``.  The rules table is
+    robots-sized (hosts x few prefixes) — AQE broadcasts it; urls never
+    shuffle.  Urls on hosts with no rules pass."""
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)?$", 1)
+    u = urls.select(F.col(url_col).alias("url"),
+                    url_host(F.col(url_col)).alias("host"),
+                    path.alias("path"))
+    j = u.join(rules, "host", "left")
+    hit = F.when(F.col("prefix").isNotNull() &
+                 F.col("path").startswith(F.col("prefix")),
+                 F.lit(1)).otherwise(F.lit(0))
+    return (j.groupBy("url")
+            .agg((F.max(hit) == 1).alias("blocked"))
+            .orderBy("url"))
+
+
+def robots_roundtrip_sql(urls_sql: str, robots_sql: str) -> str:
+    """DuckDB mirror of parse_robots_rules + robots_gate:
+    ``robots_sql`` yields (host, robots_txt), ``urls_sql`` yields url —
+    same window parse (block starts, running block ids, governing-block
+    assignment), same prefix gate."""
+    return (
+        f"WITH rb AS ({robots_sql}), us AS ({urls_sql}), "
+        f"lx AS (SELECT host, string_split(robots_txt, chr(10)) AS l "
+        f"FROM rb), "
+        f"li AS (SELECT host, l, unnest(range(1, len(l) + 1)) AS i "
+        f"FROM lx), "
+        f"ln0 AS (SELECT host, i - 1 AS i, "
+        f"regexp_extract(l[i], '{_UA_RE}', 1) AS agent, "
+        f"regexp_extract(l[i], '{_DIS_RE}', 1) AS dis FROM li), "
+        f"ln1 AS (SELECT *, agent <> '' AS is_ua, "
+        f"lag(agent <> '') OVER (PARTITION BY host ORDER BY i) AS pua "
+        f"FROM ln0), "
+        f"ln2 AS (SELECT *, sum(CASE WHEN is_ua AND (pua IS NULL OR "
+        f"NOT pua) THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY "
+        f"i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block "
+        f"FROM ln1), "
+        f"ln3 AS (SELECT *, last_value(CASE WHEN is_ua THEN block END "
+        f"IGNORE NULLS) OVER (PARTITION BY host ORDER BY i ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND CURRENT ROW) AS gov FROM ln2), "
+        f"star AS (SELECT DISTINCT host, block AS gov FROM ln3 "
+        f"WHERE agent = '*'), "
+        f"rules AS (SELECT DISTINCT ln3.host, dis AS prefix FROM ln3 "
+        f"JOIN star ON ln3.host = star.host AND ln3.gov = star.gov "
+        f"WHERE dis <> '' AND agent = ''), "
+        f"u AS (SELECT url, {url_host_sql('url')} AS host, "
+        f"regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1) AS path "
+        f"FROM us) "
+        f"SELECT u.url, coalesce(max(CASE WHEN rules.prefix IS NOT NULL "
+        f"AND starts_with(u.path, rules.prefix) THEN 1 ELSE 0 END) = 1, "
+        f"false) AS blocked "
+        f"FROM u LEFT JOIN rules ON u.host = rules.host "
+        f"GROUP BY u.url ORDER BY u.url")

@@ -368,3 +368,44 @@ def test_histogram_quantiles_tracks_exact_on_uniform(spark):
     # error bounded by one bin width (1000/64 = 15.6)
     for q, true in [(0.1, 100.0), (0.5, 500.0), (0.9, 900.0)]:
         assert abs(out[q] - true) <= 1000.0 / 64 + 1e-6
+
+
+# ---------------------------------------------------------- robots
+def test_robots_rules_group_semantics(spark):
+    from nacc_form_validator_spark.functions.urlfilter import (
+        parse_robots_rules)
+    body_a = ("# comment\n"
+              "User-agent: googlebot\n"
+              "Disallow: /private\n"          # bot group: ignored
+              "\n"
+              "User-agent: helper\n"
+              "User-agent: *\n"               # stacked UA lines, one group
+              "Disallow: /tmp\n"
+              "Disallow:\n"                   # empty = allow-all, no rule
+              "Crawl-delay: 5\n"
+              "Disallow: /cgi\n")             # still in the * group
+    body_b = "User-agent: bot\nDisallow: /\n"  # no * group at all
+    robots = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)],
+        "host string, robots_txt string")
+    rules = {(r["host"], r["prefix"])
+             for r in parse_robots_rules(robots).collect()}
+    assert rules == {("a.com", "/tmp"), ("a.com", "/cgi")}
+
+
+def test_robots_gate_prefix_matching(spark):
+    from nacc_form_validator_spark.functions.urlfilter import (
+        parse_robots_rules, robots_gate)
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/1")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.com/p/1",), ("https://a.com/p/10",),
+         ("https://a.com/p/2",), ("https://other.com/p/1",)],
+        "url string")
+    out = {r["url"]: r["blocked"]
+           for r in robots_gate(urls, parse_robots_rules(robots)).collect()}
+    assert out == {"https://a.com/p/1": True,
+                   "https://a.com/p/10": True,   # prefix semantics
+                   "https://a.com/p/2": False,
+                   "https://other.com/p/1": False}  # no rules host
