@@ -2358,6 +2358,50 @@ def _robots_gate_sql():
     return robots_roundtrip_sql(urls_sql, robots_sql)
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index (functions/urlcanon.py surt_key + cdx_index):
+    every crawl of every url keyed by its SURT (reversed-host
+    sort-friendly transform of the canonical url), time-ordered and
+    content-digested — the queryable-archive index, byte order =
+    domain hierarchy order so domain-range scans prune."""
+    from nacc_form_validator_spark.functions.urlcanon import cdx_index
+    return cdx_index(pages_from_documents(_docs(spark, sf_dir)))
+
+
+def _cdx_index_sql():
+    from nacc_form_validator_spark.functions.urlcanon import surt_key_sql
+    from nacc_form_validator_spark.plans.oracle import pages_cte
+    return (
+        f"WITH p AS ({pages_cte(with_ts=True)}) "
+        f"SELECT {surt_key_sql('url')} AS surt, "
+        f"strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+        f"md5(text) AS digest, url FROM p ORDER BY surt, ts, url")
+
+
+def q_group_split(spark, sf_dir):
+    """Leakage-safe eval split (operators/sampling.py group_split):
+    train/test decided by the md5 uniform of the HOST, not the row, so
+    near-duplicate docs within a host can never straddle the split —
+    the eval-contamination guard row-level splits lack."""
+    from nacc_form_validator_spark.operators.sampling import group_split
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("host"),
+        F.floor(F.sqrt(F.col("doc_id") % 256)).cast("int").cast("string"))
+    return (group_split(d.select("doc_id", host.alias("host")),
+                        test_frac=0.25, group_col="host")
+            .orderBy("doc_id"))
+
+
+def _group_split_sql():
+    from nacc_form_validator_spark.operators.sampling import (
+        group_split_sql)
+    inner = ("SELECT doc_id, 'host' || CAST(CAST(floor(sqrt(doc_id % "
+             "256)) AS INTEGER) AS VARCHAR) AS host FROM documents")
+    return (group_split_sql(inner, test_frac=0.25, group_sql="host") +
+            " ORDER BY doc_id")
+
+
 def q_langid_confidence(spark, sf_dir):
     """Language-ID confidence margin (functions/langid.py
     langid_confidence): top-profile score minus runner-up, normalized
@@ -2485,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confidence": q_langid_confidence,
         "quantile_sketch": q_quantile_sketch,
         "robots_gate": q_robots_gate,
+        "cdx_index": q_cdx_index,
+        "group_split": q_group_split,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2605,6 +2651,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_confidence": _langid_confidence_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
         "robots_gate": _robots_gate_sql(),
+        "cdx_index": _cdx_index_sql(),
+        "group_split": _group_split_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

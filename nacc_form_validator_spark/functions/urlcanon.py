@@ -123,3 +123,68 @@ def canonical_dedup(df: DataFrame, url_col: str = "url",
     w = Window.partitionBy(canon_col).orderBy(url_col)
     return out.withColumn(keep_col,
                           F.row_number().over(w) == 1)
+
+
+#: everything after scheme://host[:port] — path + query of the
+#: (already-canonical) url in one capture
+_AFTER_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) of the CANONICAL
+    url — the key Common Crawl's CDX index sorts by:
+    ``https://www.news.example.com/a/b?x=1`` ->
+    ``com,example,news)/a/b?x=1``.  Host lowercased (canonical),
+    leading ``www.`` stripped, dot-segments REVERSED and comma-joined,
+    then ``)`` + path + canonical (sorted, tracking-stripped) query.
+
+    Reversing the host makes byte order = domain hierarchy order, so a
+    range scan over the sorted index answers "everything under
+    example.com" — the access pattern a url index at 100 TB must
+    serve.  Unparseable urls pass through unchanged, like
+    canonical_url."""
+    canon = canonical_url(url)
+    host = F.regexp_extract(canon, _HOSTPORT_RE, 1)
+    host = F.when(host.startswith("www."),
+                  F.substring(host, 5, 1 << 30)).otherwise(host)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    after = F.regexp_extract(canon, _AFTER_HOST_RE, 1)
+    return F.when(F.regexp_extract(url, _SCHEME_RE, 1) == "",
+                  url).otherwise(F.concat(rev, F.lit(")"), after))
+
+
+def surt_key_sql(url_expr: str = "url") -> str:
+    """DuckDB mirror of :func:`surt_key` (same canonicalization, same
+    reversal)."""
+    canon = canonical_url_sql(url_expr)
+    host = f"regexp_extract({canon}, '{_HOSTPORT_RE}', 1)"
+    host = (f"CASE WHEN starts_with({host}, 'www.') "
+            f"THEN {host}[5:] ELSE {host} END")
+    rev = (f"array_to_string(list_reverse(string_split({host}, '.')), "
+           f"',')")
+    after = f"regexp_extract({canon}, '{_AFTER_HOST_RE}', 1)"
+    scheme = f"regexp_extract({url_expr}, '{_SCHEME_RE}', 1)"
+    return (f"CASE WHEN {scheme} = '' THEN {url_expr} "
+            f"ELSE {rev} || ')' || {after} END")
+
+
+def cdx_index(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts",
+              text_col: str = "text") -> DataFrame:
+    """(surt, ts, digest, url): the CDX(J)-shaped capture index —
+    SURT-keyed, time-ordered, content-digested — that makes a crawl
+    archive queryable ("all captures under this domain, newest first")
+    without touching payload bytes.
+
+    Scale: the projection is pure codegen; the production write is
+    ``repartitionByRange(surt).sortWithinPartitions(surt, ts)`` so the
+    index lands range-partitioned + sorted (partition pruning serves
+    domain-range scans); the query form here returns the same rows
+    ordered."""
+    return (pages.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.date_format(F.col(ts_col),
+                      "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col(url_col).alias("url"))
+        .orderBy("surt", "ts", "url"))

@@ -390,3 +390,31 @@ def weighted_sample_sql(table_sql: str, k: int) -> str:
         f"ELSE CAST('-infinity' AS DOUBLE) END AS rk FROM src) "
         f"SELECT key, weight, round(rk, 6) AS rank_key "
         f"FROM r ORDER BY rk DESC, key LIMIT {k}")
+
+
+def group_split(df: DataFrame, test_frac: float, group_col: str,
+                salt: str = "split") -> DataFrame:
+    """Adds ``split`` ('train' | 'test'): a LEAKAGE-SAFE eval split —
+    the md5 uniform is computed on the GROUP key (host, domain,
+    cluster id), so every row of a group lands on the same side and
+    near-duplicate documents within a group can never straddle
+    train/test (the eval-contamination failure mode of row-level
+    splits).  Deterministic, map-side, no shuffle; a different
+    ``salt`` is a fresh independent split."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac must be in [0, 1]")
+    u = hash_uniform(F.concat_ws(":", F.lit(salt),
+                                 F.col(group_col).cast("string")))
+    return df.withColumn(
+        "split", F.when(u < test_frac,
+                        F.lit("test")).otherwise(F.lit("train")))
+
+
+def group_split_sql(table_sql: str, test_frac: float, group_sql: str,
+                    salt: str = "split") -> str:
+    """DuckDB mirror of :func:`group_split` over ``table_sql``."""
+    key = f"'{salt}:' || CAST({group_sql} AS VARCHAR)"
+    u = (f"CAST(concat('0x', substr(md5({key}), 1, 8)) AS BIGINT) "
+         f"/ 4294967296.0")
+    return (f"SELECT *, CASE WHEN {u} < {test_frac} THEN 'test' "
+            f"ELSE 'train' END AS split FROM ({table_sql})")

@@ -409,3 +409,58 @@ def test_robots_gate_prefix_matching(spark):
                    "https://a.com/p/10": True,   # prefix semantics
                    "https://a.com/p/2": False,
                    "https://other.com/p/1": False}  # no rules host
+
+
+# -------------------------------------------------- surt / cdx index
+def test_surt_key_goldens(spark):
+    from nacc_form_validator_spark.functions.urlcanon import surt_key
+    urls = spark.createDataFrame(
+        [(1, "https://www.news.example.com/a/b?x=1"),
+         (2, "HTTP://Example.COM:80/path/"),
+         (3, "https://example.com/p?utm_source=x&b=2&a=1"),
+         (4, "not a url")],
+        "i long, url string")
+    out = {r["i"]: r["s"] for r in urls.select(
+        "i", surt_key(F.col("url")).alias("s")).collect()}
+    assert out[1] == "com,example,news)/a/b?x=1"   # www stripped, host reversed
+    assert out[2] == "com,example)/path"           # port + trailing / dropped
+    assert out[3] == "com,example)/p?a=1&b=2"      # tracking dropped, sorted
+    assert out[4] == "not a url"                   # unparseable passes through
+
+
+def test_surt_order_groups_domains(spark):
+    from nacc_form_validator_spark.functions.urlcanon import surt_key
+    urls = spark.createDataFrame(
+        [("https://a.example.com/1",), ("https://z.other.com/1",),
+         ("https://b.example.com/1",)], "url string")
+    got = [r["s"] for r in urls.select(
+        surt_key(F.col("url")).alias("s")).orderBy("s").collect()]
+    # byte order == domain hierarchy order: both example.com subdomains
+    # are adjacent in the sorted index
+    assert got == ["com,example,a)/1", "com,example,b)/1",
+                   "com,other,z)/1"]
+
+
+# ------------------------------------------------------- group_split
+def test_group_split_is_leakage_safe_and_deterministic(spark):
+    from nacc_form_validator_spark.operators.sampling import group_split
+    rows = [(i, f"host{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = group_split(df, test_frac=0.3, group_col="host").collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["host"], set()).add(r["split"])
+    # every group entirely on one side
+    assert all(len(s) == 1 for s in sides.values())
+    # deterministic across invocations
+    again = group_split(df, test_frac=0.3, group_col="host").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different salt reshuffles independently but stays group-pure
+    other = group_split(df, test_frac=0.3, group_col="host",
+                        salt="s2").collect()
+    sides2 = {}
+    for r in other:
+        sides2.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides2.values())
+    with pytest.raises(ValueError):
+        group_split(df, test_frac=1.5, group_col="host")
