@@ -383,7 +383,9 @@ def histogram_quantiles_sql(table_sql: str, value_sql: str,
     ``table_sql`` — same clamp/floor binning, same cumulative
     interpolation arithmetic."""
     step = (hi - lo) / float(bins)
-    qlist = ", ".join(f"({float(q)!r})" for q in qs)
+    # CAST inside VALUES: a bare 0.1 binds as DECIMAL in DuckDB and
+    # leaks Decimal('0.10') into the compared rows
+    qlist = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     return (
         f"WITH src AS ({table_sql}), "
         f"h AS (SELECT CAST(least({bins - 1}, greatest(0, "
