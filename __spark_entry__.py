@@ -2358,6 +2358,52 @@ def _robots_gate_sql():
     return robots_roundtrip_sql(urls_sql, robots_sql)
 
 
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness fetch scheduler (functions/urlfilter.py
+    parse_crawl_delay + fetch_schedule): Crawl-delay parsed from the
+    ``*`` group of per-host robots bodies (5 s on even hosts, default
+    1 s elsewhere), then every url gets a deterministic fetch slot —
+    the k-th fetch of a host lands (k-1)*delay seconds in, so no host
+    is hit faster than it allows while host queues drain in
+    parallel."""
+    from nacc_form_validator_spark.functions.urlfilter import (
+        fetch_schedule, parse_crawl_delay)
+    d = _docs(spark, sf_dir)
+    hostnum = F.floor(F.sqrt(F.col("doc_id") % 256)).cast("int")
+    host = F.concat(F.lit("host"), hostnum.cast("string"),
+                    F.lit(".example"))
+    urls = d.select(F.concat(F.lit("https://"), host, F.lit("/p/"),
+                             F.col("doc_id")).alias("url"))
+    nl = "\n"
+    robots = (d.select(host.alias("host"), hostnum.alias("hn"))
+              .distinct()
+              .select("host",
+                      F.concat(
+                          F.lit("User-agent: *" + nl +
+                                "Disallow: /tmp" + nl),
+                          F.when(F.col("hn") % 2 == 0,
+                                 F.lit("Crawl-delay: 5" + nl))
+                          .otherwise(F.lit("")),
+                          F.lit("# end")).alias("robots_txt")))
+    return fetch_schedule(urls, parse_crawl_delay(robots))
+
+
+def _fetch_schedule_sql():
+    from nacc_form_validator_spark.functions.urlfilter import (
+        fetch_schedule_sql)
+    hn = "CAST(floor(sqrt(doc_id % 256)) AS INTEGER)"
+    urls_sql = (f"SELECT 'https://host' || CAST({hn} AS VARCHAR) || "
+                f"'.example/p/' || CAST(doc_id AS VARCHAR) AS url "
+                f"FROM documents")
+    robots_sql = (
+        f"SELECT host, 'User-agent: *' || chr(10) || 'Disallow: /tmp' "
+        f"|| chr(10) || CASE WHEN hn % 2 = 0 THEN 'Crawl-delay: 5' || "
+        f"chr(10) ELSE '' END || '# end' AS robots_txt "
+        f"FROM (SELECT DISTINCT 'host' || CAST({hn} AS VARCHAR) || "
+        f"'.example' AS host, {hn} AS hn FROM documents)")
+    return fetch_schedule_sql(urls_sql, robots_sql)
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX capture index (functions/urlcanon.py surt_key + cdx_index):
     every crawl of every url keyed by its SURT (reversed-host
@@ -2531,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "cdx_index": q_cdx_index,
         "group_split": q_group_split,
+        "fetch_schedule": q_fetch_schedule,
         "bm25_topk": q_bm25_topk,
         "cc_scrub": q_cc_scrub,
         "anchor_topk": q_anchor_topk,
@@ -2653,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": _robots_gate_sql(),
         "cdx_index": _cdx_index_sql(),
         "group_split": _group_split_sql(),
+        "fetch_schedule": _fetch_schedule_sql(),
         "qf_doc_stats": oracle.doc_stats_sql(),
         "qf_langid": oracle.langid_query_sql(),
         "qf_langid_udf": oracle.langid_query_sql(),

@@ -208,7 +208,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "recrawl_delta", "sq8_topk", "budget_select",
                  "weighted_sample", "hll_overlap", "jsonl_source",
                  "langid_confidence", "quantile_sketch", "robots_gate",
-                 "cdx_index", "group_split"]:
+                 "cdx_index", "group_split", "fetch_schedule"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

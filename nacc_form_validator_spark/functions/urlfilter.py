@@ -235,3 +235,108 @@ def robots_roundtrip_sql(urls_sql: str, robots_sql: str) -> str:
         f"false) AS blocked "
         f"FROM u LEFT JOIN rules ON u.host = rules.host "
         f"GROUP BY u.url ORDER BY u.url")
+
+
+_CD_RE = r"(?i)^\s*crawl-delay:\s*([0-9.]+)"
+
+
+def parse_crawl_delay(robots: DataFrame, host_col: str = "host",
+                      body_col: str = "robots_txt",
+                      default_delay: float = 1.0) -> DataFrame:
+    """(host, delay): the Crawl-delay (seconds) the ``*`` group
+    declares, ``default_delay`` when the host declares none — the same
+    window parse as parse_robots_rules, reading the Crawl-delay
+    directive instead of Disallow.  Multiple declarations take the
+    minimum (most conservative)."""
+    ln = (robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("i", "line")))
+    agent = F.regexp_extract(F.col("line"), _UA_RE, 1)
+    cd = F.regexp_extract(F.col("line"), _CD_RE, 1)
+    ln = ln.select("host", "i", agent.alias("agent"), cd.alias("cd"))
+    w = Window.partitionBy("host").orderBy("i")
+    is_ua = F.col("agent") != ""
+    prev_ua = F.lag(is_ua).over(w)
+    start = is_ua & (prev_ua.isNull() | ~prev_ua)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ln = ln.withColumn("block", F.sum(start.cast("int")).over(cum))
+    ln = ln.withColumn(
+        "gov", F.last(F.when(is_ua, F.col("block")),
+                      ignorenulls=True).over(cum))
+    star = (ln.where(F.col("agent") == "*")
+            .select("host", F.col("block").alias("gov")).distinct())
+    declared = (ln.where((F.col("cd") != "") & (F.col("agent") == ""))
+                .join(star, ["host", "gov"])
+                .groupBy("host")
+                .agg(F.min(F.col("cd").cast("double")).alias("delay")))
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return (hosts.join(declared, "host", "left")
+            .select("host",
+                    F.coalesce("delay",
+                               F.lit(float(default_delay))).alias(
+                                   "delay")))
+
+
+def fetch_schedule(urls: DataFrame, delays: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """(url, host, slot, offset_s): a politeness-respecting fetch plan —
+    urls of one host are ranked deterministically (by url) and the
+    k-th fetch is scheduled (k-1) * delay seconds into the crawl, so
+    no host is hit faster than its declared Crawl-delay while every
+    host's queue drains in parallel.
+
+    Scale: ONE hash(host) Exchange for the rank window (per-host queues
+    are crawl-frontier-sized, not corpus-sized), delays broadcast.  The
+    offset is arithmetic on the rank, so the plan is deterministic and
+    resume-safe — a re-run schedules identical slots."""
+    u = urls.select(F.col(url_col).alias("url"),
+                    url_host(F.col(url_col)).alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = u.withColumn("slot", (F.row_number().over(w) - 1)
+                          .cast("long"))
+    j = ranked.join(F.broadcast(delays), "host", "left")
+    offset = F.round(F.col("slot") *
+                     F.coalesce(F.col("delay"), F.lit(1.0)), 6)
+    return (j.select("url", "host", "slot", offset.alias("offset_s"))
+            .orderBy("url"))
+
+
+def fetch_schedule_sql(urls_sql: str, robots_sql: str,
+                       default_delay: float = 1.0) -> str:
+    """DuckDB mirror of parse_crawl_delay + fetch_schedule over the
+    same (urls, robots) subqueries as robots_roundtrip_sql."""
+    return (
+        f"WITH rb AS ({robots_sql}), us AS ({urls_sql}), "
+        f"lx AS (SELECT host, string_split(robots_txt, chr(10)) AS l "
+        f"FROM rb), "
+        f"li AS (SELECT host, l, unnest(range(1, len(l) + 1)) AS i "
+        f"FROM lx), "
+        f"ln0 AS (SELECT host, i - 1 AS i, "
+        f"regexp_extract(l[i], '{_UA_RE}', 1) AS agent, "
+        f"regexp_extract(l[i], '{_CD_RE}', 1) AS cd FROM li), "
+        f"ln1 AS (SELECT *, agent <> '' AS is_ua, "
+        f"lag(agent <> '') OVER (PARTITION BY host ORDER BY i) AS pua "
+        f"FROM ln0), "
+        f"ln2 AS (SELECT *, sum(CASE WHEN is_ua AND (pua IS NULL OR "
+        f"NOT pua) THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY "
+        f"i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block "
+        f"FROM ln1), "
+        f"ln3 AS (SELECT *, last_value(CASE WHEN is_ua THEN block END "
+        f"IGNORE NULLS) OVER (PARTITION BY host ORDER BY i ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND CURRENT ROW) AS gov FROM ln2), "
+        f"star AS (SELECT DISTINCT host, block AS gov FROM ln3 "
+        f"WHERE agent = '*'), "
+        f"dec AS (SELECT ln3.host, min(CAST(cd AS DOUBLE)) AS delay "
+        f"FROM ln3 JOIN star ON ln3.host = star.host AND "
+        f"ln3.gov = star.gov WHERE cd <> '' AND agent = '' "
+        f"GROUP BY ln3.host), "
+        f"dl AS (SELECT h.host, coalesce(dec.delay, {default_delay!r}) "
+        f"AS delay FROM (SELECT DISTINCT host FROM rb) h "
+        f"LEFT JOIN dec ON h.host = dec.host), "
+        f"u AS (SELECT url, {url_host_sql('url')} AS host FROM us), "
+        f"rk AS (SELECT url, host, CAST(row_number() OVER ("
+        f"PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS slot "
+        f"FROM u) "
+        f"SELECT rk.url, rk.host, rk.slot, "
+        f"round(rk.slot * coalesce(dl.delay, 1.0), 6) AS offset_s "
+        f"FROM rk LEFT JOIN dl ON rk.host = dl.host ORDER BY rk.url")

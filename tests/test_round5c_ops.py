@@ -464,3 +464,36 @@ def test_group_split_is_leakage_safe_and_deterministic(spark):
     assert all(len(s) == 1 for s in sides2.values())
     with pytest.raises(ValueError):
         group_split(df, test_frac=1.5, group_col="host")
+
+
+# --------------------------------------------------- fetch schedule
+def test_parse_crawl_delay_star_group_and_default(spark):
+    from nacc_form_validator_spark.functions.urlfilter import (
+        parse_crawl_delay)
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: bot\nCrawl-delay: 99\n"
+                   "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 7"),
+         ("b.com", "User-agent: *\nDisallow: /x"),
+         ("c.com", "User-agent: bot\nCrawl-delay: 4")],
+        "host string, robots_txt string")
+    out = {r["host"]: r["delay"]
+           for r in parse_crawl_delay(robots, default_delay=1.0).collect()}
+    # bot-group delay ignored; min of the * declarations wins
+    assert out == {"a.com": 2.5, "b.com": 1.0, "c.com": 1.0}
+
+
+def test_fetch_schedule_politeness_law(spark):
+    from nacc_form_validator_spark.functions.urlfilter import (
+        fetch_schedule)
+    urls = spark.createDataFrame(
+        [(f"https://a.com/{i}",) for i in range(4)] +
+        [("https://b.com/x",)], "url string")
+    delays = spark.createDataFrame([("a.com", 3.0), ("b.com", 2.0)],
+                                   "host string, delay double")
+    out = fetch_schedule(urls, delays).collect()
+    a = sorted((r["slot"], r["offset_s"]) for r in out
+               if r["host"] == "a.com")
+    # consecutive fetches of one host are >= delay apart
+    assert a == [(0, 0.0), (1, 3.0), (2, 6.0), (3, 9.0)]
+    b = [(r["slot"], r["offset_s"]) for r in out if r["host"] == "b.com"]
+    assert b == [(0, 0.0)]
