@@ -2542,6 +2542,139 @@ def _hll_overlap_sql():
         m=256)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus collocation mining (operators/collocations.py
+    pmi_collocations): top-20 adjacent word bigrams by pointwise mutual
+    information with exact integer counts — the multi-word-expression /
+    templated-boilerplate detector.  Bigrams built inside the row
+    (zip_with over array slices), two vocabulary-keyed aggs, top-k via
+    TakeOrdered (no global sort); the corpus text never shuffles."""
+    from nacc_form_validator_spark.operators.collocations import (
+        pmi_collocations)
+    return pmi_collocations(_docs(spark, sf_dir), k=20, min_count=5)
+
+
+def _pmi_collocations_sql():
+    from nacc_form_validator_spark.operators.collocations import (
+        pmi_collocations_sql)
+    return pmi_collocations_sql(k=20, min_count=5)
+
+
+def q_oov_gate(spark, sf_dir):
+    """Dictionary-coverage gate (operators/selection.py oov_gate): the
+    corpus's top-50 word vocabulary is learned in one vocab-keyed agg,
+    broadcast back, and every document is gated on its fraction of
+    out-of-vocabulary word occurrences — the C4-era dictionary filter
+    with the dictionary learned from the corpus itself."""
+    from nacc_form_validator_spark.operators.selection import oov_gate
+    return oov_gate(_docs(spark, sf_dir), vocab_size=50,
+                    max_oov_ratio=0.2)
+
+
+def _oov_gate_sql():
+    from nacc_form_validator_spark.operators.selection import oov_gate_sql
+    return oov_gate_sql(vocab_size=50, max_oov_ratio=0.2)
+
+
+def _moji_injected(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.replace(F.col("text"), F.lit("a"), F.lit("Ã©")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.replace(F.col("text"), F.lit("e"), F.lit("â€™")))
+        .otherwise(F.col("text")).alias("text"))
+
+
+_MOJI_DOCS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "replace(text, 'a', 'Ã©') WHEN doc_id % 4 = 1 THEN "
+    "replace(text, 'e', 'â€™') ELSE text END AS text FROM documents")
+
+
+def q_mojibake_stats(spark, sf_dir):
+    """Encoding-damage detection + repair (functions/mojibake.py): a
+    deterministic cp1252-mojibake injection (so the fixture actually
+    contains damage) followed by per-doc hit counts, damage density,
+    the density gate, and the repaired text — all pure codegen string
+    projection, zero shuffles beyond the output ordering."""
+    from nacc_form_validator_spark.functions.mojibake import (
+        with_mojibake_stats)
+    return with_mojibake_stats(_moji_injected(spark, sf_dir),
+                               max_density=0.05)
+
+
+def _mojibake_stats_sql():
+    from nacc_form_validator_spark.functions.mojibake import (
+        mojibake_stats_sql)
+    return mojibake_stats_sql(_MOJI_DOCS_SQL, max_density=0.05)
+
+
+def q_dedup_edit_verified(spark, sf_dir):
+    """Order-sensitive near-dup verification (operators/dedup.py
+    edit_verified_pairs): MinHash-LSH banding proposes, normalized
+    Levenshtein similarity disposes — the character-level disposer for
+    sequence-identity dedup where shingle Jaccard is order-blind."""
+    from nacc_form_validator_spark.operators.dedup import (
+        edit_verified_pairs)
+    return edit_verified_pairs(_docs(spark, sf_dir), min_edit_sim=0.3)
+
+
+def _dedup_edit_verified_sql():
+    from nacc_form_validator_spark.plans.oracle import edit_verified_sql
+    return edit_verified_sql(min_edit_sim=0.3)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment pairs (operators/dedup.py
+    containment_pairs): |A∩B|/|A| over shingle sets with a
+    document-frequency cap on candidate-generating shingles — the
+    quote/subsumption detector Jaccard thresholds miss."""
+    from nacc_form_validator_spark.operators.dedup import (
+        containment_pairs)
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.25,
+                             max_df=50)
+
+
+def _dedup_containment_sql():
+    from nacc_form_validator_spark.plans.oracle import containment_sql
+    return containment_sql(threshold=0.25, max_df=50)
+
+
+def _host_expr_sql():
+    hn = "CAST(floor(sqrt(doc_id % 256)) AS INTEGER)"
+    return f"'host' || CAST({hn} AS VARCHAR)"
+
+
+def q_host_quantile_norm(spark, sf_dir):
+    """Per-host quantile calibration (operators/selection.py
+    host_quantile_norm): a raw quality score (ln(1+n_chars)) is
+    replaced by its percent rank WITHIN the document's host so one
+    global threshold keeps the best half of every host — the
+    per-domain calibration step before thresholding a quality
+    classifier."""
+    from nacc_form_validator_spark.operators.selection import (
+        host_quantile_norm)
+    d = _docs(spark, sf_dir)
+    hostnum = F.floor(F.sqrt(F.col("doc_id") % 256)).cast("int")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("host"), hostnum.cast("string")).alias("host"),
+        "n_chars")
+    return host_quantile_norm(docs, F.log(F.lit(1) + F.col("n_chars")),
+                              keep_quantile=0.5)
+
+
+def _host_quantile_norm_sql():
+    from nacc_form_validator_spark.operators.selection import (
+        host_quantile_norm_sql)
+    docs_sql = (f"SELECT doc_id, {_host_expr_sql()} AS host, n_chars "
+                f"FROM documents")
+    return host_quantile_norm_sql(docs_sql, "ln(1 + n_chars)",
+                                  keep_quantile=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -2551,6 +2684,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "pmi_collocations": q_pmi_collocations,
+        "oov_gate": q_oov_gate,
+        "mojibake_stats": q_mojibake_stats,
+        "dedup_edit_verified": q_dedup_edit_verified,
+        "dedup_containment": q_dedup_containment,
+        "host_quantile_norm": q_host_quantile_norm,
         "url_canonicalize": q_url_canonicalize,
         "ppl_buckets": q_ppl_buckets,
         "nb_quality": q_nb_quality,
@@ -2685,6 +2824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pmi_collocations": _pmi_collocations_sql(),
+        "oov_gate": _oov_gate_sql(),
+        "mojibake_stats": _mojibake_stats_sql(),
+        "dedup_edit_verified": _dedup_edit_verified_sql(),
+        "dedup_containment": _dedup_containment_sql(),
+        "host_quantile_norm": _host_quantile_norm_sql(),
         "minhash_verified": _minhash_verified_sql(),
         "chunk_overlap": _chunk_overlap_sql(),
         "corpus_shuffle": _corpus_shuffle_sql(),

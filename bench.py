@@ -208,7 +208,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "recrawl_delta", "sq8_topk", "budget_select",
                  "weighted_sample", "hll_overlap", "jsonl_source",
                  "langid_confidence", "quantile_sketch", "robots_gate",
-                 "cdx_index", "group_split", "fetch_schedule"]:
+                 "cdx_index", "group_split", "fetch_schedule",
+                 "pmi_collocations", "oov_gate", "mojibake_stats",
+                 "dedup_edit_verified", "dedup_containment",
+                 "host_quantile_norm"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

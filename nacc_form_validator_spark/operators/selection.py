@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nacc_form_validator_spark.functions.heuristics import (GOPHER_RULES,
@@ -314,3 +314,141 @@ def dsir_logweights(docs: DataFrame, target: Column,
     train once and score many batches."""
     return score_dsir(docs, train_dsir(docs, target, text_col, buckets),
                       id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-coverage (OOV) gate
+# ---------------------------------------------------------------------------
+
+def corpus_vocab(docs: DataFrame, text_col: str = "text",
+                 vocab_size: int = 1000) -> DataFrame:
+    """(word) — the corpus's ``vocab_size`` most frequent words, ties
+    broken on the word string.  One word-keyed partial agg (map-side
+    combine collapses the heavy Zipf head before the shuffle) + a
+    single window over the VOCABULARY-sized count table — the corpus
+    text never shuffles.  The result is bounded at ``vocab_size`` rows,
+    so downstream joins broadcast it unconditionally."""
+    counts = (docs.select(F.explode(_words(F.col(text_col)))
+                          .alias("word"))
+              .groupBy("word").agg(F.count("*").alias("c")))
+    w = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    return (counts.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= vocab_size).select("word"))
+
+
+def oov_gate(docs: DataFrame, vocab: "DataFrame | None" = None,
+             id_col: str = "doc_id", text_col: str = "text",
+             vocab_size: int = 1000,
+             max_oov_ratio: float = 0.2) -> DataFrame:
+    """(id, n_words, oov_ratio, oov_keep): dictionary-coverage gate —
+    drop documents whose fraction of word OCCURRENCES outside the
+    corpus top-``vocab_size`` vocabulary exceeds ``max_oov_ratio``
+    (gibberish, wrong-language residue, OCR noise).  The classic
+    "dictionary filter" of C4-era cleaning, with the dictionary learned
+    from the corpus itself rather than shipped.
+
+    ``vocab`` lets a caller train the dictionary once
+    (:func:`corpus_vocab`) and gate many batches — the same
+    train-once / score-many split as the NB and DSIR scorers.
+
+    Scale: the vocab is ``vocab_size`` rows -> broadcast LEFT join onto
+    the exploded word pairs (ships the dictionary, never the corpus);
+    per-doc agg is one id-keyed shuffle.  Empty documents keep
+    (oov_ratio 0.0) — there is nothing out-of-vocabulary in them.
+    """
+    if vocab is None:
+        vocab = corpus_vocab(docs, text_col, vocab_size)
+    probe = vocab.select(F.col("word"),
+                         F.lit(True).alias("__in_vocab"))
+    pairs = docs.select(F.col(id_col).alias("id"),
+                        F.explode(_words(F.col(text_col))).alias("word"))
+    per_doc = (pairs.join(F.broadcast(probe), "word", "left")
+               .groupBy("id")
+               .agg(F.count("*").alias("n_words"),
+                    F.sum(F.when(F.col("__in_vocab").isNull(), 1)
+                          .otherwise(0)).alias("n_oov")))
+    base = docs.select(F.col(id_col).alias("id"))
+    out = (base.join(per_doc, "id", "left")
+           .select(
+               "id",
+               F.coalesce("n_words", F.lit(0)).alias("n_words"),
+               F.round(F.coalesce(F.col("n_oov") / F.col("n_words"),
+                                  F.lit(0.0)), 6).alias("oov_ratio")))
+    return (out.withColumn("oov_keep",
+                           F.col("oov_ratio") <= F.lit(max_oov_ratio))
+            .orderBy("id"))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def oov_gate_sql(vocab_size: int = 1000,
+                 max_oov_ratio: float = 0.2) -> str:
+    """DuckDB oracle for :func:`oov_gate` over ``documents``."""
+    w = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+    return (
+        f"WITH pairs AS (SELECT doc_id AS id, unnest({w}) AS word "
+        f"FROM documents), "
+        f"counts AS (SELECT word, count(*) AS c FROM pairs "
+        f"GROUP BY word), "
+        f"vocab AS (SELECT word FROM (SELECT word, row_number() OVER ("
+        f"ORDER BY c DESC, word ASC) AS r FROM counts) WHERE "
+        f"r <= {vocab_size}), "
+        f"per_doc AS (SELECT id, count(*) AS n_words, "
+        f"sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov "
+        f"FROM pairs LEFT JOIN vocab v USING (word) GROUP BY id), "
+        f"base AS (SELECT doc_id AS id FROM documents) "
+        f"SELECT id, coalesce(n_words, 0) AS n_words, "
+        f"round(coalesce(n_oov * 1.0 / n_words, 0.0), 6) AS oov_ratio, "
+        f"round(coalesce(n_oov * 1.0 / n_words, 0.0), 6) "
+        f"<= {max_oov_ratio} AS oov_keep "
+        f"FROM base LEFT JOIN per_doc USING (id) ORDER BY id")
+
+
+# ---------------------------------------------------------------------------
+# Per-host quantile calibration of a quality score
+# ---------------------------------------------------------------------------
+
+def host_quantile_norm(docs: DataFrame, score: Column,
+                       host_col: str = "host",
+                       id_col: str = "doc_id",
+                       keep_quantile: float = 0.5) -> DataFrame:
+    """(id, host, score, host_qtile, cal_keep): replace a raw quality
+    ``score`` with its PERCENT RANK within the document's host, so a
+    single global threshold keeps the best ``1 - keep_quantile``
+    fraction of EVERY host instead of letting one verbose host family
+    dominate the kept corpus — the per-domain calibration step quality
+    classifiers need before thresholding (raw scores are not comparable
+    across template families).
+
+    Scale: one Exchange keyed on host + a per-host sort window.  Hosts
+    are Zipf-skewed by nature; the production regime for a mega-host is
+    the same two-pass salted window as the pipeline's recrawl collapse
+    (qualityfilter.py) or the approx-quantile cut path of
+    ppl_buckets_approx — exact percent_rank here is the oracle-grade
+    form.  Ties in ``score`` receive identical percent_rank in both
+    engines (SQL-standard definition), so the gate is deterministic.
+    """
+    sc = F.round(score, 6)
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(host_col).alias("host"),
+                       sc.alias("score"))
+    wnd = Window.partitionBy("host").orderBy(F.col("score").asc())
+    out = base.withColumn("host_qtile",
+                          F.round(F.percent_rank().over(wnd), 6))
+    return (out.withColumn("cal_keep",
+                           F.col("host_qtile") >= F.lit(keep_quantile))
+            .orderBy("id"))
+
+
+def host_quantile_norm_sql(docs_sql: str, score_expr: str,
+                           keep_quantile: float = 0.5) -> str:
+    """DuckDB oracle for :func:`host_quantile_norm`; ``docs_sql`` must
+    yield (doc_id, host, ...) and ``score_expr`` the raw score."""
+    return (
+        f"SELECT id, host, score, host_qtile, "
+        f"host_qtile >= {keep_quantile} AS cal_keep FROM ("
+        f"SELECT doc_id AS id, host, round({score_expr}, 6) AS score, "
+        f"round(percent_rank() OVER (PARTITION BY host "
+        f"ORDER BY round({score_expr}, 6) ASC), 6) AS host_qtile "
+        f"FROM ({docs_sql})) ORDER BY id")

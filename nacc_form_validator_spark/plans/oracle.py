@@ -1757,3 +1757,49 @@ def bpe_encode_sql(merges: int = 6) -> str:
             "BIGINT) AS n_words, CAST(coalesce(n_tokens, 0) AS BIGINT) "
             "AS n_tokens FROM documents d LEFT JOIN per "
             "ON d.doc_id = per.id ORDER BY id")
+
+
+def edit_verified_sql(k: int = 8, bands: int = 4, n: int = 3,
+                      min_edit_sim: float = 0.6) -> str:
+    """Oracle for dedup.edit_verified_pairs: the band-collision
+    candidate set, each candidate verified with normalized levenshtein
+    similarity over the same normalized text the shingles came from."""
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    sim = (f"round(1.0 - levenshtein(a.t, b.t) * 1.0 / "
+           f"greatest(length(a.t), length(b.t), 1), 6)")
+    return (
+        f"WITH {ctes}, pairs AS ({pair_select}), "
+        f"txt AS (SELECT doc_id AS id, {NORM} AS t FROM documents) "
+        f"SELECT id_a, id_b, edit_sim FROM ("
+        f"SELECT id_a, id_b, {sim} AS edit_sim "
+        f"FROM pairs JOIN txt a ON pairs.id_a = a.id "
+        f"JOIN txt b ON pairs.id_b = b.id) "
+        f"WHERE edit_sim >= {min_edit_sim} ORDER BY id_a, id_b")
+
+
+def containment_sql(n: int = 3, threshold: float = 0.5,
+                    max_df: "int | None" = None) -> str:
+    """Oracle for dedup.containment_pairs: candidate pairs from the
+    (optionally df-capped) shingle self-join, verified with exact
+    full-set intersection containment on BOTH directions."""
+    sh = _shingles(n)
+    ex = "SELECT id, unnest(sh) AS s FROM sh"
+    if max_df is not None:
+        ex = (f"SELECT id, s FROM (SELECT id, unnest(sh) AS s FROM sh) "
+              f"QUALIFY count(*) OVER (PARTITION BY s) <= {max_df}")
+    return (
+        f"WITH sh AS (SELECT doc_id AS id, {sh} AS sh FROM documents "
+        f"WHERE len({sh}) > 0), "
+        f"ex AS ({ex}), "
+        f"cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        f"FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id) "
+        f"SELECT id_a, id_b, cont_a, cont_b FROM ("
+        f"SELECT id_a, id_b, "
+        f"round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) "
+        f"AS cont_a, "
+        f"round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh), 6) "
+        f"AS cont_b "
+        f"FROM cand JOIN sh a ON cand.id_a = a.id "
+        f"JOIN sh b ON cand.id_b = b.id) "
+        f"WHERE cont_a >= {threshold} OR cont_b >= {threshold} "
+        f"ORDER BY id_a, id_b")
