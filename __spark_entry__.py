@@ -2675,6 +2675,140 @@ def _host_quantile_norm_sql():
                                   keep_quantile=0.5)
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Corpus Zipf rank-frequency slope (operators/corpusstats.py
+    zipf_slope): least-squares ln(freq)~ln(rank) fit over the top-100
+    words — the corpus-health scalar (healthy text sits near -1;
+    boilerplate floods flatten it).  One word-keyed agg, regression on
+    the <=100-row ranked table."""
+    from nacc_form_validator_spark.operators.corpusstats import (
+        zipf_slope)
+    return zipf_slope(_docs(spark, sf_dir), max_rank=100)
+
+
+def _zipf_slope_sql():
+    from nacc_form_validator_spark.operators.corpusstats import (
+        zipf_slope_sql)
+    return zipf_slope_sql(max_rank=100)
+
+
+def _drift_slices(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    srcnum = F.substring("source", 4, 10).cast("int")
+    return (d.where(srcnum < 10), d.where(srcnum >= 10))
+
+
+_DRIFT_A_SQL = ("SELECT text FROM documents WHERE "
+                "CAST(substr(source, 4) AS INTEGER) < 10")
+_DRIFT_B_SQL = ("SELECT text FROM documents WHERE "
+                "CAST(substr(source, 4) AS INTEGER) >= 10")
+
+
+def q_corpus_divergence(spark, sf_dir):
+    """Inter-slice unigram divergence (operators/corpusstats.py
+    unigram_divergence): add-one-smoothed KL(A||B), KL(B||A) and
+    Jensen-Shannon between the src0-9 and src10-19 source slices —
+    the snapshot-drift alarm.  Corpus reduces to two word-count
+    tables; divergence computes on the shared-vocab join."""
+    from nacc_form_validator_spark.operators.corpusstats import (
+        unigram_divergence)
+    a, b = _drift_slices(spark, sf_dir)
+    return unigram_divergence(a, b)
+
+
+def _corpus_divergence_sql():
+    from nacc_form_validator_spark.operators.corpusstats import (
+        unigram_divergence_sql)
+    return unigram_divergence_sql(_DRIFT_A_SQL, _DRIFT_B_SQL)
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Top drift words (operators/corpusstats.py drift_topk): the 15
+    words contributing most KL(A||B) mass between the two source
+    slices — the actionable half of the drift alarm (WHICH words
+    exploded)."""
+    from nacc_form_validator_spark.operators.corpusstats import (
+        drift_topk)
+    a, b = _drift_slices(spark, sf_dir)
+    return drift_topk(a, b, k=15)
+
+
+def _corpus_drift_sql():
+    from nacc_form_validator_spark.operators.corpusstats import (
+        drift_topk_sql)
+    return drift_topk_sql(_DRIFT_A_SQL, _DRIFT_B_SQL, k=15)
+
+
+def _script_injected(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.replace(F.col("text"), F.lit("a"), F.lit("д")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.replace(F.col("text"), F.lit("e"), F.lit("中")))
+        .otherwise(F.col("text")).alias("text"))
+
+
+_SCRIPT_DOCS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+    "replace(text, 'a', 'д') WHEN doc_id % 5 = 1 THEN "
+    "replace(text, 'e', '中') ELSE text END AS text FROM documents")
+
+
+def q_script_stats(spark, sf_dir):
+    """Unicode script-mix stats (functions/scriptmix.py): per-doc
+    latin/digit/cyrillic/cjk char-class fractions, dominant script and
+    the dominant-coverage gate, over a deterministic script injection
+    (so the fixture actually mixes scripts) — pure length-arithmetic
+    projection, zero shuffles."""
+    from nacc_form_validator_spark.functions.scriptmix import (
+        with_script_stats)
+    return (with_script_stats(_script_injected(spark, sf_dir),
+                              min_dominant=0.5)
+            .orderBy("doc_id"))
+
+
+def _script_stats_sql():
+    from nacc_form_validator_spark.functions.scriptmix import (
+        script_stats_sql)
+    return script_stats_sql(_SCRIPT_DOCS_SQL, min_dominant=0.5)
+
+
+def _junk_injected(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" Page Not Found")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.lit("lorem ipsum "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+
+
+_JUNK_DOCS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+    "text || ' Page Not Found' WHEN doc_id % 7 = 1 THEN "
+    "'lorem ipsum ' || text ELSE text END AS text FROM documents")
+
+
+def q_junk_gate(spark, sf_dir):
+    """Junk-page gate (functions/junkpages.py): soft-404 / wall /
+    placeholder phrase counting (case-insensitive literal substring
+    arithmetic, no regex) and the drop-on-first-hit gate, over a
+    deterministic junk-phrase injection."""
+    from nacc_form_validator_spark.functions.junkpages import (
+        with_junk_gate)
+    return (with_junk_gate(_junk_injected(spark, sf_dir), max_hits=0)
+            .orderBy("doc_id"))
+
+
+def _junk_gate_sql():
+    from nacc_form_validator_spark.functions.junkpages import (
+        junk_gate_sql)
+    return junk_gate_sql(_JUNK_DOCS_SQL, max_hits=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -2685,6 +2819,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (r4 additions + component variants) ---
         "pmi_collocations": q_pmi_collocations,
+        "zipf_slope": q_zipf_slope,
+        "corpus_divergence": q_corpus_divergence,
+        "corpus_drift": q_corpus_drift,
+        "script_stats": q_script_stats,
+        "junk_gate": q_junk_gate,
         "oov_gate": q_oov_gate,
         "mojibake_stats": q_mojibake_stats,
         "dedup_edit_verified": q_dedup_edit_verified,
@@ -2825,6 +2964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pmi_collocations": _pmi_collocations_sql(),
+        "zipf_slope": _zipf_slope_sql(),
+        "corpus_divergence": _corpus_divergence_sql(),
+        "corpus_drift": _corpus_drift_sql(),
+        "script_stats": _script_stats_sql(),
+        "junk_gate": _junk_gate_sql(),
         "oov_gate": _oov_gate_sql(),
         "mojibake_stats": _mojibake_stats_sql(),
         "dedup_edit_verified": _dedup_edit_verified_sql(),

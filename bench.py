@@ -211,7 +211,9 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "cdx_index", "group_split", "fetch_schedule",
                  "pmi_collocations", "oov_gate", "mojibake_stats",
                  "dedup_edit_verified", "dedup_containment",
-                 "host_quantile_norm"]:
+                 "host_quantile_norm", "zipf_slope",
+                 "corpus_divergence", "corpus_drift", "script_stats",
+                 "junk_gate"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

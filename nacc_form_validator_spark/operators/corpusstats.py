@@ -1,0 +1,196 @@
+"""Corpus-health statistics: Zipf rank-frequency slope and
+inter-slice unigram divergence (KL / Jensen-Shannon).
+
+Two monitoring passes every production corpus pipeline runs between
+snapshots: (a) the Zipf slope of the word rank-frequency curve — a
+healthy natural-language corpus sits near -1; templated/boilerplate
+floods flatten it, spam-keyword floods steepen it — and (b) the
+unigram-distribution divergence between two corpus slices (yesterday
+vs today, source A vs source B), the drift alarm that catches a
+mis-configured extractor or a source going bad BEFORE a model trains
+on it (same role as DSIR's importance model, but symmetric and
+unconditional).  Beyond the reference's per-record surface (it has no
+corpus statistics — SURVEY.md §2.7).
+
+Scale shape: both operators reduce the corpus to its word-count table
+in ONE partial-agg shuffle (map-side combine collapses the Zipf head);
+everything after runs on the vocabulary-sized table — the regression
+aggregate on <= ``max_rank`` rows, the divergence join on the shared
+vocab keyed by word.  The corpus text never shuffles.
+
+Determinism for the value oracle: ranks tie-break on the word string;
+logs run on exact integer counts; final scalars round to 6 — the
+remaining cross-engine risk is float-summation order inside the
+aggregates, which at <= 10^5 vocab terms is ~1e-12 relative, far under
+the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.operators.dedup import normalized
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _words(text_col: str):
+    return F.filter(F.split(normalized(F.col(text_col)), " "),
+                    lambda x: x != "")
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (docs.select(F.explode(_words(text_col)).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("c")))
+
+
+def zipf_slope(docs: DataFrame, text_col: str = "text",
+               max_rank: int = 100) -> DataFrame:
+    """One row (n_ranked, slope, intercept): least-squares fit of
+    ln(freq) against ln(rank) over the corpus's ``max_rank`` most
+    frequent words.  slope ~ -1 is the healthy Zipf regime."""
+    counts = _word_counts(docs, text_col)
+    w = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    ranked = (counts.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= max_rank)
+              .select(F.log(F.col("r").cast("double")).alias("x"),
+                      F.log(F.col("c").cast("double")).alias("y")))
+    agg = ranked.agg(F.count("*").alias("n_ranked"),
+                     F.covar_pop("x", "y").alias("cv"),
+                     F.var_pop("x").alias("vx"),
+                     F.avg("x").alias("mx"),
+                     F.avg("y").alias("my"))
+    slope = F.col("cv") / F.col("vx")
+    return agg.select(
+        "n_ranked",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"))
+
+
+def zipf_slope_sql(max_rank: int = 100) -> str:
+    """DuckDB oracle for :func:`zipf_slope` over ``documents``."""
+    w = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+    return (
+        f"WITH counts AS (SELECT word, count(*) AS c FROM ("
+        f"SELECT unnest({w}) AS word FROM documents) GROUP BY word), "
+        f"ranked AS (SELECT ln(r) AS x, ln(c) AS y FROM ("
+        f"SELECT c, row_number() OVER (ORDER BY c DESC, word ASC) AS r "
+        f"FROM counts) WHERE r <= {max_rank}) "
+        f"SELECT count(*) AS n_ranked, "
+        f"round(covar_pop(x, y) / var_pop(x), 6) AS slope, "
+        f"round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6) "
+        f"AS intercept FROM ranked")
+
+
+def _slice_probs(docs: DataFrame, text_col: str, side: str) -> DataFrame:
+    return (_word_counts(docs, text_col)
+            .select("word", F.col("c").alias(f"c_{side}")))
+
+
+def unigram_divergence(docs_a: DataFrame, docs_b: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """One row (n_vocab, kl_ab, kl_ba, js): add-one-smoothed unigram
+    KL(A||B), KL(B||A) and Jensen-Shannon divergence between two
+    corpus slices, over the UNION vocabulary (so no zero branches).
+
+    p_s(w) = (c_s(w) + 1) / (T_s + V) with V = |union vocab|,
+    T_s = slice token count — every word has positive mass on both
+    sides, which is what makes KL finite on disjoint tails.
+    """
+    joined = (_slice_probs(docs_a, text_col, "a")
+              .join(_slice_probs(docs_b, text_col, "b"), "word", "full")
+              .select(F.coalesce("c_a", F.lit(0)).alias("c_a"),
+                      F.coalesce("c_b", F.lit(0)).alias("c_b")))
+    tot = joined.agg(F.count("*").alias("v"),
+                     F.sum("c_a").alias("ta"),
+                     F.sum("c_b").alias("tb"))
+    pa = (F.col("c_a") + 1) / (F.col("ta") + F.col("v"))
+    pb = (F.col("c_b") + 1) / (F.col("tb") + F.col("v"))
+    m = (pa + pb) / 2
+    per = (joined.crossJoin(F.broadcast(tot))
+           .select((pa * F.log(pa / pb)).alias("kab"),
+                   (pb * F.log(pb / pa)).alias("kba"),
+                   (pa / 2 * F.log(pa / m) +
+                    pb / 2 * F.log(pb / m)).alias("jsw"),
+                   F.col("v")))
+    return (per.groupBy("v")
+            .agg(F.round(F.sum("kab"), 6).alias("kl_ab"),
+                 F.round(F.sum("kba"), 6).alias("kl_ba"),
+                 F.round(F.sum("jsw"), 6).alias("js"))
+            .select(F.col("v").alias("n_vocab"), "kl_ab", "kl_ba", "js"))
+
+
+def drift_topk(docs_a: DataFrame, docs_b: DataFrame,
+               text_col: str = "text", k: int = 15) -> DataFrame:
+    """(word, p_a, p_b, kl_term, rank): the ``k`` words contributing
+    most KL(A||B) mass — the actionable half of the drift alarm (WHICH
+    words exploded in slice A relative to slice B).  Probabilities and
+    the contribution are rounded to 6 BEFORE ranking; ties break on the
+    word; top-k via TakeOrdered, no global sort."""
+    joined = (_slice_probs(docs_a, text_col, "a")
+              .join(_slice_probs(docs_b, text_col, "b"), "word", "full")
+              .select("word",
+                      F.coalesce("c_a", F.lit(0)).alias("c_a"),
+                      F.coalesce("c_b", F.lit(0)).alias("c_b")))
+    tot = joined.agg(F.count("*").alias("v"),
+                     F.sum("c_a").alias("ta"),
+                     F.sum("c_b").alias("tb"))
+    pa = (F.col("c_a") + 1) / (F.col("ta") + F.col("v"))
+    pb = (F.col("c_b") + 1) / (F.col("tb") + F.col("v"))
+    scored = (joined.crossJoin(F.broadcast(tot))
+              .select("word",
+                      F.round(pa, 6).alias("p_a"),
+                      F.round(pb, 6).alias("p_b"),
+                      F.round(pa * F.log(pa / pb), 6).alias("kl_term")))
+    top = scored.orderBy(F.col("kl_term").desc(), "word").limit(k)
+    wnd = Window.orderBy(F.col("kl_term").desc(), "word")
+    return (top.withColumn("rank", F.row_number().over(wnd))
+            .orderBy("rank"))
+
+
+def _divergence_ctes(slice_a_sql: str, slice_b_sql: str) -> str:
+    w = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+    return (
+        f"ca AS (SELECT word, count(*) AS c_a FROM (SELECT unnest({w}) "
+        f"AS word FROM ({slice_a_sql})) GROUP BY word), "
+        f"cb AS (SELECT word, count(*) AS c_b FROM (SELECT unnest({w}) "
+        f"AS word FROM ({slice_b_sql})) GROUP BY word), "
+        f"j AS (SELECT coalesce(ca.word, cb.word) AS word, "
+        f"coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b "
+        f"FROM ca FULL JOIN cb ON ca.word = cb.word), "
+        f"tot AS (SELECT count(*) AS v, sum(c_a) AS ta, sum(c_b) AS tb "
+        f"FROM j)")
+
+
+def unigram_divergence_sql(slice_a_sql: str, slice_b_sql: str) -> str:
+    """DuckDB oracle for :func:`unigram_divergence`; slice SQL must
+    yield a ``text`` column."""
+    pa = "((c_a + 1) * 1.0 / (ta + v))"
+    pb = "((c_b + 1) * 1.0 / (tb + v))"
+    m = f"(({pa} + {pb}) / 2)"
+    return (
+        f"WITH {_divergence_ctes(slice_a_sql, slice_b_sql)} "
+        f"SELECT v AS n_vocab, "
+        f"round(sum({pa} * ln({pa} / {pb})), 6) AS kl_ab, "
+        f"round(sum({pb} * ln({pb} / {pa})), 6) AS kl_ba, "
+        f"round(sum({pa} / 2 * ln({pa} / {m}) + "
+        f"{pb} / 2 * ln({pb} / {m})), 6) AS js "
+        f"FROM j CROSS JOIN tot GROUP BY v")
+
+
+def drift_topk_sql(slice_a_sql: str, slice_b_sql: str,
+                   k: int = 15) -> str:
+    """DuckDB oracle for :func:`drift_topk`."""
+    pa = "((c_a + 1) * 1.0 / (ta + v))"
+    pb = "((c_b + 1) * 1.0 / (tb + v))"
+    return (
+        f"WITH {_divergence_ctes(slice_a_sql, slice_b_sql)}, "
+        f"scored AS (SELECT word, round({pa}, 6) AS p_a, "
+        f"round({pb}, 6) AS p_b, "
+        f"round({pa} * ln({pa} / {pb}), 6) AS kl_term "
+        f"FROM j CROSS JOIN tot), "
+        f"ranked AS (SELECT word, p_a, p_b, kl_term, row_number() OVER ("
+        f"ORDER BY kl_term DESC, word) AS rank FROM scored) "
+        f"SELECT word, p_a, p_b, kl_term, rank FROM ranked "
+        f"WHERE rank <= {k} ORDER BY rank")
