@@ -2809,6 +2809,152 @@ def _junk_gate_sql():
     return junk_gate_sql(_JUNK_DOCS_SQL, max_hits=0)
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination (operators/decontaminate.py
+    semantic_decontaminate): every corpus vector scored by its max
+    cosine against the benchmark split (vec_id % 17 == 0, broadcast) —
+    catches PARAPHRASED eval leakage the n-gram pass misses."""
+    from nacc_form_validator_spark.operators.decontaminate import (
+        semantic_decontaminate)
+    emb = _emb(spark, sf_dir)
+    bench = emb.where(F.col("vec_id") % 17 == 0)
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.4)
+
+
+def _semantic_decontaminate_sql():
+    from nacc_form_validator_spark.plans.oracle import _cosine_sql
+    cos = _cosine_sql("c.embedding", "b.embedding")
+    return (
+        f"WITH b AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % 17 = 0), "
+        f"c AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % 17 <> 0) "
+        f"SELECT c.vec_id AS id, max({cos}) AS max_cos, "
+        f"max({cos}) >= 0.4 AS contaminated "
+        f"FROM c CROSS JOIN b GROUP BY c.vec_id ORDER BY id")
+
+
+def q_shingle_novelty(spark, sf_dir):
+    """Original-content scoring (operators/corpusstats.py
+    shingle_novelty): per-doc fraction of distinct 3-word shingles
+    occurring in NO other document — templated pages score near 0,
+    new text near 1."""
+    from nacc_form_validator_spark.operators.corpusstats import (
+        shingle_novelty)
+    return shingle_novelty(_docs(spark, sf_dir), n=3)
+
+
+def _shingle_novelty_sql():
+    from nacc_form_validator_spark.operators.corpusstats import (
+        shingle_novelty_sql)
+    return shingle_novelty_sql(n=3)
+
+
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (operators/corpusstats.py
+    token_fertility): subword tokens per whitespace word and chars per
+    token under the BPE-ish segmentation — the multilingual budget
+    metric mixture planning prices in."""
+    from nacc_form_validator_spark.operators.corpusstats import (
+        token_fertility)
+    return token_fertility(_docs(spark, sf_dir))
+
+
+def _token_fertility_sql():
+    from nacc_form_validator_spark.operators.corpusstats import (
+        token_fertility_sql)
+    return token_fertility_sql()
+
+
+def _clean_injected(spark, sf_dir):
+    """All three damage injections composed (mojibake on %4, junk
+    phrases on %7, script mixing on %5) — the clean-pass fixture."""
+    d = _moji_injected(spark, sf_dir)
+    t = (F.when(F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" Page Not Found")))
+         .when(F.col("doc_id") % 7 == 1,
+               F.concat(F.lit("lorem ipsum "), F.col("text")))
+         .otherwise(F.col("text")))
+    t2 = (F.when(F.col("doc_id") % 5 == 0,
+                 F.replace(t, F.lit("o"), F.lit("д")))
+          .otherwise(t))
+    return d.select("doc_id", t2.alias("text"))
+
+
+_CLEAN_DOCS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN replace(t2, 'o', 'д') "
+    "ELSE t2 END AS text FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+    "THEN t1 || ' Page Not Found' WHEN doc_id % 7 = 1 THEN "
+    "'lorem ipsum ' || t1 ELSE t1 END AS t2 FROM (SELECT doc_id, "
+    "CASE WHEN doc_id % 4 = 0 THEN replace(text, 'a', 'Ã©') "
+    "WHEN doc_id % 4 = 1 THEN replace(text, 'e', 'â€™') ELSE text END "
+    "AS t1 FROM documents))")
+
+
+def q_corpus_clean_pass(spark, sf_dir):
+    """Fused hygiene pass (operators/cleanpass.py corpus_clean_pass):
+    mojibake repair -> junk gate -> script gate in ONE codegen
+    projection, then the OOV gate over the repaired text — per-stage
+    boolean lineage plus the conjunction, over a fixture carrying all
+    three damage injections."""
+    from nacc_form_validator_spark.operators.cleanpass import (
+        corpus_clean_pass)
+    return corpus_clean_pass(_clean_injected(spark, sf_dir),
+                             max_density=0.05, max_hits=0,
+                             min_dominant=0.5, vocab_size=50,
+                             max_oov_ratio=0.5)
+
+
+def _corpus_clean_pass_sql():
+    from nacc_form_validator_spark.operators.cleanpass import (
+        corpus_clean_pass_sql)
+    return corpus_clean_pass_sql(_CLEAN_DOCS_SQL, max_density=0.05,
+                                 max_hits=0, min_dominant=0.5,
+                                 vocab_size=50, max_oov_ratio=0.5)
+
+
+def q_quality_signals(spark, sf_dir):
+    """One-pass signal bundle (operators/qualitysignals.py
+    quality_signals): every expression-level signal — Gopher stats,
+    langid, entropy, mojibake, junk hits, composite quality — in ONE
+    codegen projection over ONE scan (the Dolma-tagger shape: signals
+    materialized once, gates tuned offline)."""
+    from nacc_form_validator_spark.operators.qualitysignals import (
+        quality_signals)
+    return quality_signals(_docs(spark, sf_dir))
+
+
+def _quality_signals_sql():
+    from nacc_form_validator_spark.operators.qualitysignals import (
+        quality_signals_sql)
+    return quality_signals_sql("SELECT doc_id, text FROM documents")
+
+
+_SWEEP_GRID = [round(0.1 * k, 1) for k in range(1, 10)]
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Gate-calibration curve (operators/qualitysignals.py
+    threshold_sweep): keep-rate of the composite quality score at each
+    of 9 grid points in ONE aggregate — T conditional sums in a single
+    map-side partial, one 1-row exchange, stack-unpivot at the end."""
+    from nacc_form_validator_spark.operators.qualitysignals import (
+        threshold_sweep)
+    from nacc_form_validator_spark.operators.textstats import quality_score
+    d = _docs(spark, sf_dir)
+    return threshold_sweep(d, quality_score(F.col("text")), _SWEEP_GRID)
+
+
+def _threshold_sweep_sql():
+    from nacc_form_validator_spark.operators.qualitysignals import (
+        threshold_sweep_sql)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score_sql)
+    return threshold_sweep_sql("SELECT text FROM documents",
+                               quality_score_sql("text"), _SWEEP_GRID)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -2824,6 +2970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "script_stats": q_script_stats,
         "junk_gate": q_junk_gate,
+        "corpus_clean_pass": q_corpus_clean_pass,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "shingle_novelty": q_shingle_novelty,
+        "token_fertility": q_token_fertility,
+        "quality_signals": q_quality_signals,
+        "threshold_sweep": q_threshold_sweep,
         "oov_gate": q_oov_gate,
         "mojibake_stats": q_mojibake_stats,
         "dedup_edit_verified": q_dedup_edit_verified,
@@ -2969,6 +3121,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _corpus_drift_sql(),
         "script_stats": _script_stats_sql(),
         "junk_gate": _junk_gate_sql(),
+        "corpus_clean_pass": _corpus_clean_pass_sql(),
+        "semantic_decontaminate": _semantic_decontaminate_sql(),
+        "shingle_novelty": _shingle_novelty_sql(),
+        "token_fertility": _token_fertility_sql(),
+        "quality_signals": _quality_signals_sql(),
+        "threshold_sweep": _threshold_sweep_sql(),
         "oov_gate": _oov_gate_sql(),
         "mojibake_stats": _mojibake_stats_sql(),
         "dedup_edit_verified": _dedup_edit_verified_sql(),

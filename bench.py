@@ -213,7 +213,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "dedup_edit_verified", "dedup_containment",
                  "host_quantile_norm", "zipf_slope",
                  "corpus_divergence", "corpus_drift", "script_stats",
-                 "junk_gate"]:
+                 "junk_gate", "corpus_clean_pass",
+                 "semantic_decontaminate", "shingle_novelty",
+                 "token_fertility", "quality_signals",
+                 "threshold_sweep"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -38,6 +38,50 @@ def _count(text: Column, cls: str) -> Column:
             F.length(F.regexp_replace(text, cls, "")))
 
 
+def _with_fracs(df: DataFrame, text_col: str,
+                keep_cols: "list[str]") -> DataFrame:
+    """Two materialized projections: stripped text -> per-class counts
+    -> rounded fractions as NAMED aux columns.
+
+    The dominant-script CASE walk below references every fraction
+    multiple times; nesting the raw count expressions into it expands
+    the regexp_replace subtrees exponentially (2^classes copies) and
+    blows the JVM method-size limit — codegen falls back to
+    interpreted.  Materializing counts as attributes first keeps the
+    walk over cheap column refs (the same aux-column discipline as the
+    packed HOF folds in qualityfilter.py)."""
+    stripped = df.select(*keep_cols,
+                         F.regexp_replace(F.col(text_col), "\\s", "")
+                         .alias("__s"))
+    counted = stripped.select(
+        *keep_cols,
+        F.length("__s").alias("__n"),
+        *[_count(F.col("__s"), cls).alias(f"__c_{name}")
+          for name, cls in SCRIPT_CLASSES])
+    g1 = F.greatest(F.col("__n"), F.lit(1))
+    return counted.select(
+        *keep_cols,
+        F.col("__n"),
+        *[F.round(F.col(f"__c_{name}") / g1, 6).alias(f"__f_{name}")
+          for name, _ in SCRIPT_CLASSES],
+        F.round((F.col("__n") -
+                 sum(F.col(f"__c_{name}")
+                     for name, _ in SCRIPT_CLASSES)) / g1, 6)
+        .alias("__f_other"))
+
+
+def _dominant(with_name: bool):
+    """(dom_name, dom_frac) CASE walk over the materialized __f_*
+    columns — earlier SCRIPT_CLASSES entries win ties."""
+    dom_name, dom_frac = F.lit("other"), F.col("__f_other")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        take = F.col(f"__f_{name}") >= dom_frac
+        if with_name:
+            dom_name = F.when(take, F.lit(name)).otherwise(dom_name)
+        dom_frac = F.when(take, F.col(f"__f_{name}")).otherwise(dom_frac)
+    return dom_name, dom_frac
+
+
 def with_script_stats(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       min_dominant: float = 0.5) -> DataFrame:
@@ -48,25 +92,13 @@ def with_script_stats(df: DataFrame, text_col: str = "text",
     ``script_keep`` is False when the dominant class covers less than
     ``min_dominant`` of the scored chars.  Empty documents keep with
     dominant 'other' and all fractions 0."""
-    t = F.col(text_col)
-    stripped = F.regexp_replace(t, "\\s", "")
-    n = F.length(stripped)
-    counts = {name: _count(stripped, cls)
-              for name, cls in SCRIPT_CLASSES}
-    fracs = {name: F.round(c / F.greatest(n, F.lit(1)), 6)
-             for name, c in counts.items()}
-    other = F.round((n - sum(counts.values())) /
-                    F.greatest(n, F.lit(1)), 6)
-    dom_name, dom_frac = F.lit("other"), other
-    # walk the classes in REVERSE priority so earlier classes win ties
-    for name, _ in reversed(SCRIPT_CLASSES):
-        take = fracs[name] >= dom_frac
-        dom_name = F.when(take, F.lit(name)).otherwise(dom_name)
-        dom_frac = F.when(take, fracs[name]).otherwise(dom_frac)
-    return df.select(
+    fr = _with_fracs(df, text_col, [id_col])
+    dom_name, dom_frac = _dominant(with_name=True)
+    n = F.col("__n")
+    return fr.select(
         F.col(id_col),
         n.alias("n_scored"),
-        *[fracs[name].alias(f"{name}_frac")
+        *[F.col(f"__f_{name}").alias(f"{name}_frac")
           for name, _ in SCRIPT_CLASSES],
         F.when(n == 0, F.lit("other")).otherwise(dom_name)
         .alias("dominant"),
@@ -105,3 +137,40 @@ def script_stats_sql(docs_sql: str, text_expr: str = "text",
         f"{dom_frac} >= {min_dominant} END AS script_keep "
         f"FROM (SELECT {id_expr} AS doc_id, {stripped} AS s "
         f"FROM ({docs_sql})) ORDER BY doc_id")
+
+
+def with_script_gate(df: DataFrame, text_col: str,
+                     min_dominant: float = 0.5,
+                     flag_col: str = "script_keep") -> DataFrame:
+    """``df`` plus a boolean ``flag_col`` (dominant-script coverage >=
+    ``min_dominant``; empty docs keep) — the gate-only form for fused
+    cleaning passes, built over the same materialized aux columns as
+    :func:`with_script_stats` so codegen never sees the exponential
+    CASE expansion."""
+    keep = [c for c in df.columns]
+    fr = _with_fracs(df, text_col, keep)
+    _, dom_frac = _dominant(with_name=False)
+    return fr.select(
+        *keep,
+        F.when(F.col("__n") == 0, F.lit(True))
+        .otherwise(dom_frac >= F.lit(min_dominant)).alias(flag_col))
+
+
+def script_keep_sql(text_expr: str, min_dominant: float = 0.5) -> str:
+    """DuckDB mirror of :func:`script_keep` (inlines the stripped-text
+    expression; verbose but engine-exact)."""
+    s = f"regexp_replace({text_expr}, '\\s', '', 'g')"
+    n = f"length({s})"
+    counts = {name: (f"(length({s}) - length(regexp_replace({s}, "
+                     f"'{cls}', '', 'g')))")
+              for name, cls in SCRIPT_CLASSES}
+    fracs = {name: f"round({c} * 1.0 / greatest({n}, 1), 6)"
+             for name, c in counts.items()}
+    other = (f"round(({n} - ({' + '.join(counts.values())})) * 1.0 / "
+             f"greatest({n}, 1), 6)")
+    dom_frac = other
+    for name, _ in reversed(SCRIPT_CLASSES):
+        dom_frac = (f"CASE WHEN {fracs[name]} >= {dom_frac} "
+                    f"THEN {fracs[name]} ELSE {dom_frac} END")
+    return (f"CASE WHEN {n} = 0 THEN true ELSE "
+            f"{dom_frac} >= {min_dominant} END")

@@ -194,3 +194,108 @@ def drift_topk_sql(slice_a_sql: str, slice_b_sql: str,
         f"ORDER BY kl_term DESC, word) AS rank FROM scored) "
         f"SELECT word, p_a, p_b, kl_term, rank FROM ranked "
         f"WHERE rank <= {k} ORDER BY rank")
+
+
+def shingle_novelty(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, n_shingles, novelty): the fraction of a document's distinct
+    n-word shingles that occur in NO other document — the
+    original-content signal (templated/syndicated pages score near 0,
+    genuinely new text near 1).  The complement of what the dedup
+    family measures: instead of finding the pairs, it scores how much
+    of each doc is unshared mass.
+
+    Scale shape: shingles leave the doc once as md5-free strings; one
+    shingle-keyed agg computes corpus document frequency (map-side
+    combine collapses boilerplate shingles); one id-keyed agg folds the
+    per-doc fraction.  Documents with zero shingles (shorter than n
+    words) score novelty 1.0 — nothing in them is copied.
+    """
+    from nacc_form_validator_spark.operators.dedup import _with_shingles
+    sh = _with_shingles(docs, text_col, id_col, n)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("dfreq"))
+    per = (ex.join(freq, "s")
+           .groupBy("id")
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+                .alias("novel")))
+    base = docs.select(F.col(id_col).alias("id"))
+    return (base.join(per, "id", "left")
+            .select("id",
+                    F.coalesce("n_shingles", F.lit(0))
+                    .alias("n_shingles"),
+                    F.round(F.coalesce(F.col("novel") /
+                                       F.col("n_shingles"),
+                                       F.lit(1.0)), 6).alias("novelty"))
+            .orderBy("id"))
+
+
+def shingle_novelty_sql(n: int = 3) -> str:
+    """DuckDB oracle for :func:`shingle_novelty` over ``documents``."""
+    w = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+    sh = (f"list_distinct(list_filter(list_transform(range(0, "
+          f"greatest(len({w}) - {n}, 0) + 1), i -> array_to_string("
+          f"list_slice({w}, i + 1, i + {n}), ' ')), s -> s <> ''))")
+    return (
+        f"WITH ex AS (SELECT doc_id AS id, unnest({sh}) AS s "
+        f"FROM documents), "
+        f"freq AS (SELECT s, count(*) AS dfreq FROM ex GROUP BY s), "
+        f"per AS (SELECT id, count(*) AS n_shingles, "
+        f"sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS novel "
+        f"FROM ex JOIN freq USING (s) GROUP BY id) "
+        f"SELECT d.doc_id AS id, coalesce(n_shingles, 0) AS n_shingles, "
+        f"round(coalesce(novel * 1.0 / n_shingles, 1.0), 6) AS novelty "
+        f"FROM documents d LEFT JOIN per ON d.doc_id = per.id "
+        f"ORDER BY id")
+
+
+def token_fertility(docs: DataFrame, lang_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """(lang, n_docs, fertility, chars_per_token): per-language
+    tokenizer fertility — subword tokens per whitespace word, and chars
+    per subword token, under the corpus's BPE-ish segmentation
+    (operators/textstats.py).  THE multilingual-budget metric: a
+    language with fertility 3 costs 3x the sequence length per word,
+    which mixture planning (operators/sampling.py) must price in.
+
+    One row-side projection (both token counts are in-row expressions)
+    + one lang-keyed agg; exact integer sums, ratios rounded to 6.
+    """
+    from nacc_form_validator_spark.operators.textstats import (
+        bpeish_token_count, whitespace_token_count)
+    t = F.col(text_col)
+    per = docs.select(F.col(lang_col).alias("lang"),
+                      whitespace_token_count(t).alias("ws"),
+                      bpeish_token_count(t).alias("bpe"),
+                      F.length(t).alias("chars"))
+    return (per.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum("bpe") /
+                         F.greatest(F.sum("ws"), F.lit(1)), 6)
+                 .alias("fertility"),
+                 F.round(F.sum("chars") /
+                         F.greatest(F.sum("bpe"), F.lit(1)), 6)
+                 .alias("chars_per_token"))
+            .orderBy("lang"))
+
+
+def token_fertility_sql() -> str:
+    """DuckDB oracle for :func:`token_fertility` over ``documents``
+    (same BPE-ish segmentation as plans/oracle.py tokens_quality_sql)."""
+    from nacc_form_validator_spark.operators.textstats import (
+        BPE_ISH_PATTERN)
+    ws = ("len(list_filter(string_split(regexp_replace(text, '\\s+', "
+          "' ', 'g'), ' '), x -> x <> ''))")
+    pieces = f"regexp_extract_all(text, '({BPE_ISH_PATTERN})', 1)"
+    bpe = (f"(len({pieces}) + coalesce(list_sum(list_transform("
+           f"{pieces}, p -> CASE WHEN length(p) > 6 THEN "
+           f"CAST(floor((length(p) - 1) / 6) AS BIGINT) "
+           f"ELSE 0 END)), 0))")
+    return (
+        f"SELECT lang, count(*) AS n_docs, "
+        f"round(sum({bpe}) * 1.0 / greatest(sum({ws}), 1), 6) "
+        f"AS fertility, "
+        f"round(sum(length(text)) * 1.0 / greatest(sum({bpe}), 1), 6) "
+        f"AS chars_per_token "
+        f"FROM documents GROUP BY lang ORDER BY lang")

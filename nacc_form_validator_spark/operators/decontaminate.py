@@ -52,3 +52,46 @@ def contamination_report(docs: DataFrame, probes: DataFrame, n: int = 4,
                                   "matched_ngrams")))
     return (out.withColumn("contaminated", F.col("matched_ngrams") > 0)
             .orderBy(id_col))
+
+
+def semantic_decontaminate(corpus_emb: DataFrame, bench_emb: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95) -> DataFrame:
+    """(id, max_cos, contaminated): embedding-level decontamination —
+    every corpus vector scored by its maximum cosine against the
+    benchmark/eval embedding set.
+
+    N-gram decontamination (:func:`contamination_report`) misses
+    PARAPHRASED eval leakage (reworded questions share no 4-gram);
+    the semantic pass catches it at the embedding layer.  The
+    complement relationship is the same as jaccard-vs-edit in the
+    dedup family: run both, union the flags.
+
+    Scale shape: the benchmark side is eval-suite-sized (10^4-10^6
+    vectors) — norm-prepped once and BROADCAST; the corpus side
+    streams through one map-side cross-score + a per-id max
+    aggregation on the already-unique id (no corpus shuffle).  At
+    10^12 corpus rows this is a single linear pass; if the bench set
+    outgrows broadcast, the LSH-bucketed variant
+    (dedup.embedding_neardup_pairs_lsh's band plan) is the swap-in.
+    Per-pair cosine is rounded to 6 BEFORE the max, so the aggregate
+    is order-independent and engine-exact.
+    """
+    from nacc_form_validator_spark.operators.simsearch import (
+        cosine_prepped, vec_prep)
+    c = vec_prep(corpus_emb.select(F.col(id_col).alias("id"),
+                                   F.col(vec_col).alias("vec")), "vec")
+    b = vec_prep(bench_emb.select(F.col(id_col).alias("bid"),
+                                  F.col(vec_col).alias("vec")), "vec")
+    scored = (c.crossJoin(F.broadcast(
+        b.select(F.col("vd").alias("bvd"), F.col("nrm").alias("bnrm"))))
+        .select("id",
+                F.round(cosine_prepped(F.col("vd"), F.col("bvd"),
+                                       F.col("nrm"), F.col("bnrm")),
+                        6).alias("cos")))
+    return (scored.groupBy("id")
+            .agg(F.max("cos").alias("max_cos"))
+            .select("id", "max_cos",
+                    (F.col("max_cos") >= threshold).alias("contaminated"))
+            .orderBy("id"))

@@ -94,6 +94,21 @@ def char_entropy(text: Column) -> Column:
     return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
 
 
+def quality_score_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`quality_score` — same terms over the
+    same (rounded) gopher_sql stats, same floor-half-up rounding."""
+    from nacc_form_validator_spark.functions.heuristics import gopher_sql
+    g = gopher_sql(text_expr)
+    length_term = f"least({g['n_words']} / 100.0, 1.0)"
+    symbol_term = (f"1.0 - least(coalesce({g['symbol_ratio']}, 1.0) * 3, "
+                   f"1.0)")
+    stop_term = f"least(coalesce({g['stopword_ratio']}, 0.0) * 8, 1.0)"
+    rep_term = f"1.0 - coalesce({g['word_rep_ratio']}, 1.0)"
+    return (f"floor((0.3 * ({length_term}) + 0.25 * ({symbol_term}) + "
+            f"0.2 * ({stop_term}) + 0.25 * ({rep_term})) * 1e6 + 0.5) "
+            f"/ 1e6")
+
+
 def char_entropy_sql(text_expr: str = "text") -> str:
     """DuckDB mirror of :func:`char_entropy` — same distinct/filter
     fold, same log2 arithmetic, same empty-string zero."""

@@ -496,20 +496,14 @@ def embedding_neardup_lsh_sql(threshold: float = 0.95, dim: int = 64,
 
 
 def tokens_quality_sql() -> str:
-    g = gopher_sql("text")
     ws = f"len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '), x -> x <> ''))"
     pieces = f"regexp_extract_all(text, '({BPE_ISH_PATTERN})', 1)"
     bpe = (f"len({pieces}) + list_sum(list_transform({pieces}, p -> CASE "
            f"WHEN length(p) > 6 THEN CAST(floor((length(p) - 1) / 6) AS "
            f"BIGINT) ELSE 0 END))")
-    length_term = f"least({g['n_words']} / 100.0, 1.0)"
-    symbol_term = (f"1.0 - least(coalesce({g['symbol_ratio']}, 1.0) * 3, "
-                   f"1.0)")
-    stop_term = f"least(coalesce({g['stopword_ratio']}, 0.0) * 8, 1.0)"
-    rep_term = f"1.0 - coalesce({g['word_rep_ratio']}, 1.0)"
-    score = (f"floor((0.3 * ({length_term}) + 0.25 * ({symbol_term}) + "
-             f"0.2 * ({stop_term}) + 0.25 * ({rep_term})) * 1e6 + 0.5) "
-             f"/ 1e6")
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score_sql)
+    score = quality_score_sql("text")
     w = f"list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> x <> '')"
     from nacc_form_validator_spark.operators.textstats import FINGERPRINT_MOD
     fold = (f"list_reduce(list_prepend(0::BIGINT, list_transform({w}, "
