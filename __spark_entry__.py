@@ -1674,6 +1674,90 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_stats(_docs(spark, sf_dir))
 
 
+def q_substring_dedup(spark, sf_dir):
+    """The REWRITE half of exact-substring dedup (operators/dedup.py
+    substring_dedup_text): every word position covered by a 6-gram
+    shared by >= 2 distinct docs is removed and the canonical text
+    rebuilt — Lee et al. 2022's span removal, not doc dropping."""
+    from nacc_form_validator_spark.operators.dedup import (
+        substring_dedup_text)
+    return substring_dedup_text(_docs(spark, sf_dir))
+
+
+def _substring_dedup_sql():
+    from nacc_form_validator_spark.plans.oracle import substring_dedup_sql
+    return substring_dedup_sql()
+
+
+def _mirrored_pages(spark, sf_dir):
+    """Pages fixture with real mirrors: every doc on its home host,
+    and every doc_id % 5 == 0 doc ALSO served verbatim from a second
+    host under a different path (a clone site)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(
+        F.concat(F.lit("https://host"), F.col("doc_id") % 16,
+                 F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        "text")
+    clone = (d.where(F.col("doc_id") % 5 == 0)
+             .select(
+                 F.concat(F.lit("https://m"), (F.col("doc_id") + 7) % 16,
+                          F.lit(".example/mirror/"),
+                          F.col("doc_id")).alias("url"),
+                 "text"))
+    return base.unionAll(clone)
+
+
+_MIRRORED_PAGES_SQL = (
+    "SELECT 'https://host' || doc_id % 16 || '.example/p/' || doc_id "
+    "AS url, text FROM documents UNION ALL "
+    "SELECT 'https://m' || (doc_id + 7) % 16 || '.example/mirror/' || "
+    "doc_id AS url, text FROM documents WHERE doc_id % 5 = 0")
+
+
+def q_mirror_stats(spark, sf_dir):
+    """Per-host mirrored-content fraction (operators/mirrors.py
+    mirror_stats): pages whose exact-dedup digest is served by >= 2
+    distinct hosts — the frontier-demotion signal for clone sites."""
+    from nacc_form_validator_spark.operators.mirrors import mirror_stats
+    return mirror_stats(_mirrored_pages(spark, sf_dir))
+
+
+def _mirror_stats_sql():
+    from nacc_form_validator_spark.operators.mirrors import (
+        mirror_stats_sql)
+    return mirror_stats_sql(_MIRRORED_PAGES_SQL)
+
+
+def q_mirrored_content(spark, sf_dir):
+    """Most-mirrored content items (operators/mirrors.py
+    mirrored_content): digest-level host/copy counts + the canonical
+    (min) url — the canonical-source selection table."""
+    from nacc_form_validator_spark.operators.mirrors import (
+        mirrored_content)
+    return mirrored_content(_mirrored_pages(spark, sf_dir))
+
+
+def _mirrored_content_sql():
+    from nacc_form_validator_spark.operators.mirrors import (
+        mirrored_content_sql)
+    return mirrored_content_sql(_MIRRORED_PAGES_SQL)
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (operators/cdc.py
+    cdc_chunk_stats): md5-gated word-stream chunk boundaries (expected
+    8-word chunks) -> chunk-digest doc frequency -> per-doc duplicated
+    chunk fraction; insertion-robust where fixed n-grams shift."""
+    from nacc_form_validator_spark.operators.cdc import cdc_chunk_stats
+    return cdc_chunk_stats(_docs(spark, sf_dir))
+
+
+def _cdc_chunks_sql():
+    from nacc_form_validator_spark.operators.cdc import (
+        cdc_chunk_stats_sql)
+    return cdc_chunk_stats_sql()
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF keyword extraction: top-5 terms per doc; score
     rounded before ranking + term tiebreak so both engines rank alike."""
@@ -2964,6 +3048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "substring_dedup": q_substring_dedup,
+        "mirror_stats": q_mirror_stats,
+        "mirrored_content": q_mirrored_content,
+        "cdc_chunks": q_cdc_chunks,
         "pmi_collocations": q_pmi_collocations,
         "zipf_slope": q_zipf_slope,
         "corpus_divergence": q_corpus_divergence,
@@ -3115,6 +3203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "substring_dedup": _substring_dedup_sql(),
+        "mirror_stats": _mirror_stats_sql(),
+        "mirrored_content": _mirrored_content_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zipf_slope": _zipf_slope_sql(),
         "corpus_divergence": _corpus_divergence_sql(),

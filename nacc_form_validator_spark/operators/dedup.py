@@ -1052,3 +1052,67 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         .orderBy("id_a", "id_b"))
     out._persisted_intermediates = [sh]
     return out
+
+
+def substring_dedup_text(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 6,
+                         min_doc_freq: int = 2) -> DataFrame:
+    """(id, n_words, n_removed, clean_text): the REWRITE half of
+    exact-substring deduplication — Lee et al. 2022 remove every span
+    that appears verbatim elsewhere in the corpus rather than dropping
+    whole documents.  A word position is removed when it is covered by
+    ANY n-word gram occurring in >= ``min_doc_freq`` distinct
+    documents; the surviving words are re-joined (whitespace-collapsed
+    canonical form, matching :func:`exact_substring_stats`'s gram
+    space exactly, so ``dup_positions > 0`` there implies
+    ``n_removed > 0`` here).
+
+    Reference parity: the reference validator rewrites nothing — this
+    is corpus-payload surface; the closest analogue is its scrub-style
+    "fix the record, keep the lineage" shape (docs/validate_csv
+    error channel), which the (n_words, n_removed) pair mirrors.
+
+    Scale shape: identical to exact_substring_stats up to the
+    duplicated-gram probe — grams leave documents as 16-byte md5 keys,
+    one count-distinct aggregate, and the positioned gram table is
+    persisted because it feeds both the frequency aggregate and the
+    probe join.  The NEW work is bounded by the duplicated positions
+    only: covered word indices explode n-per-dup-position, collapse to
+    one int-set per affected doc, and rebuild is an index-filter HOF
+    over the words array — docs with no duplicated span never shuffle.
+    """
+    ww = (df.select(F.col(id_col).alias("id"),
+                    F.filter(F.split(normalized(F.col(text_col)), " "),
+                             lambda x: x != "").alias("w")))
+    idx = F.sequence(F.lit(0), F.size("w") - n)
+    # consumed twice (gram-frequency agg + dup-position probe)
+    pos = (ww.where(F.size("w") >= n)
+           .select("id", F.explode(idx).alias("i"), F.col("w"))
+           .select("id", "i",
+                   F.md5(F.array_join(
+                       F.slice(F.col("w"), F.col("i") + 1, n),
+                       " ")).alias("gh"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    freq = (pos.groupBy("gh")
+            .agg(F.count_distinct("id").alias("df"))
+            .where(F.col("df") >= min_doc_freq)
+            .select("gh"))
+    cov = (pos.join(freq, "gh")
+           .select("id", F.explode(
+               F.sequence(F.col("i"), F.col("i") + n - 1)).alias("j"))
+           .groupBy("id")
+           .agg(F.collect_set("j").alias("cov")))
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("cov"), F.array().cast("array<int>")), i))
+    out = (ww.join(cov, "id", "left")
+           .select(
+               "id",
+               F.size("w").cast("long").alias("n_words"),
+               F.coalesce(F.size("cov"), F.lit(0)).cast("long")
+               .alias("n_removed"),
+               F.array_join(kept, " ").alias("clean_text"))
+           .orderBy("id"))
+    out._persisted_intermediates = [pos]
+    return out

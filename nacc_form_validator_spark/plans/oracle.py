@@ -1684,6 +1684,31 @@ def exact_substring_sql(n: int = 6, min_doc_freq: int = 2) -> str:
         f"ORDER BY id")
 
 
+def substring_dedup_sql(n: int = 6, min_doc_freq: int = 2) -> str:
+    """Oracle for operators/dedup.py substring_dedup_text: drop every
+    word position covered by a gram shared by >= min_doc_freq distinct
+    docs, rebuild the canonical text from the survivors (DuckDB's
+    indexed list_filter lambda is 1-based; the cov set is 0-based to
+    match the Spark side, hence the i - 1)."""
+    w = f"list_filter(string_split({NORM}, ' '), x -> x <> '')"
+    return (
+        f"WITH ww AS (SELECT doc_id AS id, {w} AS w FROM documents), "
+        f"pos AS (SELECT id, i, md5(array_to_string(list_slice(w, "
+        f"i + 1, i + {n}), ' ')) AS gh FROM ww, unnest(range(0, "
+        f"len(w) - {n} + 1)) AS t(i) WHERE len(w) >= {n}), "
+        f"freq AS (SELECT gh FROM pos GROUP BY gh "
+        f"HAVING count(DISTINCT id) >= {min_doc_freq}), "
+        f"cov AS (SELECT id, list(DISTINCT j) AS cov FROM (SELECT "
+        f"pos.id, unnest(range(i, i + {n})) AS j FROM pos "
+        f"JOIN freq ON pos.gh = freq.gh) GROUP BY id) "
+        f"SELECT ww.id AS id, CAST(len(w) AS BIGINT) AS n_words, "
+        f"CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed, "
+        f"coalesce(array_to_string(list_filter(w, (x, i) -> "
+        f"NOT list_contains(coalesce(cov, []::BIGINT[]), i - 1)), "
+        f"' '), '') AS clean_text "
+        f"FROM ww LEFT JOIN cov ON ww.id = cov.id ORDER BY id")
+
+
 def _bpe_ctes(merges: int) -> list:
     """Shared CTE chain for the BPE oracles: word counts -> char
     symbols (carrying the word) -> ``merges`` unrolled argmax+merge
