@@ -1758,6 +1758,66 @@ def _cdc_chunks_sql():
     return cdc_chunk_stats_sql()
 
 
+def _templated_pages(spark, sf_dir):
+    """Pages fixture with per-host template lines: every page on a
+    host shares that host's nav + copyright lines around its body."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    h = (F.col("doc_id") % 8).cast("string")
+    return d.select(
+        F.concat(F.lit("https://site"), h, F.lit(".example/p/"),
+                 F.col("doc_id")).alias("url"),
+        F.concat(F.lit("Home | About site"), h, F.lit("\n"),
+                 F.col("text"), F.lit("\nCopyright site"), h)
+        .alias("text"))
+
+
+_TEMPLATED_PAGES_SQL = (
+    "SELECT 'https://site' || doc_id % 8 || '.example/p/' || doc_id "
+    "AS url, 'Home | About site' || doc_id % 8 || chr(10) || text || "
+    "chr(10) || 'Copyright site' || doc_id % 8 AS text FROM documents")
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Per-HOST template-line stripping (operators/boilerplate.py
+    remove_host_boilerplate): lines shared by >= 3 pages of the SAME
+    host removed — the site-template pass corpus-level df misses on
+    small sites."""
+    from nacc_form_validator_spark.operators.boilerplate import (
+        remove_host_boilerplate)
+    return remove_host_boilerplate(_templated_pages(spark, sf_dir))
+
+
+def _host_boilerplate_sql():
+    from nacc_form_validator_spark.operators.boilerplate import (
+        host_boilerplate_sql)
+    return host_boilerplate_sql(_TEMPLATED_PAGES_SQL)
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Sentence-length burstiness (operators/textstats.py
+    sentence_stats): per-doc sentence count, mean words/sentence, and
+    the coefficient of variation — low CV on long docs is the cheap
+    generated-text/template signal.  Pure projection, zero shuffles."""
+    from nacc_form_validator_spark.operators.textstats import (
+        sentence_stats)
+    s = sentence_stats(F.col("text"))
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("id"),
+                    s["n_sents"].alias("n_sents"),
+                    s["mean_sent_words"].alias("mean_sent_words"),
+                    s["sent_cv"].alias("sent_cv"))
+            .orderBy("id"))
+
+
+def _sentence_stats_sql():
+    from nacc_form_validator_spark.operators.textstats import (
+        sentence_stats_sql)
+    m = sentence_stats_sql("text")
+    return (f"SELECT doc_id AS id, {m['n_sents']} AS n_sents, "
+            f"{m['mean_sent_words']} AS mean_sent_words, "
+            f"{m['sent_cv']} AS sent_cv FROM documents ORDER BY id")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus TF-IDF keyword extraction: top-5 terms per doc; score
     rounded before ranking + term tiebreak so both engines rank alike."""
@@ -3052,6 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
         "cdc_chunks": q_cdc_chunks,
+        "host_boilerplate": q_host_boilerplate,
+        "sentence_stats": q_sentence_stats,
         "pmi_collocations": q_pmi_collocations,
         "zipf_slope": q_zipf_slope,
         "corpus_divergence": q_corpus_divergence,
@@ -3207,6 +3269,8 @@ def oracle_sql() -> dict[str, str]:
         "mirror_stats": _mirror_stats_sql(),
         "mirrored_content": _mirrored_content_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
+        "host_boilerplate": _host_boilerplate_sql(),
+        "sentence_stats": _sentence_stats_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zipf_slope": _zipf_slope_sql(),
         "corpus_divergence": _corpus_divergence_sql(),

@@ -217,7 +217,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "semantic_decontaminate", "shingle_novelty",
                  "token_fertility", "quality_signals",
                  "threshold_sweep", "substring_dedup", "mirror_stats",
-                 "mirrored_content", "cdc_chunks"]:
+                 "mirrored_content", "cdc_chunks", "host_boilerplate",
+                 "sentence_stats"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -118,3 +118,63 @@ def char_entropy_sql(text_expr: str = "text") -> str:
     return (f"CASE WHEN len({chars}) > 0 THEN "
             f"round(list_sum(list_transform(list_distinct({chars}), "
             f"c -> -{p} * log2({p}))), 6) ELSE 0.0 END")
+
+
+def sentence_stats(text: Column) -> Column:
+    """struct(n_sents, mean_sent_words, sent_cv): sentence-length
+    burstiness — the coefficient of variation (population stddev /
+    mean) of per-sentence word counts.
+
+    Human prose is BURSTY (sentence lengths vary widely); templated
+    and machine-generated filler is uniform — a low ``sent_cv`` on a
+    long doc is the classic cheap generated-text / template signal
+    (public heuristic, e.g. GLTR-era burstiness analyses).  Sentences
+    split on terminal punctuation runs followed by whitespace; word
+    counts, sums and squares are exact integers inside the row, so the
+    only float work is two divisions and a sqrt — zero shuffles, zero
+    Python, deterministic across engines.
+    """
+    sents = F.filter(
+        F.transform(F.split(text, r"[.!?]+\s+"), lambda s: F.trim(s)),
+        lambda s: s != "")
+    lens = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(s, r"\s+"),
+                                  lambda x: x != "")))
+    n = F.size(lens)
+    tot = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    tot2 = F.aggregate(lens, F.lit(0).cast("long"),
+                       lambda a, x: a + x.cast("long") * x)
+    mean = tot / n
+    var = tot2 / n - mean * mean
+    cv = F.when((n > 0) & (mean > 0),
+                F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6)
+                ).otherwise(F.lit(0.0))
+    return F.struct(
+        n.cast("long").alias("n_sents"),
+        F.when(n > 0, F.round(mean, 6)).otherwise(F.lit(0.0))
+        .alias("mean_sent_words"),
+        cv.alias("sent_cv"))
+
+
+def sentence_stats_sql(text_expr: str = "text") -> dict:
+    """DuckDB mirrors of :func:`sentence_stats`'s three fields."""
+    sents = (f"list_filter(list_transform(string_split_regex("
+             f"{text_expr}, '[.!?]+\\s+'), s -> trim(s)), "
+             f"s -> s <> '')")
+    lens = (f"list_transform({sents}, s -> len(list_filter("
+            f"string_split_regex(s, '\\s+'), x -> x <> '')))")
+    n = f"len({lens})"
+    tot = f"list_sum(list_transform({lens}, x -> CAST(x AS BIGINT)))"
+    tot2 = (f"list_sum(list_transform({lens}, x -> CAST(x AS BIGINT) "
+            f"* x))")
+    mean = f"({tot} / {n})"
+    var = f"({tot2} / {n} - {mean} * {mean})"
+    return {
+        "n_sents": f"CAST({n} AS BIGINT)",
+        "mean_sent_words": (f"CASE WHEN {n} > 0 THEN round({mean}, 6) "
+                            f"ELSE 0.0 END"),
+        "sent_cv": (f"CASE WHEN {n} > 0 AND {mean} > 0 THEN "
+                    f"round(sqrt(greatest({var}, 0.0)) / {mean}, 6) "
+                    f"ELSE 0.0 END"),
+    }

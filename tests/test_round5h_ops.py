@@ -176,3 +176,75 @@ def test_cdc_empty_doc_zero_chunks(spark):
     ).collect()}
     assert rows[0]["n_chunks"] == 0
     assert rows[0]["dup_fraction"] == 0.0
+
+
+# --------------------------------------------- host-level boilerplate
+def test_host_boilerplate_strips_per_host_templates(spark):
+    from nacc_form_validator_spark.operators.boilerplate import (
+        remove_host_boilerplate)
+    pages = []
+    for h in ("a", "b"):
+        for i in range(3):
+            pages.append((f"https://{h}.example/{i}",
+                          f"NAV {h}\nbody {h} {i}\nFOOT {h}"))
+    rows = {r["url"]: r for r in remove_host_boilerplate(
+        _pages(spark, pages), min_df=3).collect()}
+    for h in ("a", "b"):
+        for i in range(3):
+            r = rows[f"https://{h}.example/{i}"]
+            assert r["clean_text"] == f"body {h} {i}"
+            assert (r["n_lines"], r["n_stripped"]) == (3, 2)
+
+
+def test_host_boilerplate_is_host_scoped(spark):
+    """A line shared across hosts but < min_df within each host
+    survives — host df, not corpus df."""
+    from nacc_form_validator_spark.operators.boilerplate import (
+        remove_host_boilerplate)
+    pages = [(f"https://h{i}.example/p", "SHARED EVERYWHERE\nown body")
+             for i in range(5)]
+    out = remove_host_boilerplate(_pages(spark, pages), min_df=3)
+    for r in out.collect():
+        assert r["n_stripped"] == 0
+        assert r["clean_text"] == "SHARED EVERYWHERE\nown body"
+
+
+# ---------------------------------------------- sentence burstiness
+def test_sentence_stats_hand_case(spark):
+    from nacc_form_validator_spark.operators.textstats import (
+        sentence_stats)
+    # sentences: 2, 4, 6 words -> mean 4, var ((4+0+4)/3)=8/3, cv
+    text = "two words. now four words here! and now six words in all?"
+    s = sentence_stats(F.col("text"))
+    [r] = (_docs(spark, [text])
+           .select(s["n_sents"].alias("n"),
+                   s["mean_sent_words"].alias("m"),
+                   s["sent_cv"].alias("cv")).collect())
+    assert r["n"] == 3
+    assert r["m"] == 4.0
+    assert r["cv"] == round((8.0 / 3) ** 0.5 / 4, 6)
+
+
+def test_sentence_stats_uniform_vs_bursty(spark):
+    from nacc_form_validator_spark.operators.textstats import (
+        sentence_stats)
+    uniform = "aa bb cc. dd ee ff. gg hh ii."
+    bursty = "aa. bb cc dd ee ff gg hh ii jj kk. ll."
+    s = sentence_stats(F.col("text"))
+    rows = (_docs(spark, [uniform, bursty])
+            .select("doc_id", s["sent_cv"].alias("cv"))
+            .collect())
+    cv = {r["doc_id"]: r["cv"] for r in rows}
+    assert cv[0] == 0.0
+    assert cv[1] > 1.0
+
+
+def test_sentence_stats_empty(spark):
+    from nacc_form_validator_spark.operators.textstats import (
+        sentence_stats)
+    s = sentence_stats(F.col("text"))
+    [r] = (_docs(spark, [""])
+           .select(s["n_sents"].alias("n"),
+                   s["mean_sent_words"].alias("m"),
+                   s["sent_cv"].alias("cv")).collect())
+    assert (r["n"], r["m"], r["cv"]) == (0, 0.0, 0.0)
