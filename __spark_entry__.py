@@ -1793,6 +1793,38 @@ def _host_boilerplate_sql():
     return host_boilerplate_sql(_TEMPLATED_PAGES_SQL)
 
 
+def q_source_health(spark, sf_dir):
+    """Per-source corpus health dashboard (operators/corpusstats.py
+    source_health): doc/lang counts, exact-dup ratio, junk-page rate,
+    mean quality and length per ingest source — ONE groupBy(source)
+    aggregate, corpus scanned once."""
+    from nacc_form_validator_spark.operators.corpusstats import (
+        source_health)
+    return source_health(_docs(spark, sf_dir))
+
+
+def _source_health_sql():
+    from nacc_form_validator_spark.operators.corpusstats import (
+        source_health_sql)
+    return source_health_sql()
+
+
+def q_main_block(spark, sf_dir):
+    """Readability-style main-content block (operators/mainblock.py
+    main_block_extract): max-sum contiguous line block under
+    word_count - 4 line scores, Kadane as a linear in-row fold —
+    exact integer arithmetic, zero shuffles."""
+    from nacc_form_validator_spark.operators.mainblock import (
+        main_block_extract)
+    return main_block_extract(_docs(spark, sf_dir))
+
+
+def _main_block_sql():
+    from nacc_form_validator_spark.operators.mainblock import (
+        main_block_sql)
+    return main_block_sql()
+
+
 def q_sentence_stats(spark, sf_dir):
     """Sentence-length burstiness (operators/textstats.py
     sentence_stats): per-doc sentence count, mean words/sentence, and
@@ -3114,6 +3146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "host_boilerplate": q_host_boilerplate,
         "sentence_stats": q_sentence_stats,
+        "source_health": q_source_health,
+        "main_block": q_main_block,
         "pmi_collocations": q_pmi_collocations,
         "zipf_slope": q_zipf_slope,
         "corpus_divergence": q_corpus_divergence,
@@ -3271,6 +3305,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_chunks_sql(),
         "host_boilerplate": _host_boilerplate_sql(),
         "sentence_stats": _sentence_stats_sql(),
+        "source_health": _source_health_sql(),
+        "main_block": _main_block_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zipf_slope": _zipf_slope_sql(),
         "corpus_divergence": _corpus_divergence_sql(),

@@ -299,3 +299,68 @@ def token_fertility_sql() -> str:
         f"round(sum(length(text)) * 1.0 / greatest(sum({bpe}), 1), 6) "
         f"AS chars_per_token "
         f"FROM documents GROUP BY lang ORDER BY lang")
+
+
+def source_health(docs: DataFrame, source_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """(source, n_docs, n_langs, dup_ratio, junk_rate, mean_quality,
+    mean_chars): the per-SOURCE corpus health dashboard — one row per
+    ingest source, the table an operator looks at before deciding to
+    re-crawl, re-extract, or drop a feed.
+
+    dup_ratio = 1 - distinct exact-dedup digests / docs (a feed
+    re-serving the same pages); junk_rate = fraction of docs with any
+    junk-phrase hit (soft-404 floods); mean_quality = mean composite
+    quality score; mean_chars is exact-integer arithmetic.
+
+    Reference parity: the per-source recast of the reference's
+    validation summaries (its ErrorHandler counts per rule; here per
+    SOURCE — SURVEY.md §2.7 corpus surface).
+
+    Scale shape: ONE groupBy(source) aggregate with map-side partials;
+    every signal is an expression over the row (digest, junk hits,
+    quality score), so the corpus is scanned once and only per-source
+    partial aggregates shuffle.  Sources are few (thousands at most) —
+    the result is driver-sized.
+    """
+    from nacc_form_validator_spark.functions.junkpages import junk_hits
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score)
+    t = F.col(text_col)
+    return (docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.md5(normalized(t)).alias("digest"),
+        (junk_hits(t) > 0).cast("int").alias("junky"),
+        quality_score(t).alias("q"),
+        F.length(t).alias("nc"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.count_distinct("lang").cast("long").alias("n_langs"),
+             F.round(1 - F.count_distinct("digest") / F.count("*"), 6)
+             .alias("dup_ratio"),
+             F.round(F.sum("junky") / F.count("*"), 6)
+             .alias("junk_rate"),
+             F.round(F.avg("q"), 6).alias("mean_quality"),
+             F.round(F.avg("nc"), 6).alias("mean_chars"))
+        .orderBy("source"))
+
+
+def source_health_sql() -> str:
+    """DuckDB mirror of :func:`source_health` over ``documents``."""
+    from nacc_form_validator_spark.functions.junkpages import (
+        junk_hits_sql)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score_sql)
+    digest = f"md5({_NORM_SQL})"
+    return (
+        f"SELECT source, count(*) AS n_docs, "
+        f"CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        f"round(1 - count(DISTINCT {digest}) * 1.0 / count(*), 6) AS "
+        f"dup_ratio, "
+        f"round(sum(CASE WHEN {junk_hits_sql('text')} > 0 THEN 1 "
+        f"ELSE 0 END) * 1.0 / count(*), 6) AS junk_rate, "
+        f"round(avg({quality_score_sql('text')}), 6) AS mean_quality, "
+        f"round(avg(length(text)), 6) AS mean_chars "
+        f"FROM documents GROUP BY source ORDER BY source")
