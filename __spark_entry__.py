@@ -1825,6 +1825,49 @@ def _main_block_sql():
     return main_block_sql()
 
 
+_RECRAWL_OLD_SQL = (
+    "SELECT 'https://h' || doc_id % 16 || '.example/p/' || doc_id "
+    "AS url, text FROM documents")
+
+_RECRAWL_NEW_SQL = (
+    "SELECT 'https://h' || doc_id % 16 || '.example/p/' || doc_id "
+    "AS url, CASE WHEN doc_id % 3 = 0 THEN text || "
+    "' appended update words block' WHEN doc_id % 3 = 1 THEN "
+    "replace(text, 'a', 'o') ELSE text END AS text FROM documents")
+
+
+def _recrawl_sides(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("https://h"), F.col("doc_id") % 16,
+                   F.lit(".example/p/"), F.col("doc_id")).alias("url")
+    old = d.select(url, "text")
+    new_text = (F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(F.col("text"),
+                                F.lit(" appended update words block")))
+                .when(F.col("doc_id") % 3 == 1,
+                      F.replace(F.col("text"), F.lit("a"), F.lit("o")))
+                .otherwise(F.col("text")))
+    new = d.select(url, new_text.alias("text"))
+    return old, new
+
+
+def q_recrawl_chunk_delta(spark, sf_dir):
+    """Chunk-level recrawl change measurement (operators/cdc.py
+    recrawl_chunk_delta): per-url CDC chunk Jaccard between two crawl
+    snapshots — HOW MUCH changed, not just whether (appended-paragraph
+    edits keep high Jaccard, rewrites drop to ~0)."""
+    from nacc_form_validator_spark.operators.cdc import (
+        recrawl_chunk_delta)
+    old, new = _recrawl_sides(spark, sf_dir)
+    return recrawl_chunk_delta(old, new)
+
+
+def _recrawl_chunk_delta_sql():
+    from nacc_form_validator_spark.operators.cdc import (
+        recrawl_chunk_delta_sql)
+    return recrawl_chunk_delta_sql(_RECRAWL_OLD_SQL, _RECRAWL_NEW_SQL)
+
+
 def q_sentence_stats(spark, sf_dir):
     """Sentence-length burstiness (operators/textstats.py
     sentence_stats): per-doc sentence count, mean words/sentence, and
@@ -3148,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": q_sentence_stats,
         "source_health": q_source_health,
         "main_block": q_main_block,
+        "recrawl_chunk_delta": q_recrawl_chunk_delta,
         "pmi_collocations": q_pmi_collocations,
         "zipf_slope": q_zipf_slope,
         "corpus_divergence": q_corpus_divergence,
@@ -3307,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_stats": _sentence_stats_sql(),
         "source_health": _source_health_sql(),
         "main_block": _main_block_sql(),
+        "recrawl_chunk_delta": _recrawl_chunk_delta_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zipf_slope": _zipf_slope_sql(),
         "corpus_divergence": _corpus_divergence_sql(),

@@ -218,7 +218,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "token_fertility", "quality_signals",
                  "threshold_sweep", "substring_dedup", "mirror_stats",
                  "mirrored_content", "cdc_chunks", "host_boilerplate",
-                 "sentence_stats", "source_health", "main_block"]:
+                 "sentence_stats", "source_health", "main_block",
+                 "recrawl_chunk_delta"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

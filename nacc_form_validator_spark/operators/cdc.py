@@ -130,3 +130,94 @@ def cdc_chunk_stats_sql(min_doc_freq: int = 2) -> str:
         f"round(nd / n_chunks, 6) ELSE 0.0 END AS dup_fraction "
         f"FROM documents d LEFT JOIN per ON d.doc_id = per.id "
         f"ORDER BY id")
+
+
+def recrawl_chunk_delta(old: DataFrame, new: DataFrame,
+                        url_col: str = "url",
+                        text_col: str = "text") -> DataFrame:
+    """(url, n_old, n_new, n_shared, chunk_jaccard, changed): HOW MUCH
+    of a page changed between two crawls, at chunk granularity.
+
+    Digest-level recrawl deltas (recrawl_delta) say only changed /
+    unchanged; the CDC view measures the SIZE of the change — a fixed
+    footer timestamp flips one chunk, a rewrite flips them all — which
+    is the signal a revisit scheduler actually prices (Cho &
+    Garcia-Molina's change-frequency estimation, but weighted by how
+    much content moved).  Distinct chunk digests per side;
+    chunk_jaccard = |shared| / |union|, changed = jaccard < 1.
+
+    Scale shape: each side reduces to DISTINCT (url, chunk-md5) rows
+    map-side (chunking is the in-row fold); the two sides join
+    full-outer on (url, chunk) — co-partitioned by the same key, one
+    shuffle each — then one url-keyed agg.  Page text never shuffles.
+    Urls present on only one side count as fully changed (jaccard 0).
+    """
+    def side(df, flag):
+        return (df.select(F.col(url_col).alias("url"),
+                          F.explode(cdc_chunks(F.col(text_col)))
+                          .alias("c"))
+                .select("url", F.md5("c").alias("ch"))
+                .distinct()
+                .withColumn(flag, F.lit(1)))
+
+    o = side(old, "in_old")
+    n = side(new, "in_new")
+    j = o.join(n, ["url", "ch"], "full_outer")
+    per = (j.groupBy("url")
+           .agg(F.sum(F.coalesce("in_old", F.lit(0))).alias("n_old"),
+                F.sum(F.coalesce("in_new", F.lit(0))).alias("n_new"),
+                F.sum(F.when(F.col("in_old").isNotNull() &
+                             F.col("in_new").isNotNull(), 1)
+                      .otherwise(0)).alias("n_shared")))
+    union = F.col("n_old") + F.col("n_new") - F.col("n_shared")
+    jac = F.when(union > 0,
+                 F.round(F.col("n_shared") / union, 6)).otherwise(
+                     F.lit(1.0))
+    return (per.select("url",
+                       F.col("n_old").cast("long").alias("n_old"),
+                       F.col("n_new").cast("long").alias("n_new"),
+                       F.col("n_shared").cast("long").alias("n_shared"),
+                       jac.alias("chunk_jaccard"),
+                       (jac < 1.0).alias("changed"))
+            .orderBy("url"))
+
+
+def recrawl_chunk_delta_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB mirror of :func:`recrawl_chunk_delta` — the chunking is
+    the same window-cumsum form as cdc_chunk_stats_sql, applied to
+    each side's (url, text) relation."""
+    digits = ", ".join(f"'{d}'" for d in BOUNDARY_DIGITS)
+    w = ("list_filter(string_split(trim(regexp_replace(lower(text), "
+         "'\\s+', ' ', 'g')), ' '), x -> x <> '')")
+
+    def chunked(rel, name):
+        return (
+            f"{name}w AS (SELECT url, {w} AS w FROM {rel}), "
+            f"{name}t AS (SELECT url, j, w[j] AS word FROM {name}w, "
+            f"unnest(range(1, len(w) + 1)) AS u(j)), "
+            f"{name}c AS (SELECT url, j, word, coalesce(sum(CASE WHEN "
+            f"substr(md5(word), 1, 1) IN ({digits}) THEN 1 ELSE 0 END) "
+            f"OVER (PARTITION BY url ORDER BY j ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING), 0) AS cidx FROM {name}t), "
+            f"{name}k AS (SELECT DISTINCT url, md5(string_agg(word, "
+            f"' ' ORDER BY j)) AS ch FROM {name}c GROUP BY url, cidx)")
+
+    return (
+        f"WITH olds AS ({old_sql}), news AS ({new_sql}), "
+        f"{chunked('olds', 'o')}, {chunked('news', 'n')}, "
+        f"j AS (SELECT coalesce(ok.url, nk.url) AS url, "
+        f"CASE WHEN ok.ch IS NOT NULL THEN 1 ELSE 0 END AS in_old, "
+        f"CASE WHEN nk.ch IS NOT NULL THEN 1 ELSE 0 END AS in_new "
+        f"FROM ok FULL OUTER JOIN nk ON ok.url = nk.url AND "
+        f"ok.ch = nk.ch), "
+        f"per AS (SELECT url, sum(in_old) AS n_old, sum(in_new) AS "
+        f"n_new, sum(in_old * in_new) AS n_shared FROM j GROUP BY url) "
+        f"SELECT url, CAST(n_old AS BIGINT) AS n_old, "
+        f"CAST(n_new AS BIGINT) AS n_new, "
+        f"CAST(n_shared AS BIGINT) AS n_shared, "
+        f"CASE WHEN n_old + n_new - n_shared > 0 THEN round(n_shared "
+        f"* 1.0 / (n_old + n_new - n_shared), 6) ELSE 1.0 END AS "
+        f"chunk_jaccard, "
+        f"CASE WHEN n_old + n_new - n_shared > 0 THEN n_shared * 1.0 "
+        f"/ (n_old + n_new - n_shared) < 1.0 ELSE FALSE END AS changed "
+        f"FROM per ORDER BY url")

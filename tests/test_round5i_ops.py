@@ -133,3 +133,44 @@ def test_main_block_oracle_agrees_on_multiline_ties(spark):
         rid, n_lines, bs, bl, score, btext = row
         assert got[rid] == (n_lines, bs, bl, score, btext), \
             f"doc {rid}: {texts[rid]!r}"
+
+
+# --------------------------------------------- chunk-level recrawl delta
+def _crawl(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_recrawl_chunk_delta_detects_change_size(spark):
+    from nacc_form_validator_spark.operators.cdc import (
+        recrawl_chunk_delta)
+    long_text = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen green bottles hang quietly on the wall "
+                 "today and many more words follow in this stream")
+    old = _crawl(spark, [("u1", long_text),
+                         ("u2", "alpha beta gamma delta"),
+                         ("u3", "gone after this crawl")])
+    new = _crawl(spark, [("u1", long_text + " tiny appended tail"),
+                         ("u2", "completely rewritten page body now"),
+                         ("u4", "brand new page")])
+    rows = {r["url"]: r for r in recrawl_chunk_delta(old, new).collect()}
+    # u1: append-only edit -> most chunks shared, jaccard high but < 1
+    assert rows["u1"]["changed"]
+    assert rows["u1"]["n_shared"] >= 1
+    assert rows["u1"]["chunk_jaccard"] > 0.4
+    # u2: rewrite -> nothing shared
+    assert rows["u2"]["n_shared"] == 0
+    assert rows["u2"]["chunk_jaccard"] == 0.0
+    # one-sided urls: fully changed
+    assert rows["u3"]["n_new"] == 0 and rows["u3"]["changed"]
+    assert rows["u4"]["n_old"] == 0 and rows["u4"]["changed"]
+
+
+def test_recrawl_chunk_delta_unchanged_page(spark):
+    from nacc_form_validator_spark.operators.cdc import (
+        recrawl_chunk_delta)
+    t = "some stable page content that never changes at all here"
+    same = _crawl(spark, [("u", t)])
+    [r] = recrawl_chunk_delta(same, same).collect()
+    assert r["chunk_jaccard"] == 1.0
+    assert not r["changed"]
+    assert r["n_old"] == r["n_new"] == r["n_shared"]
