@@ -1868,6 +1868,31 @@ def _recrawl_chunk_delta_sql():
     return recrawl_chunk_delta_sql(_RECRAWL_OLD_SQL, _RECRAWL_NEW_SQL)
 
 
+def q_lang_script_gate(spark, sf_dir):
+    """Language x writing-system cross-check (functions/scriptmix.py
+    with_lang_script_gate): langid label must agree with the dominant
+    script class — catches keyword-stuffing and surviving encoding
+    damage each signal alone accepts.  Runs over the script-damage
+    fixture so inconsistent rows actually exist."""
+    from nacc_form_validator_spark.functions.scriptmix import (
+        with_lang_script_gate)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.replace(F.col("text"), F.lit("o"), F.lit("д")))
+        .otherwise(F.col("text")).alias("text"))
+    return with_lang_script_gate(d)
+
+
+def _lang_script_gate_sql():
+    from nacc_form_validator_spark.functions.scriptmix import (
+        lang_script_gate_sql)
+    docs = ("SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+            "replace(text, 'o', 'д') ELSE text END AS text "
+            "FROM documents")
+    return lang_script_gate_sql(docs)
+
+
 def q_sentence_stats(spark, sf_dir):
     """Sentence-length burstiness (operators/textstats.py
     sentence_stats): per-doc sentence count, mean words/sentence, and
@@ -3192,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_health": q_source_health,
         "main_block": q_main_block,
         "recrawl_chunk_delta": q_recrawl_chunk_delta,
+        "lang_script_gate": q_lang_script_gate,
         "pmi_collocations": q_pmi_collocations,
         "zipf_slope": q_zipf_slope,
         "corpus_divergence": q_corpus_divergence,
@@ -3352,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
         "source_health": _source_health_sql(),
         "main_block": _main_block_sql(),
         "recrawl_chunk_delta": _recrawl_chunk_delta_sql(),
+        "lang_script_gate": _lang_script_gate_sql(),
         "pmi_collocations": _pmi_collocations_sql(),
         "zipf_slope": _zipf_slope_sql(),
         "corpus_divergence": _corpus_divergence_sql(),

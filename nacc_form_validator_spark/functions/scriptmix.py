@@ -174,3 +174,73 @@ def script_keep_sql(text_expr: str, min_dominant: float = 0.5) -> str:
                     f"THEN {fracs[name]} ELSE {dom_frac} END")
     return (f"CASE WHEN {n} = 0 THEN true ELSE "
             f"{dom_frac} >= {min_dominant} END")
+
+
+#: language -> writing system the language-ID labels are expected to
+#: dominate in; 'und' carries no expectation.
+LANG_EXPECTED_SCRIPT = {
+    "en": "latin", "es": "latin", "de": "latin", "fr": "latin",
+    "zh": "cjk",
+}
+
+
+def with_lang_script_gate(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, lang, dominant, consistent): does the identified language
+    AGREE with the dominant writing system?  A page language-ID calls
+    'en' whose chars are mostly cyrillic is keyword-stuffing spam or
+    surviving encoding damage — the cross-check that catches what each
+    signal alone accepts.  'und' and empty docs pass (no expectation).
+
+    Pure composition of two existing oracled projections (langid_expr
+    x script dominant walk) in one codegen pass — zero shuffles."""
+    from nacc_form_validator_spark.functions.langid import langid_expr
+    st = with_script_stats(df.select(F.col(id_col), F.col(text_col)),
+                           text_col, id_col)
+    lang = (df.select(F.col(id_col),
+                      langid_expr(F.col(text_col)).alias("lang")))
+    expected = F.create_map(
+        *[F.lit(x) for kv in LANG_EXPECTED_SCRIPT.items() for x in kv])
+    j = lang.join(st.select(id_col, "n_scored", "dominant"), id_col)
+    exp = expected[F.col("lang")]
+    return (j.select(
+        F.col(id_col),
+        "lang", "dominant",
+        (exp.isNull() | (F.col("n_scored") == 0) |
+         (exp == F.col("dominant"))).alias("consistent"))
+        .orderBy(id_col))
+
+
+def lang_script_gate_sql(docs_sql: str, text_expr: str = "text",
+                         id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`with_lang_script_gate`."""
+    from nacc_form_validator_spark.functions.langid import langid_sql
+    stripped = f"regexp_replace({text_expr}, '\\s', '', 'g')"
+    n = "length(s)"
+    counts = {name: (f"(length(s) - length(regexp_replace(s, "
+                     f"'{cls}', '', 'g')))")
+              for name, cls in SCRIPT_CLASSES}
+    fracs = {name: f"round({c} * 1.0 / greatest({n}, 1), 6)"
+             for name, c in counts.items()}
+    other = (f"round(({n} - ({' + '.join(counts.values())})) * 1.0 / "
+             f"greatest({n}, 1), 6)")
+    dom_name, dom_frac = "'other'", other
+    for name, _ in reversed(SCRIPT_CLASSES):
+        take = f"{fracs[name]} >= {dom_frac}"
+        dom_name = f"CASE WHEN {take} THEN '{name}' ELSE {dom_name} END"
+        dom_frac = (f"CASE WHEN {take} THEN {fracs[name]} "
+                    f"ELSE {dom_frac} END")
+    exp = "NULL"
+    for lang, script in LANG_EXPECTED_SCRIPT.items():
+        exp = (f"CASE WHEN lang = '{lang}' THEN '{script}' "
+               f"ELSE {exp} END")
+    return (
+        f"WITH d AS ({docs_sql}), "
+        f"t AS (SELECT {id_expr} AS id, {langid_sql(text_expr)} AS "
+        f"lang, {stripped} AS s FROM d) "
+        f"SELECT id AS {id_expr}, lang, "
+        f"CASE WHEN {n} = 0 THEN 'other' ELSE {dom_name} END AS "
+        f"dominant, "
+        f"(({exp}) IS NULL OR {n} = 0 OR ({exp}) = (CASE WHEN {n} = 0 "
+        f"THEN 'other' ELSE {dom_name} END)) AS consistent "
+        f"FROM t ORDER BY id")

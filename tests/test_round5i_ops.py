@@ -174,3 +174,26 @@ def test_recrawl_chunk_delta_unchanged_page(spark):
     assert r["chunk_jaccard"] == 1.0
     assert not r["changed"]
     assert r["n_old"] == r["n_new"] == r["n_shared"]
+
+
+# --------------------------------------- language x script consistency
+def test_lang_script_gate(spark):
+    from nacc_form_validator_spark.functions.scriptmix import (
+        with_lang_script_gate)
+    docs = _docs(spark, [
+        "the cat and the dog went to the market with the others",
+        "тhе cат аnд тhе дog жеnт то тhе мaркет жiтh тhе oтhерs",
+        "",
+    ])
+    rows = {r["doc_id"]: r for r in with_lang_script_gate(docs).collect()}
+    assert rows[0]["lang"] == "en"
+    assert rows[0]["dominant"] == "latin"
+    assert rows[0]["consistent"]
+    # stopwords survive as 'the/and/to/with' lookalikes? no — this text
+    # is mostly cyrillic chars, langid sees few profile words
+    assert rows[1]["dominant"] == "cyrillic"
+    if rows[1]["lang"] in ("en", "es", "de", "fr", "zh"):
+        assert not rows[1]["consistent"]
+    else:
+        assert rows[1]["consistent"]        # 'und' carries no expectation
+    assert rows[2]["consistent"]            # empty doc passes
