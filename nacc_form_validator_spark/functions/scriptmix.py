@@ -193,21 +193,26 @@ def with_lang_script_gate(df: DataFrame, text_col: str = "text",
     signal alone accepts.  'und' and empty docs pass (no expectation).
 
     Pure composition of two existing oracled projections (langid_expr
-    x script dominant walk) in one codegen pass — zero shuffles."""
+    x script dominant walk) in one codegen pass — zero shuffles: the
+    lang label rides through the fraction projections as a keep
+    column, so the text is scanned once and nothing joins."""
     from nacc_form_validator_spark.functions.langid import langid_expr
-    st = with_script_stats(df.select(F.col(id_col), F.col(text_col)),
-                           text_col, id_col)
-    lang = (df.select(F.col(id_col),
-                      langid_expr(F.col(text_col)).alias("lang")))
+    pre = df.select(F.col(id_col),
+                    langid_expr(F.col(text_col)).alias("lang"),
+                    F.col(text_col))
+    fr = _with_fracs(pre, text_col, [id_col, "lang"])
+    dom_name, _ = _dominant(with_name=True)
+    n = F.col("__n")
+    dominant = F.when(n == 0, F.lit("other")).otherwise(dom_name)
     expected = F.create_map(
         *[F.lit(x) for kv in LANG_EXPECTED_SCRIPT.items() for x in kv])
-    j = lang.join(st.select(id_col, "n_scored", "dominant"), id_col)
     exp = expected[F.col("lang")]
-    return (j.select(
+    return (fr.select(
         F.col(id_col),
-        "lang", "dominant",
-        (exp.isNull() | (F.col("n_scored") == 0) |
-         (exp == F.col("dominant"))).alias("consistent"))
+        "lang",
+        dominant.alias("dominant"),
+        (exp.isNull() | (n == 0) |
+         (exp == dominant)).alias("consistent"))
         .orderBy(id_col))
 
 
