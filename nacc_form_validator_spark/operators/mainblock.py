@@ -34,11 +34,18 @@ from pyspark.sql import functions as F
 from nacc_form_validator_spark.operators.boilerplate import doc_lines
 
 
-def main_block(text: Column, penalty: int = 4) -> Column:
+def main_block(text: Column, penalty: int = 4,
+               lines: Column = None) -> Column:
     """struct(n_lines, block_start, block_len, block_score,
     block_text) — block_start is the 0-based index of the first block
-    line; empty docs get (0, 0, 0, 0, '')."""
-    lines = doc_lines(text)
+    line; empty docs get (0, 0, 0, 0, '').
+
+    Pass a pre-materialized ``lines`` column when composing into a
+    plan (the aux-column discipline): the expression reads the lines
+    array twice (Kadane fold + block slice), and inlining
+    ``doc_lines(text)`` makes codegen split the text twice per row."""
+    if lines is None:
+        lines = doc_lines(text)
 
     def wc(s):
         return F.size(F.filter(F.split(s, r"\s+"), lambda x: x != ""))
@@ -86,9 +93,11 @@ def main_block_extract(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        penalty: int = 4) -> DataFrame:
     """One row per doc with the :func:`main_block` fields flattened."""
-    b = main_block(F.col(text_col), penalty)
-    return (docs.select(
-        F.col(id_col).alias("id"),
+    pre = docs.select(F.col(id_col).alias("id"),
+                      doc_lines(F.col(text_col)).alias("__lines"))
+    b = main_block(F.lit(None), penalty, lines=F.col("__lines"))
+    return (pre.select(
+        F.col("id"),
         b["n_lines"].alias("n_lines"),
         b["block_start"].alias("block_start"),
         b["block_len"].alias("block_len"),
