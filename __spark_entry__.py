@@ -148,6 +148,19 @@ def q_metrics(spark, sf_dir):
     return m
 
 
+def q_rule_cooccurrence(spark, sf_dir):
+    """Pairwise rule-code co-occurrence + lift over the validated corpus
+    — the threshold-tuning signal (which rules condemn the same docs).
+    One corpus pass: in-row pair expansion + single tiny-key aggregate
+    (operators/rulestats.py)."""
+    from nacc_form_validator_spark.operators.rulestats import (
+        rule_cooccurrence)
+    qf = QualityFilterPipeline(rules=_doc_rules())
+    d = qf.derive(_docs(spark, sf_dir))
+    out = qf.qc.validate(d, cast=False)
+    return rule_cooccurrence(out)
+
+
 def q_host_stats(spark, sf_dir):
     """Salted two-phase host aggregation over the skewed pages corpus
     (explicit skew handling — SURVEY.md §4.3)."""
@@ -3208,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "rule_cooccurrence": q_rule_cooccurrence,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3419,6 +3433,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_scrub": oracle.scrub_query_sql(),
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
+        "rule_cooccurrence": oracle.cooccurrence_sql(),
         "qf_pipeline": oracle.qf_pipeline_sql(),
         "qf_pipeline_udf": oracle.qf_pipeline_sql(scrubbed_text=False,
                                                   ppl_mode="bigram"),

@@ -81,6 +81,32 @@ def metrics_sql() -> str:
             f"ORDER BY code")
 
 
+def cooccurrence_sql() -> str:
+    """Pairwise rule-code co-occurrence + lift (operators/rulestats.py):
+    per-doc fired codes from the same VIOLATIONS predicates the Spark
+    rules compile from, self-joined on doc_id with code_a < code_b."""
+    fired = []
+    for code, preds in VIOLATIONS.items():
+        cond = " OR ".join(f"({p})" for p in preds)
+        fired.append(f"SELECT doc_id, {code} AS code FROM s WHERE {cond}")
+    c = " UNION ALL ".join(fired)
+    return (
+        f"WITH s AS ({stats_cte()}), c AS ({c}), "
+        f"nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM s), "
+        f"m AS (SELECT code, CAST(count(*) AS BIGINT) AS n_c FROM c "
+        f"GROUP BY code) "
+        f"SELECT CAST(x.code AS BIGINT) AS code_a, "
+        f"CAST(y.code AS BIGINT) AS code_b, "
+        f"CAST(count(*) AS BIGINT) AS n_ab, ma.n_c AS n_a, mb.n_c AS n_b, "
+        f"nd.n_docs AS n_docs, "
+        f"CAST(count(*) * nd.n_docs AS DOUBLE) / (ma.n_c * mb.n_c) AS lift "
+        f"FROM c x JOIN c y ON x.doc_id = y.doc_id AND x.code <= y.code "
+        f"JOIN m ma ON ma.code = x.code JOIN m mb ON mb.code = y.code "
+        f"CROSS JOIN nd "
+        f"GROUP BY x.code, y.code, ma.n_c, mb.n_c, nd.n_docs "
+        f"ORDER BY code_a, code_b")
+
+
 def doc_stats_sql() -> str:
     g = gopher_sql("text")
     keys = ["n_chars", "n_words", "mean_word_len", "alpha_ratio",
