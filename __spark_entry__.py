@@ -35,6 +35,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
                                                            fingerprint,
                                                            quality_score,
                                                            whitespace_token_count)
+from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
 from nacc_form_validator_spark.plans import oracle
 from nacc_form_validator_spark.qualityfilter import (DEFAULT_RULES,
@@ -159,6 +160,70 @@ def q_rule_cooccurrence(spark, sf_dir):
     d = qf.derive(_docs(spark, sf_dir))
     out = qf.qc.validate(d, cast=False)
     return rule_cooccurrence(out)
+
+
+def _synth_host():
+    """Deterministic multi-label host per doc (shared Spark/SQL shape):
+    suffix cycles through known 1/2-label public suffixes plus an
+    unknown TLD (fallback path); every third doc has no subdomain."""
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("com", "co.uk", "github.io", "org", "com.au", "weird")]),
+        (F.col("doc_id") % 6 + 1).cast("int"))
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+                    F.lit("."), sfx)
+    return F.when(F.col("doc_id") % 3 == 0, site).otherwise(
+        F.concat(F.lit("sub"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("."), site))
+
+
+_SYNTH_SITE_SQL = (
+    "('site' || CAST(doc_id % 50 AS VARCHAR) || '.' || "
+    "list_extract(['com','co.uk','github.io','org','com.au','weird'], "
+    "CAST(doc_id % 6 + 1 AS INT)))")
+_SYNTH_HOST_SQL = (
+    f"CASE WHEN doc_id % 3 = 0 THEN {_SYNTH_SITE_SQL} "
+    f"ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || "
+    f"{_SYNTH_SITE_SQL} END")
+
+
+def _registered_domains_sql() -> str:
+    from nacc_form_validator_spark.operators.domains import (
+        registered_domain_sql)
+    reg = registered_domain_sql("host")
+    return (f"WITH h AS (SELECT doc_id, {_SYNTH_HOST_SQL} AS host "
+            f"FROM documents), "
+            f"r AS (SELECT {reg} AS reg_domain, host FROM h) "
+            f"SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(count(DISTINCT host) AS BIGINT) AS n_hosts "
+            f"FROM r GROUP BY reg_domain ORDER BY reg_domain")
+
+
+def q_registered_domains(spark, sf_dir):
+    """Public-suffix collapse (eTLD+1) over synthesized multi-label
+    hosts, then per-registered-domain page/host counts — the key a
+    per-publisher quota or reputation pass actually groups on
+    (operators/domains.py; zero-shuffle expr path)."""
+    from nacc_form_validator_spark.operators.domains import (
+        registered_domain)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _synth_host().alias("host"))
+    return (d.select(registered_domain(F.col("host")).alias("reg_domain"),
+                     "host")
+            .groupBy("reg_domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("host").alias("n_hosts"))
+            .orderBy("reg_domain"))
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Exact global curriculum rank (longest documents first) WITHOUT a
+    single-reducer window: range-bucket + offset join
+    (operators/ordering.py), byte-equal to ROW_NUMBER() OVER (ORDER BY)."""
+    from nacc_form_validator_spark.operators.ordering import global_rank
+    d = _docs(spark, sf_dir)
+    return global_rank(
+        d, (-F.length("text")).cast("long"), n_buckets=16).orderBy("doc_id")
 
 
 def q_host_stats(spark, sf_dir):
@@ -3222,6 +3287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (r4 additions + component variants) ---
         "rule_cooccurrence": q_rule_cooccurrence,
+        "registered_domains": q_registered_domains,
+        "curriculum_order": q_curriculum_order,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3434,6 +3501,10 @@ def oracle_sql() -> dict[str, str]:
         "qf_keep_drop": oracle.keep_drop_sql(),
         "qf_metrics": oracle.metrics_sql(),
         "rule_cooccurrence": oracle.cooccurrence_sql(),
+        "registered_domains": _registered_domains_sql(),
+        "curriculum_order": ordering_mod.global_rank_sql(
+            "SELECT doc_id, text FROM documents",
+            "CAST(-length(text) AS BIGINT)"),
         "qf_pipeline": oracle.qf_pipeline_sql(),
         "qf_pipeline_udf": oracle.qf_pipeline_sql(scrubbed_text=False,
                                                   ppl_mode="bigram"),
