@@ -36,6 +36,8 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
                                                            quality_score,
                                                            whitespace_token_count)
 from nacc_form_validator_spark.operators import ordering as ordering_mod
+from nacc_form_validator_spark.operators import textstats as textstats_mod
+from nacc_form_validator_spark.operators import winnow as winnow_mod
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
 from nacc_form_validator_spark.plans import oracle
 from nacc_form_validator_spark.qualityfilter import (DEFAULT_RULES,
@@ -224,6 +226,42 @@ def q_curriculum_order(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return global_rank(
         d, (-F.length("text")).cast("long"), n_buckets=16).orderBy("doc_id")
+
+
+def _topic_tags_sql() -> str:
+    from nacc_form_validator_spark.operators.topics import topic_tag_sql
+    t = topic_tag_sql("text")
+    return (f"SELECT doc_id, {t['topic']} AS topic, "
+            f"{t['n_hits']} AS n_hits FROM documents ORDER BY doc_id")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) copied-passage candidate pairs: in-row k-gram
+    window-min fingerprints, hot-fingerprint cap, banded pair join
+    (operators/winnow.py)."""
+    from nacc_form_validator_spark.operators.winnow import winnow_pairs
+    return winnow_pairs(_docs(spark, sf_dir), k=16, w=6,
+                        min_common=2, max_df=50)
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document (vowel-group syllables) — the
+    classic prose-vs-junk quality screen, pure in-row projection
+    (operators/textstats.py)."""
+    from nacc_form_validator_spark.operators.textstats import readability
+    return _docs(spark, sf_dir).select(
+        "doc_id", readability(F.col("text")).alias("fre")).orderBy("doc_id")
+
+
+def q_topic_tags(spark, sf_dir):
+    """Lexicon topic tagging (cheap domain classification): per-doc
+    argmax topic + per-topic corpus counts feedstock for mixture
+    resampling (operators/topics.py; zero-shuffle projection)."""
+    from nacc_form_validator_spark.operators.topics import topic_tag
+    t = topic_tag(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", t["topic"].alias("topic"),
+        t["n_hits"].alias("n_hits")).orderBy("doc_id")
 
 
 def q_host_stats(spark, sf_dir):
@@ -3289,6 +3327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cooccurrence": q_rule_cooccurrence,
         "registered_domains": q_registered_domains,
         "curriculum_order": q_curriculum_order,
+        "winnow_pairs": q_winnow_pairs,
+        "readability": q_readability,
+        "topic_tags": q_topic_tags,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3502,6 +3543,13 @@ def oracle_sql() -> dict[str, str]:
         "qf_metrics": oracle.metrics_sql(),
         "rule_cooccurrence": oracle.cooccurrence_sql(),
         "registered_domains": _registered_domains_sql(),
+        "winnow_pairs": winnow_mod.winnow_pairs_sql(
+            "SELECT doc_id, text FROM documents", k=16, w=6,
+            min_common=2, max_df=50),
+        "readability": (
+            f"SELECT doc_id, {textstats_mod.readability_sql('text')} "
+            f"AS fre FROM documents ORDER BY doc_id"),
+        "topic_tags": _topic_tags_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

@@ -178,3 +178,51 @@ def sentence_stats_sql(text_expr: str = "text") -> dict:
                     f"round(sqrt(greatest({var}, 0.0)) / {mean}, 6) "
                     f"ELSE 0.0 END"),
     }
+
+
+def readability(text: Column) -> Column:
+    """Flesch reading-ease score with vowel-group syllable counting.
+
+    FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    the classic readability screen (Flesch 1948; public formula) — a
+    cheap quality signal that separates prose from keyword-stuffed and
+    telegraphic junk.  Syllables are approximated as runs of
+    ``[aeiouy]+`` per lowercased word with a 1-syllable floor (the
+    standard public approximation); sentences split like
+    :func:`sentence_stats` with a 1-sentence floor so headline-only
+    docs score instead of dividing by zero.  Pure in-row HOF
+    projection — zero shuffles, zero Python; empty docs -> NULL.
+    """
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    sents = F.filter(
+        F.transform(F.split(text, r"[.!?]+\s+"), lambda s: F.trim(s)),
+        lambda s: s != "")
+    n_sents = F.greatest(F.size(sents), F.lit(1))
+    syll = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda a, w: a + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1)).cast("long"))
+    return F.when(
+        n_words > 0,
+        F.round(F.lit(206.835)
+                - F.lit(1.015) * (n_words.cast("double") / n_sents)
+                - F.lit(84.6) * (syll.cast("double") / n_words), 6))
+
+
+def readability_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`readability` — same splits, same vowel
+    groups, same floors, same rounding."""
+    words = (f"list_filter(string_split_regex(lower({text_expr}), "
+             f"'\\s+'), x -> x <> '')")
+    n_words = f"len({words})"
+    sents = (f"list_filter(list_transform(string_split_regex("
+             f"{text_expr}, '[.!?]+\\s+'), s -> trim(s)), s -> s <> '')")
+    n_sents = f"greatest(len({sents}), 1)"
+    syll = (f"list_sum(list_transform({words}, w -> CAST(greatest("
+            f"len(regexp_extract_all(w, '[aeiouy]+')), 1) AS BIGINT)))")
+    return (f"CASE WHEN {n_words} > 0 THEN "
+            f"round(206.835 - 1.015 * (CAST({n_words} AS DOUBLE) / "
+            f"{n_sents}) - 84.6 * (CAST({syll} AS DOUBLE) / {n_words}), 6) "
+            f"END")
