@@ -219,7 +219,10 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "threshold_sweep", "substring_dedup", "mirror_stats",
                  "mirrored_content", "cdc_chunks", "host_boilerplate",
                  "sentence_stats", "source_health", "main_block",
-                 "recrawl_chunk_delta", "lang_script_gate"]:
+                 "recrawl_chunk_delta", "lang_script_gate",
+                 "rule_cooccurrence", "registered_domains",
+                 "curriculum_order", "winnow_pairs", "readability",
+                 "topic_tags"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
