@@ -35,6 +35,8 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
                                                            fingerprint,
                                                            quality_score,
                                                            whitespace_token_count)
+from nacc_form_validator_spark.operators import (
+    diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.operators import textstats as textstats_mod
 from nacc_form_validator_spark.operators import winnow as winnow_mod
@@ -262,6 +264,27 @@ def q_topic_tags(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", t["topic"].alias("topic"),
         t["n_hits"].alias("n_hits")).orderBy("doc_id")
+
+
+def q_skew_report(spark, sf_dir):
+    """Key-skew diagnostics for the pages->host grouping key (the
+    zipf-skewed key the salted-window variant exists for): count
+    distribution + hot keys from ONE groupBy (operators/diagnostics.py)."""
+    from nacc_form_validator_spark.operators.diagnostics import skew_report
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return skew_report(pages, host, top_n=5)
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard integrity manifest (rows, bytes, order-independent
+    xor-of-md5 checksum) for a published training split
+    (operators/diagnostics.py)."""
+    from nacc_form_validator_spark.operators.diagnostics import (
+        shard_manifest)
+    d = _docs(spark, sf_dir)
+    return shard_manifest(d, (F.col("doc_id") % 8).cast("long"),
+                          F.col("text"))
 
 
 def q_host_stats(spark, sf_dir):
@@ -3330,6 +3353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "readability": q_readability,
         "topic_tags": q_topic_tags,
+        "skew_report": q_skew_report,
+        "shard_manifest": q_shard_manifest,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3550,6 +3575,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {textstats_mod.readability_sql('text')} "
             f"AS fre FROM documents ORDER BY doc_id"),
         "topic_tags": _topic_tags_sql(),
+        "skew_report": diagnostics_mod.skew_report_sql(
+            oracle.pages_cte(),
+            "regexp_extract(url, '^https://([^/]+)/', 1)", top_n=5),
+        "shard_manifest": diagnostics_mod.shard_manifest_sql(
+            "SELECT doc_id, text FROM documents",
+            "CAST(doc_id % 8 AS BIGINT)", "text"),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),
