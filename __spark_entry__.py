@@ -287,6 +287,42 @@ def q_shard_manifest(spark, sf_dir):
                           F.col("text"))
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout stats: per-file min/max over BOTH
+    interleaved dimensions for a 16-file z-ordered write — the
+    OPTIMIZE ZORDER analogue whose stat table a scan planner prunes
+    with (operators/layout.py)."""
+    from nacc_form_validator_spark.operators.layout import (minmax_scale,
+                                                            zorder_layout)
+    d = _docs(spark, sf_dir)
+    sx = minmax_scale(d, F.col("n_chars"), bits=8)
+    sy = minmax_scale(d, F.col("doc_id"), bits=8)
+    return zorder_layout(d, [sx, sy],
+                         [F.col("n_chars"), F.col("doc_id")],
+                         id_col="doc_id", n_files=16, bits=8)
+
+
+def _zorder_layout_sql() -> str:
+    from nacc_form_validator_spark.operators.layout import (
+        minmax_scale_sql, zorder_key_sql)
+    gx = minmax_scale_sql("n_chars", "SELECT min(n_chars) FROM documents",
+                          "SELECT max(n_chars) FROM documents", bits=8)
+    gy = minmax_scale_sql("doc_id", "SELECT min(doc_id) FROM documents",
+                          "SELECT max(doc_id) FROM documents", bits=8)
+    z = zorder_key_sql(["gx", "gy"], bits=8)
+    return (
+        f"WITH sc AS (SELECT doc_id, n_chars, {gx} AS gx, {gy} AS gy "
+        f"FROM documents), "
+        f"r AS (SELECT doc_id, n_chars, "
+        f"row_number() OVER (ORDER BY {z} ASC, doc_id ASC) - 1 AS rn, "
+        f"count(*) OVER () AS n FROM sc) "
+        f"SELECT CAST(floor(rn * 16 / n) AS BIGINT) AS file, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"min(n_chars) AS min_0, max(n_chars) AS max_0, "
+        f"min(doc_id) AS min_1, max(doc_id) AS max_1 "
+        f"FROM r GROUP BY 1 ORDER BY file")
+
+
 def q_host_stats(spark, sf_dir):
     """Salted two-phase host aggregation over the skewed pages corpus
     (explicit skew handling — SURVEY.md §4.3)."""
@@ -3355,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_tags": q_topic_tags,
         "skew_report": q_skew_report,
         "shard_manifest": q_shard_manifest,
+        "zorder_layout": q_zorder_layout,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3581,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": diagnostics_mod.shard_manifest_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(doc_id % 8 AS BIGINT)", "text"),
+        "zorder_layout": _zorder_layout_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),
