@@ -287,6 +287,36 @@ def q_shard_manifest(spark, sf_dir):
                           F.col("text"))
 
 
+def q_gate_ablation(spark, sf_dir):
+    """Per-gate ablation over the quality ensemble: what each gate
+    uniquely drops and the keep-rate if it were removed — ONE
+    aggregate over the ensemble table (operators/ensemble.py)."""
+    from nacc_form_validator_spark.operators.ensemble import (
+        gate_ablation, quality_ensemble)
+    return gate_ablation(quality_ensemble(_docs(spark, sf_dir)))
+
+
+def _gate_ablation_sql() -> str:
+    from nacc_form_validator_spark.plans.oracle import quality_ensemble_sql
+    gates = ("g_ok", "nb_ok", "ppl_ok", "ent_ok")
+    sums = ["CAST(count(*) AS BIGINT) AS n_docs",
+            "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_keep"]
+    for g in gates:
+        others = " AND ".join(o for o in gates if o != g)
+        sums.append(f"CAST(sum(CASE WHEN NOT {g} THEN 1 ELSE 0 END) "
+                    f"AS BIGINT) AS f_{g}")
+        sums.append(f"CAST(sum(CASE WHEN NOT {g} AND {others} THEN 1 "
+                    f"ELSE 0 END) AS BIGINT) AS x_{g}")
+    rows = " UNION ALL ".join(
+        f"SELECT '{g}' AS gate, f_{g} AS n_fail, x_{g} AS n_exclusive, "
+        f"n_docs, n_keep, round((n_keep + x_{g}) / n_docs, 6) AS "
+        f"keep_rate_without FROM s" for g in gates)
+    return (f"WITH e AS ({quality_ensemble_sql()}), "
+            f"s AS (SELECT {', '.join(sums)} FROM e) "
+            f"{rows} ORDER BY gate")
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) layout stats: per-file min/max over BOTH
     interleaved dimensions for a 16-file z-ordered write — the
@@ -3392,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "shard_manifest": q_shard_manifest,
         "zorder_layout": q_zorder_layout,
+        "gate_ablation": q_gate_ablation,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3619,6 +3650,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM documents",
             "CAST(doc_id % 8 AS BIGINT)", "text"),
         "zorder_layout": _zorder_layout_sql(),
+        "gate_ablation": _gate_ablation_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

@@ -1,4 +1,5 @@
 """quality_ensemble: signal conjunction, lineage booleans, n_fails."""
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import spark  # noqa: F401
@@ -39,3 +40,22 @@ def test_ensemble_keep_is_conjunction(spark):
     for r in out:
         assert r["keep"] == (r["g_ok"] and r["nb_ok"] and
                              r["ppl_ok"] and r["ent_ok"])
+
+
+def test_gate_ablation_hand_values(spark):
+    from nacc_form_validator_spark.operators.ensemble import gate_ablation
+    # 6 docs over 2 gates: both ok x3, only a fails x2, both fail x1
+    rows = [(i, True, True, True, 0) for i in range(3)]
+    rows += [(3, False, True, False, 1), (4, False, True, False, 1),
+             (5, False, False, False, 2)]
+    ens = spark.createDataFrame(
+        rows, "id long, g_ok boolean, nb_ok boolean, keep boolean, "
+              "n_fails long")
+    out = {r["gate"]: r for r in
+           gate_ablation(ens, gates=("g_ok", "nb_ok")).collect()}
+    a, b = out["g_ok"], out["nb_ok"]
+    assert (a["n_fail"], a["n_exclusive"]) == (3, 2)
+    assert (b["n_fail"], b["n_exclusive"]) == (1, 0)
+    assert a["n_docs"] == 6 and a["n_keep"] == 3
+    assert a["keep_rate_without"] == pytest.approx((3 + 2) / 6, abs=1e-6)
+    assert b["keep_rate_without"] == pytest.approx(0.5, abs=1e-6)
