@@ -38,6 +38,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
 from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import ordering as ordering_mod
+from nacc_form_validator_spark.operators import projection as projection_mod
 from nacc_form_validator_spark.operators import textstats as textstats_mod
 from nacc_form_validator_spark.operators import winnow as winnow_mod
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
@@ -315,6 +316,15 @@ def _gate_ablation_sql() -> str:
     return (f"WITH e AS ({quality_ensemble_sql()}), "
             f"s AS (SELECT {', '.join(sums)} FROM e) "
             f"{rows} ORDER BY gate")
+
+
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64->16 projection of the embeddings table
+    (deterministic md5 sign matrix) — the byte/FLOP reducer in front
+    of ANN / semdedup / k-means (operators/projection.py)."""
+    from nacc_form_validator_spark.operators.projection import jl_project
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return jl_project(emb, in_dim=64, out_dim=16)
 
 
 def q_zorder_layout(spark, sf_dir):
@@ -3423,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "zorder_layout": q_zorder_layout,
         "gate_ablation": q_gate_ablation,
+        "jl_project": q_jl_project,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3651,6 +3662,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 8 AS BIGINT)", "text"),
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
+        "jl_project": projection_mod.jl_project_sql(
+            "SELECT vec_id, embedding FROM embeddings"),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

@@ -222,7 +222,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "recrawl_chunk_delta", "lang_script_gate",
                  "rule_cooccurrence", "registered_domains",
                  "curriculum_order", "winnow_pairs", "readability",
-                 "topic_tags"]:
+                 "topic_tags", "skew_report", "shard_manifest",
+                 "zorder_layout", "gate_ablation"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
