@@ -39,6 +39,8 @@ from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.operators import projection as projection_mod
+from nacc_form_validator_spark.operators import (
+    spancorrupt as spancorrupt_mod)
 from nacc_form_validator_spark.operators import textstats as textstats_mod
 from nacc_form_validator_spark.operators import winnow as winnow_mod
 from nacc_form_validator_spark.pipeline import SparkQualityCheck
@@ -316,6 +318,15 @@ def _gate_ablation_sql() -> str:
     return (f"WITH e AS ({quality_ensemble_sql()}), "
             f"s AS (SELECT {', '.join(sums)} FROM e) "
             f"{rows} ORDER BY gate")
+
+
+def q_span_corrupt(spark, sf_dir):
+    """T5 span-corruption example construction (numbered sentinels,
+    deterministic block-hash span placement) — the encoder-decoder
+    sibling of fim_transform (operators/spancorrupt.py)."""
+    from nacc_form_validator_spark.operators.spancorrupt import (
+        span_corrupt)
+    return span_corrupt(_docs(spark, sf_dir))
 
 
 def q_jl_project(spark, sf_dir):
@@ -3434,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "gate_ablation": q_gate_ablation,
         "jl_project": q_jl_project,
+        "span_corrupt": q_span_corrupt,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3664,6 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         "gate_ablation": _gate_ablation_sql(),
         "jl_project": projection_mod.jl_project_sql(
             "SELECT vec_id, embedding FROM embeddings"),
+        "span_corrupt": spancorrupt_mod.span_corrupt_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),
