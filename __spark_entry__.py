@@ -39,6 +39,7 @@ from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.operators import projection as projection_mod
+from nacc_form_validator_spark.operators import release as release_mod
 from nacc_form_validator_spark.operators import (
     spancorrupt as spancorrupt_mod)
 from nacc_form_validator_spark.operators import textstats as textstats_mod
@@ -327,6 +328,15 @@ def q_span_corrupt(spark, sf_dir):
     from nacc_form_validator_spark.operators.spancorrupt import (
         span_corrupt)
     return span_corrupt(_docs(spark, sf_dir))
+
+
+def q_release_manifest(spark, sf_dir):
+    """The publish step: hygiene gates -> exact dedup -> seeded shards
+    -> per-shard integrity manifests, ONE composed plan
+    (operators/release.py)."""
+    from nacc_form_validator_spark.operators.release import (
+        release_manifest)
+    return release_manifest(_docs(spark, sf_dir))
 
 
 def q_jl_project(spark, sf_dir):
@@ -3446,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_ablation": q_gate_ablation,
         "jl_project": q_jl_project,
         "span_corrupt": q_span_corrupt,
+        "release_manifest": q_release_manifest,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3677,6 +3688,7 @@ def oracle_sql() -> dict[str, str]:
         "jl_project": projection_mod.jl_project_sql(
             "SELECT vec_id, embedding FROM embeddings"),
         "span_corrupt": spancorrupt_mod.span_corrupt_sql(),
+        "release_manifest": release_mod.release_manifest_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

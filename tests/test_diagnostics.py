@@ -51,3 +51,21 @@ def test_shard_manifest_detects_content_change(spark):
     c2 = shard_manifest(df2, F.col("shard"), F.col("text")).first()
     assert c1["n_bytes"] == c2["n_bytes"]   # same size...
     assert c1["checksum"] != c2["checksum"]  # ...different checksum
+
+
+def test_release_manifest_gates_and_dedups(spark):
+    from nacc_form_validator_spark.operators.release import (
+        release_manifest)
+    good = ("the data to be of and that have with the pipeline runs "
+            "clean text here every day and more words follow ") * 2
+    rows = [(1, good), (2, good), (3, good + "unique tail"),
+            (4, "lorem ipsum placeholder " * 8)]   # junk-phrase-gated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = release_manifest(df, n_shards=4).collect()
+    # doc 2 dedups against doc 1; doc 4 fails the junk gate
+    assert sum(r["n_rows"] for r in out) == 2
+    total_bytes = sum(r["n_bytes"] for r in out)
+    assert total_bytes == len(good) + len(good + "unique tail")
+    # deterministic across partitioning
+    out2 = release_manifest(df.repartition(5), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
