@@ -223,7 +223,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "rule_cooccurrence", "registered_domains",
                  "curriculum_order", "winnow_pairs", "readability",
                  "topic_tags", "skew_report", "shard_manifest",
-                 "zorder_layout", "gate_ablation"]:
+                 "zorder_layout", "gate_ablation", "jl_project",
+                 "span_corrupt", "release_manifest"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
