@@ -1077,6 +1077,28 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(_linked_pages(spark, sf_dir))
 
 
+#: hand-vetted seed hosts for the trustrank query — the two hub hosts
+#: the quadratic bucket mapping makes largest (deterministic fixture)
+_TRUST_SEEDS = ["host0.example", "host1.example"]
+
+
+def q_trust_rank(spark, sf_dir):
+    """Seed-personalized PageRank (TrustRank): teleport + dangling
+    mass restricted to vetted seed hosts, so trust decays with link
+    distance — the spam-demotion signal raw centrality can't give
+    (operators/linkgraph.py)."""
+    from nacc_form_validator_spark.operators.linkgraph import (
+        extract_host_edges, trustrank)
+    return trustrank(extract_host_edges(_linked_pages(spark, sf_dir)),
+                     seeds=_TRUST_SEEDS)
+
+
+def _trust_rank_sql():
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_trustrank_sql)
+    return host_trustrank_sql(_linked_pages_sql(), seeds=_TRUST_SEEDS)
+
+
 def _lined_corpus(spark, sf_dir, chunk: int = 5):
     """Fixture prep for the C4 line-filter queries: the single-line
     documents text re-lined into CHUNK-word lines, each line decorated
@@ -3457,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "span_corrupt": q_span_corrupt,
         "release_manifest": q_release_manifest,
+        "trust_rank": q_trust_rank,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3689,6 +3712,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, embedding FROM embeddings"),
         "span_corrupt": spancorrupt_mod.span_corrupt_sql(),
         "release_manifest": release_mod.release_manifest_sql(),
+        "trust_rank": _trust_rank_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

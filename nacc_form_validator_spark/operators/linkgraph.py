@@ -103,6 +103,95 @@ def host_pagerank(pages: DataFrame, iters: int = 3,
     return pagerank(extract_host_edges(pages), iters, damping)
 
 
+def trustrank(edges: DataFrame, seeds: "list[str]", iters: int = 3,
+              damping: float = 0.85) -> DataFrame:
+    """(node, trust) after ``iters`` iterations of seed-personalized
+    PageRank (TrustRank, Gyongyi et al. 2004): teleport and dangling
+    mass go ONLY to the hand-vetted seed set, so trust decays with
+    link distance from the seeds — hosts unreachable from any seed
+    converge to 0, which is the spam-demotion signal host-level
+    PageRank cannot give (spam farms build centrality, not trust).
+
+    trust'(v) = round((1-d)·t(v) + d·(Σ_{u→v} trust(u)/deg(u)
+    + dangling·t(v)), 12), t(v) = 1/|seeds| on seeds else 0;
+    start = t.  Same scale shape as :func:`pagerank`: per-iteration
+    one edge join + one agg, lineage truncated via localCheckpoint."""
+    if not seeds:
+        raise ValueError("trustrank needs a non-empty seed set")
+    d_lit = F.lit(float(damping))
+    omd = F.lit(1.0 - damping)
+    e = edges.select("src", "dst").distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    t = (F.when(F.col("node").isin(list(seeds)),
+                F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0)))
+    ranks = nodes.select("node", F.round(t, 12).alias("rank"))
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("deg")).alias("s")))
+        dang = F.broadcast(
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"],
+                            "left")
+                 .crossJoin(dang)
+                 .select(
+                     "node",
+                     F.round(
+                         omd * t + d_lit *
+                         (F.coalesce(F.col("s"), F.lit(0.0)) +
+                          F.col("dm") * t),
+                         12).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return (ranks.select("node", F.round("rank", 6).alias("trust"))
+            .orderBy("node"))
+
+
+def host_trustrank_sql(pages_sql: str, seeds: "list[str]",
+                       iters: int = 3, damping: float = 0.85) -> str:
+    """DuckDB mirror of trustrank(extract_host_edges(pages), seeds) —
+    same unrolled arithmetic, same round-12 per step."""
+    d = f"CAST({float(damping)!r} AS DOUBLE)"
+    omd = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    sl = ", ".join(f"'{s}'" for s in seeds)
+    tv = (f"CASE WHEN node IN ({sl}) THEN CAST({1.0 / len(seeds)!r} "
+          f"AS DOUBLE) ELSE 0.0 END")
+    src = url_host_sql("url")
+    dsth = url_host_sql("link")
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"hrefs AS (SELECT {src} AS src, unnest(regexp_extract_all("
+        f"html_str, '(?i)href=\"([^\"]+)\"', 1)) AS link FROM pages)",
+        f"e AS (SELECT DISTINCT src, {dsth} AS dst FROM hrefs "
+        f"WHERE src <> '' AND {dsth} <> '' AND src <> {dsth})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+        "FROM e UNION SELECT dst FROM e))",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, round({tv}, 12) AS rank FROM nodes)",
+    ]
+    for k in range(iters):
+        prev, cur = f"r{k}", f"r{k + 1}"
+        ctes.append(
+            f"c{k} AS (SELECT dst, sum(rank / deg) AS s FROM e "
+            f"JOIN {prev} ON e.src = {prev}.node "
+            f"JOIN deg ON e.src = deg.src GROUP BY dst)")
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(rank), 0.0) AS dm "
+            f"FROM {prev} WHERE node NOT IN (SELECT src FROM deg))")
+        ctes.append(
+            f"{cur} AS (SELECT node, round({omd} * ({tv}) + {d} * "
+            f"(coalesce(s, 0.0) + dm * ({tv})), 12) AS rank "
+            f"FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.dst, "
+            f"d{k})")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, round(rank, 6) AS trust FROM r{iters} "
+            f"ORDER BY node")
+
+
 def host_pagerank_sql(pages_sql: str, iters: int = 3,
                       damping: float = 0.85) -> str:
     """DuckDB mirror of :func:`host_pagerank` over ``pages_sql`` (a

@@ -84,3 +84,38 @@ def test_pagerank_duplicate_edges_collapse(spark):
     duped = pagerank(_edges(
         spark, [("a", "b"), ("a", "b"), ("b", "a")])).collect()
     assert [tuple(r) for r in once] == [tuple(r) for r in duped]
+
+
+def test_trustrank_decays_from_seeds(spark):
+    from nacc_form_validator_spark.operators.linkgraph import trustrank
+    # seed -> a -> b ; spam1 <-> spam2 (unreachable from the seed)
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"),
+         ("spam1", "spam2"), ("spam2", "spam1")],
+        "src string, dst string")
+    out = {r["node"]: r["trust"] for r in
+           trustrank(edges, seeds=["seed"], iters=4).collect()}
+    # every node reachable from the seed carries trust; the spam
+    # cluster (unreachable) converges to exactly 0 — the signal raw
+    # PageRank cannot give (it would assign the 2-cycle real mass)
+    assert out["seed"] > 0 and out["a"] > 0 and out["b"] > 0
+    assert out["spam1"] == 0.0 and out["spam2"] == 0.0
+    assert abs(sum(out.values()) - 1.0) < 0.01   # mass stays on chain
+
+
+def test_trustrank_requires_seeds(spark):
+    import pytest
+    from nacc_form_validator_spark.operators.linkgraph import trustrank
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        trustrank(edges, seeds=[])
+
+
+def test_trustrank_mass_bounded(spark):
+    from nacc_form_validator_spark.operators.linkgraph import trustrank
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "s"), ("b", "a")],
+        "src string, dst string")
+    out = trustrank(edges, seeds=["s"], iters=3).collect()
+    total = sum(r["trust"] for r in out)
+    assert 0.5 < total <= 1.000001      # no mass created
