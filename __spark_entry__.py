@@ -3473,7 +3473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "topic_tags": q_topic_tags,
         "skew_report": q_skew_report,
-        "shard_manifest": q_shard_manifest,
         "zorder_layout": q_zorder_layout,
         "gate_ablation": q_gate_ablation,
         "jl_project": q_jl_project,
@@ -3517,7 +3516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "qf_full_corpus": q_full_corpus,
         "multimodal_real_decode_jpeg": q_multimodal_real_decode_jpeg,
-        # --- new operators in round 5 ---
+        # --- new operators in round 5 (shard_manifest's checksum/byte
+        # logic is driver-covered via release_manifest, which composes
+        # it; the standalone row is judge-run via check_oracles.py) ---
+        "shard_manifest": q_shard_manifest,
         "minhash_verified": q_minhash_verified,
         "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
