@@ -1082,6 +1082,34 @@ def q_host_pagerank(spark, sf_dir):
 _TRUST_SEEDS = ["host0.example", "host1.example"]
 
 
+def q_ann_recall(spark, sf_dir):
+    """recall@k of every approximate ANN index (IVF / LSH / SQ8) vs the
+    exact cosine top-k — the deployment acceptance gate
+    (operators/simsearch.py)."""
+    from nacc_form_validator_spark.operators.simsearch import ann_recall
+    emb = _emb(spark, sf_dir)
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return ann_recall(emb, queries, k=5)
+
+
+def _ann_recall_sql() -> str:
+    ex = oracle.brute_topk_sql()
+    parts = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, q_id, vec_id FROM ({sql})"
+        for m, sql in (("ivf", oracle.ivf_topk_sql()),
+                       ("lsh", oracle.lsh_topk_sql()),
+                       ("sq8", oracle.sq8_topk_sql())))
+    return (f"WITH exact AS ({ex}), appx AS ({parts}), "
+            f"m AS (SELECT unnest(['ivf','lsh','sq8']) AS method), "
+            f"h AS (SELECT method, count(*) AS c FROM appx "
+            f"JOIN exact USING (q_id, vec_id) GROUP BY method) "
+            f"SELECT m.method, round(coalesce(h.c, 0) / 25.0, 6) "
+            f"AS recall_at_k FROM m LEFT JOIN h USING (method) "
+            f"ORDER BY method")
+
+
 def q_trust_rank(spark, sf_dir):
     """Seed-personalized PageRank (TrustRank): teleport + dangling
     mass restricted to vetted seed hosts, so trust decays with link
@@ -3468,7 +3496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (r4 additions + component variants) ---
         "rule_cooccurrence": q_rule_cooccurrence,
         "registered_domains": q_registered_domains,
-        "curriculum_order": q_curriculum_order,
         "winnow_pairs": q_winnow_pairs,
         "readability": q_readability,
         "topic_tags": q_topic_tags,
@@ -3479,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "release_manifest": q_release_manifest,
         "trust_rank": q_trust_rank,
+        "ann_recall": q_ann_recall,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3520,6 +3548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logic is driver-covered via release_manifest, which composes
         # it; the standalone row is judge-run via check_oracles.py) ---
         "shard_manifest": q_shard_manifest,
+        # curriculum_order's global_rank core is driver-covered via
+        # zorder_layout (which composes it); standalone row judge-run
+        "curriculum_order": q_curriculum_order,
         "minhash_verified": q_minhash_verified,
         "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3715,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corrupt": spancorrupt_mod.span_corrupt_sql(),
         "release_manifest": release_mod.release_manifest_sql(),
         "trust_rank": _trust_rank_sql(),
+        "ann_recall": _ann_recall_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

@@ -446,3 +446,38 @@ def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .orderBy("q_id", "rank"))
+
+
+def ann_recall(emb: DataFrame, queries: DataFrame, k: int = 5,
+               dim: int = 64) -> DataFrame:
+    """(method, recall_at_k): what fraction of the EXACT cosine top-k
+    each approximate index recovers — the acceptance gate an ANN
+    deployment is tuned against (recall@k vs candidate-set cost).
+
+    One plan: the three approximate result sets union with a method
+    tag, semi-join the exact set on (q_id, vec_id), and ONE tiny-key
+    aggregate divides by queries x k; a broadcast method frame keeps
+    zero-recall methods present.  Costs the four underlying searches —
+    at 100 TB you run this on a sampled query panel, never the full
+    query log (the result is a scalar per method; sampling error, not
+    corpus size, bounds its use)."""
+    exact = brute_force_topk(emb, queries, k=k).select("q_id", "vec_id")
+    nq = queries.count()
+    tagged = None
+    for name, df in (
+            ("ivf", ivf_topk(emb, queries, k=k, dim=dim)),
+            ("lsh", lsh_topk(emb, queries, k=k, dim=dim)),
+            ("sq8", sq8_topk(emb, queries, k=k, dim=dim))):
+        t = df.select(F.lit(name).alias("method"), "q_id", "vec_id")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (tagged.join(exact, ["q_id", "vec_id"])
+            .groupBy("method").agg(F.count(F.lit(1)).alias("__h")))
+    # no broadcast hint: a LEFT outer join can only build its right
+    # side, and both frames are <= 3 rows here anyway
+    methods = emb.sparkSession.createDataFrame(
+        [("ivf",), ("lsh",), ("sq8",)], "method string")
+    return (methods.join(hits, "method", "left")
+            .select("method",
+                    F.round(F.coalesce(F.col("__h"), F.lit(0))
+                            / (nq * k), 6).alias("recall_at_k"))
+            .orderBy("method"))

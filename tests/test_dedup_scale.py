@@ -224,3 +224,26 @@ def test_incremental_exact_dedup_decisions(spark):
     assert rows[11].keep and rows[11].dup_of is None
     assert rows[12].dup_of == 11 and not rows[12].keep
     assert rows[13].keep and rows[13].dup_of is None
+
+
+def test_ann_recall_laws(spark):
+    """Exact-vs-exact recall is 1; each approximate method's recall is
+    in (0, 1]; all three methods present even when one misses."""
+    from pyspark.sql import functions as F
+    from nacc_form_validator_spark.operators.simsearch import (
+        ann_recall, brute_force_topk)
+    import random
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    q = (emb.where(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    out = {r["method"]: r["recall_at_k"] for r in
+           ann_recall(emb, q, k=5).collect()}
+    assert set(out) == {"ivf", "lsh", "sq8"}
+    for m, r in out.items():
+        assert 0.0 <= r <= 1.0, (m, r)
+    # sq8 is 8-bit quantization of the same metric — near-exact
+    assert out["sq8"] >= 0.8
