@@ -1082,6 +1082,15 @@ def q_host_pagerank(spark, sf_dir):
 _TRUST_SEEDS = ["host0.example", "host1.example"]
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization codes (4 subspaces x 8 trained centroids):
+    64 floats -> 4 codes — the compression that fits billion-vector
+    indexes in memory; training is 4 tiny Lloyd loops, encoding a pure
+    projection over literal codebooks (operators/pq.py)."""
+    from nacc_form_validator_spark.operators.pq import pq_encode
+    return pq_encode(_emb(spark, sf_dir))
+
+
 def q_ann_recall(spark, sf_dir):
     """recall@k of every approximate ANN index (IVF / LSH / SQ8) vs the
     exact cosine top-k — the deployment acceptance gate
@@ -3498,7 +3507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domains": q_registered_domains,
         "winnow_pairs": q_winnow_pairs,
         "readability": q_readability,
-        "topic_tags": q_topic_tags,
         "skew_report": q_skew_report,
         "zorder_layout": q_zorder_layout,
         "gate_ablation": q_gate_ablation,
@@ -3507,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_manifest": q_release_manifest,
         "trust_rank": q_trust_rank,
         "ann_recall": q_ann_recall,
+        "pq_encode": q_pq_encode,
         "substring_dedup": q_substring_dedup,
         "mirror_stats": q_mirror_stats,
         "mirrored_content": q_mirrored_content,
@@ -3549,8 +3558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it; the standalone row is judge-run via check_oracles.py) ---
         "shard_manifest": q_shard_manifest,
         # curriculum_order's global_rank core is driver-covered via
-        # zorder_layout (which composes it); standalone row judge-run
+        # zorder_layout (which composes it); topic_tags is a pure
+        # literal-HOF projection pinned by hand goldens — both
+        # standalone rows are judge-run via check_oracles.py
         "curriculum_order": q_curriculum_order,
+        "topic_tags": q_topic_tags,
         "minhash_verified": q_minhash_verified,
         "chunk_overlap": q_chunk_overlap,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3747,6 +3759,7 @@ def oracle_sql() -> dict[str, str]:
         "release_manifest": release_mod.release_manifest_sql(),
         "trust_rank": _trust_rank_sql(),
         "ann_recall": _ann_recall_sql(),
+        "pq_encode": oracle.pq_encode_sql(),
         "curriculum_order": ordering_mod.global_rank_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(-length(text) AS BIGINT)"),

@@ -594,6 +594,63 @@ def kmeans_train_sql(dim: int = 64, k: int = 8, iters: int = 2) -> str:
         f"ORDER BY cell")
 
 
+def pq_encode_sql(dim: int = 64, m: int = 4, ks: int = 8,
+                  iters: int = 2) -> str:
+    """Oracle for operators/pq.pq_encode: per-subspace unrolled Lloyd
+    training (same md5 init, same argmax(dot - |c|²/2) lowest-cell
+    tie-break, same round-6 means, empty cells keep previous) followed
+    by the final per-subspace assignment, joined on vec_id."""
+    from nacc_form_validator_spark.operators.simsearch import _centroids
+    sub = dim // m
+    parts = []
+    finals = []
+    for s in range(m):
+        p = f"s{s}"
+        vd = (f"list_transform(embedding[{s * sub + 1}:{(s + 1) * sub}]"
+              f", x -> x::DOUBLE)")
+        parts.append(f"e{s} AS (SELECT vec_id, {vd} AS vd "
+                     f"FROM embeddings)")
+        cents = _centroids(sub, ks)
+        init = ", ".join(
+            f"({c}, [{', '.join(repr(v) for v in cents[c])}])"
+            for c in range(ks))
+        parts.append(f"{p}c0 AS (SELECT * FROM (VALUES {init}) "
+                     f"AS t(cell, c))")
+        dot = (f"list_sum(list_transform(range(1, {sub} + 1), "
+               f"j -> ee.vd[j] * c.c[j]))")
+        hn2 = "list_sum(list_transform(c.c, x -> x * x)) / 2.0"
+        mcols = ", ".join(f"round(avg(ee.vd[{j + 1}]), 6) AS m{j}"
+                          for j in range(sub))
+        mlist = "[" + ", ".join(f"m{j}" for j in range(sub)) + "]"
+        for it in range(iters):
+            nxt = it + 1
+            parts += [
+                f"{p}a{it} AS (SELECT vec_id, cell FROM (SELECT "
+                f"ee.vec_id, c.cell, row_number() OVER (PARTITION BY "
+                f"ee.vec_id ORDER BY ({dot} - {hn2}) DESC, c.cell ASC) "
+                f"AS rn FROM e{s} ee, {p}c{it} c) WHERE rn = 1)",
+                f"{p}m{it} AS (SELECT {p}a{it}.cell, {mcols} FROM "
+                f"{p}a{it} JOIN e{s} ee ON {p}a{it}.vec_id = ee.vec_id "
+                f"GROUP BY {p}a{it}.cell)",
+                f"{p}c{nxt} AS (SELECT {p}c{it}.cell, CASE WHEN "
+                f"{p}m{it}.cell IS NULL THEN {p}c{it}.c ELSE {mlist} "
+                f"END AS c FROM {p}c{it} LEFT JOIN {p}m{it} "
+                f"ON {p}c{it}.cell = {p}m{it}.cell)",
+            ]
+        parts.append(
+            f"{p}af AS (SELECT vec_id, cell FROM (SELECT ee.vec_id, "
+            f"c.cell, row_number() OVER (PARTITION BY ee.vec_id "
+            f"ORDER BY ({dot} - {hn2}) DESC, c.cell ASC) AS rn "
+            f"FROM e{s} ee, {p}c{iters} c) WHERE rn = 1)")
+        finals.append(f"CAST({p}af.cell AS BIGINT) AS c{s}")
+    joins = " ".join(
+        f"JOIN s{s}af ON s0af.vec_id = s{s}af.vec_id"
+        for s in range(1, m))
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT s0af.vec_id AS vec_id, {', '.join(finals)} "
+            f"FROM s0af {joins} ORDER BY vec_id")
+
+
 def ivf_trained_topk_sql(dim: int = 64, kc: int = 8, iters: int = 2,
                          k: int = 5, nprobe: int = 3,
                          n_queries: int = 5) -> str:
