@@ -37,6 +37,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
                                                            whitespace_token_count)
 from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
+from nacc_form_validator_spark.operators import oph as oph_mod
 from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.operators import projection as projection_mod
 from nacc_form_validator_spark.operators import release as release_mod
@@ -319,6 +320,71 @@ def _gate_ablation_sql() -> str:
     return (f"WITH e AS ({quality_ensemble_sql()}), "
             f"s AS (SELECT {', '.join(sums)} FROM e) "
             f"{rows} ORDER BY gate")
+
+
+def q_cascade_plan(spark, sf_dir):
+    """Cheapest-reject-first cascade ordering over the quality-ensemble
+    gates: drop-rate/cost ranking, per-gate reach fraction under
+    independence, cumulative expected evaluation cost — ONE corpus
+    aggregate, plan math on the 4-row result
+    (operators/ensemble.py cascade_plan)."""
+    from nacc_form_validator_spark.operators.ensemble import (
+        cascade_plan, quality_ensemble)
+    return cascade_plan(quality_ensemble(_docs(spark, sf_dir)))
+
+
+def _cascade_plan_sql() -> str:
+    from nacc_form_validator_spark.operators.ensemble import (
+        cascade_plan_sql)
+    from nacc_form_validator_spark.plans.oracle import quality_ensemble_sql
+    return cascade_plan_sql(quality_ensemble_sql())
+
+
+def q_waterfill_quotas(spark, sf_dir):
+    """UniMax water-filling quota table: exact integer allocation of a
+    fixed document budget across sources — small sources kept whole,
+    surplus split evenly among capped ones
+    (operators/budgeting.py waterfill_quotas)."""
+    from nacc_form_validator_spark.operators.budgeting import (
+        waterfill_quotas)
+    return waterfill_quotas(_docs(spark, sf_dir), "source", 300)
+
+
+def _waterfill_quotas_sql() -> str:
+    from nacc_form_validator_spark.operators.budgeting import (
+        waterfill_quotas_sql)
+    return waterfill_quotas_sql("SELECT * FROM documents", "source", 300)
+
+
+def q_unimax_sample(spark, sf_dir):
+    """The UniMax-budgeted subsample itself: per source, the quota rows
+    with the smallest md5(doc_id) rank — deterministic and
+    resume-stable (operators/budgeting.py unimax_sample)."""
+    from nacc_form_validator_spark.operators.budgeting import (
+        unimax_sample)
+    return unimax_sample(_docs(spark, sf_dir), "source", 300)
+
+
+def _unimax_sample_sql() -> str:
+    from nacc_form_validator_spark.operators.budgeting import (
+        unimax_sample_sql)
+    return unimax_sample_sql("SELECT * FROM documents", "source", 300)
+
+
+def q_oph_signatures(spark, sf_dir):
+    """One-permutation MinHash signatures with rotation densification:
+    ONE md5 per shingle instead of k — the 1/k-hash-cost signature
+    construction for near-dup at volume (operators/oph.py)."""
+    from nacc_form_validator_spark.operators.oph import oph_signatures
+    return oph_signatures(_docs(spark, sf_dir), k=8, n=3)
+
+
+def q_oph_pairs(spark, sf_dir):
+    """Banded LSH candidate pairs over the densified OPH signatures —
+    same band-key join as dedup_minhash_lsh, fed by the
+    1-hash-per-shingle signature (operators/oph.py)."""
+    from nacc_form_validator_spark.operators.oph import oph_pairs
+    return oph_pairs(_docs(spark, sf_dir), k=8, bands=4, n=3)
 
 
 def q_span_corrupt(spark, sf_dir):
@@ -3503,6 +3569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "cascade_plan": q_cascade_plan,
+        "waterfill_quotas": q_waterfill_quotas,
+        "unimax_sample": q_unimax_sample,
+        "oph_signatures": q_oph_signatures,
+        "oph_pairs": q_oph_pairs,
         "rule_cooccurrence": q_rule_cooccurrence,
         "registered_domains": q_registered_domains,
         "winnow_pairs": q_winnow_pairs,
@@ -3753,6 +3824,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 8 AS BIGINT)", "text"),
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
+        "cascade_plan": _cascade_plan_sql(),
+        "waterfill_quotas": _waterfill_quotas_sql(),
+        "unimax_sample": _unimax_sample_sql(),
+        "oph_signatures": oph_mod.oph_signatures_sql(k=8, n=3),
+        "oph_pairs": oph_mod.oph_pairs_sql(k=8, bands=4, n=3),
         "jl_project": projection_mod.jl_project_sql(
             "SELECT vec_id, embedding FROM embeddings"),
         "span_corrupt": spancorrupt_mod.span_corrupt_sql(),

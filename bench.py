@@ -225,7 +225,9 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "topic_tags", "skew_report", "shard_manifest",
                  "zorder_layout", "gate_ablation", "jl_project",
                  "span_corrupt", "release_manifest", "trust_rank",
-                 "ann_recall", "pq_encode"]:
+                 "ann_recall", "pq_encode", "cascade_plan",
+                 "waterfill_quotas", "unimax_sample", "oph_signatures",
+                 "oph_pairs"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -1,0 +1,139 @@
+"""UniMax-style water-filling budget allocation across groups.
+
+A 100 TB corpus is never consumed whole: a training run has a document
+(or token) budget, and drawing it proportionally to raw group sizes
+lets mega-hosts (or mega-languages) drown the tail.  UniMax (Chung et
+al., 2023) allocates a fixed budget by *water-filling*: every group
+keeps all its documents up to a common cap ``c``, where ``c`` is the
+unique level at which sum_g min(n_g, c) = budget — small groups are
+never down-sampled, and the budget surplus is split evenly among the
+groups that hit the cap.
+
+Exact integer allocation, engine-portable: with group counts sorted
+ascending, group i keeps everything iff sum_{j<=i} n_j + (G-i)*n_i <=
+budget (that sum IS sum_g min(n_g, n_i), monotone in n_i, so the test
+is exact including ties).  The capped groups split the remaining
+budget as q = floor(rem / m) each, with the first (rem mod m) capped
+groups in group-key order getting one extra — a deterministic
+integerization both engines compute identically.
+
+Scale shape (100 TB): the water-fill itself runs on the per-group
+COUNT table — G rows (hosts/languages), orders of magnitude smaller
+than the corpus; its global sort-window is a G-row single-partition
+sort, fine up to ~1e8 groups (beyond that, bin counts first).  Row
+selection is ONE corpus shuffle: rank-within-group by md5(id) against
+the joined quota (AQE broadcasts the G-row quota table).  A quota'd
+hot host still sorts its rows inside one partition — the md5 rank is
+deterministic, so at extreme skew the same selection can be done with
+the two-pass salted window used by rules_temporal_salted.  Reference
+analogue: none (recast LLM-corpus surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def waterfill_quotas(df: DataFrame, group_col: str = "host",
+                     budget: int = 100) -> DataFrame:
+    """(group, n, quota): exact water-filling allocation of ``budget``
+    rows across groups — sum(quota) == min(budget, total rows)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    g = F.col(group_col)
+    counts = df.groupBy(g.alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("grp").asc())
+    c = (counts
+         .withColumn("__i", F.row_number().over(w))
+         .withColumn("__s", F.sum("n").over(
+             w.rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("__g_total", F.count(F.lit(1)).over(
+             Window.partitionBy()))
+         .withColumn("__full",
+                     (F.col("__s")
+                      + (F.col("__g_total") - F.col("__i"))
+                      * F.col("n")) <= budget))
+    agg = c.agg(
+        F.sum(F.when(F.col("__full"), F.col("n"))
+              .otherwise(F.lit(0))).alias("__s_full"),
+        F.sum(F.when(F.col("__full"), 0).otherwise(1)).alias("__m"))
+    c = c.join(F.broadcast(agg), how="cross")
+    rem = F.lit(budget) - F.col("__s_full")
+    q = F.floor(rem / F.col("__m"))
+    extra = rem - q * F.col("__m")
+    wk = Window.partitionBy("__full").orderBy(F.col("grp").asc())
+    out = (c.withColumn("__k", F.row_number().over(wk))
+           .select(
+               F.col("grp").alias(group_col), "n",
+               F.when(F.col("__full") | (F.col("__m") == 0), F.col("n"))
+               .otherwise(q + F.when(F.col("__k") <= extra, 1)
+                          .otherwise(0)).cast("long").alias("quota")))
+    return out.orderBy(group_col)
+
+
+def unimax_sample(df: DataFrame, group_col: str = "host",
+                  budget: int = 100,
+                  id_col: str = "doc_id") -> DataFrame:
+    """The budgeted subsample itself: per group, the ``quota`` rows
+    with the smallest md5(id) rank — deterministic, resume-stable.
+    Returns (id, group, quota, rk)."""
+    quotas = waterfill_quotas(df, group_col, budget)
+    wr = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("id").cast("string")).asc(),
+        F.col("id").asc())
+    return (df.select(F.col(id_col).alias("id"), F.col(group_col))
+            .withColumn("rk", F.row_number().over(wr))
+            .join(quotas.select(group_col, "quota"), group_col)
+            .where(F.col("rk") <= F.col("quota"))
+            .select("id", group_col, "quota", "rk")
+            .orderBy("id"))
+
+
+def _quota_ctes(table_sql: str, group_sql: str, budget: int) -> str:
+    """Shared oracle CTEs ending in quotas(grp, n, quota)."""
+    return (
+        f"src AS ({table_sql}), "
+        f"counts AS (SELECT {group_sql} AS grp, count(*) AS n "
+        f"FROM src GROUP BY 1), "
+        f"c AS (SELECT grp, n, "
+        f"row_number() OVER (ORDER BY n ASC, grp ASC) AS i, "
+        f"sum(n) OVER (ORDER BY n ASC, grp ASC ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND CURRENT ROW) AS s, "
+        f"count(*) OVER () AS gt FROM counts), "
+        f"f AS (SELECT *, (s + (gt - i) * n) <= {budget} AS isfull "
+        f"FROM c), "
+        f"agg AS (SELECT coalesce(sum(CASE WHEN isfull THEN n END), 0) "
+        f"AS s_full, sum(CASE WHEN isfull THEN 0 ELSE 1 END) AS m "
+        f"FROM f), "
+        f"quotas AS (SELECT grp, n, CAST(CASE WHEN isfull OR agg.m = 0 "
+        f"THEN n ELSE floor(({budget} - agg.s_full) / agg.m) + "
+        f"(CASE WHEN row_number() OVER (PARTITION BY isfull "
+        f"ORDER BY grp ASC) <= ({budget} - agg.s_full) - "
+        f"floor(({budget} - agg.s_full) / agg.m) * agg.m "
+        f"THEN 1 ELSE 0 END) END AS BIGINT) AS quota "
+        f"FROM f CROSS JOIN agg)")
+
+
+def waterfill_quotas_sql(table_sql: str, group_sql: str = "host",
+                         budget: int = 100) -> str:
+    """DuckDB mirror of :func:`waterfill_quotas`."""
+    return (f"WITH {_quota_ctes(table_sql, group_sql, budget)} "
+            f"SELECT grp AS {group_sql}, n, quota FROM quotas "
+            f"ORDER BY {group_sql}")
+
+
+def unimax_sample_sql(table_sql: str, group_sql: str = "host",
+                      budget: int = 100,
+                      id_sql: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`unimax_sample`."""
+    return (
+        f"WITH {_quota_ctes(table_sql, group_sql, budget)}, "
+        f"ranked AS (SELECT {id_sql} AS id, {group_sql} AS grp, "
+        f"row_number() OVER (PARTITION BY {group_sql} "
+        f"ORDER BY md5(CAST({id_sql} AS VARCHAR)) ASC, {id_sql} ASC) "
+        f"AS rk FROM src) "
+        f"SELECT ranked.id, ranked.grp AS {group_sql}, quotas.quota, "
+        f"ranked.rk FROM ranked JOIN quotas ON ranked.grp = quotas.grp "
+        f"WHERE ranked.rk <= quotas.quota ORDER BY id")

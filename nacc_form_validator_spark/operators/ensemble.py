@@ -74,6 +74,105 @@ def quality_ensemble(docs: DataFrame, id_col: str = "doc_id",
         .orderBy("id"))
 
 
+#: default per-gate relative evaluation costs: the Gopher bounds and
+#: the entropy guard are one projection over text already in hand; the
+#: perplexity cut pays a token explode + model join; the NB classifier
+#: pays tokenize + score join.  Relative units — only ratios matter.
+DEFAULT_GATE_COSTS = {"g_ok": 1.0, "ent_ok": 1.0,
+                      "ppl_ok": 3.0, "nb_ok": 5.0}
+
+
+def cascade_plan(ens: DataFrame,
+                 gates: "tuple[str, ...]" = ("g_ok", "nb_ok",
+                                             "ppl_ok", "ent_ok"),
+                 costs: "dict[str, float] | None" = None) -> DataFrame:
+    """Cheapest-reject-first evaluation order for conjunctive gates.
+
+    A document is dropped at its FIRST failing gate, so a cascade
+    evaluates expensive gates only on documents the cheap gates kept.
+    For statistically independent gates the order minimizing expected
+    cost per document ranks by drop_rate / cost descending (the
+    classic filter-ordering rule from pipelined selection planning) —
+    at 10^12 docs the difference between the best and worst order of
+    a 5x-cost classifier gate is the classifier's GPU/CPU bill.
+
+    Output per gate: ``n_fail``, ``drop_rate``, ``cost``,
+    ``eval_order`` (the plan), ``reach_frac`` (fraction of docs that
+    reach the gate under independence — the product of preceding
+    gates' pass rates), and ``cum_cost`` (expected per-doc cost of the
+    cascade up to and including this gate).  One corpus aggregate
+    total; the plan math runs on the |gates|-row result.
+    """
+    costs = dict(DEFAULT_GATE_COSTS if costs is None else costs)
+    from pyspark.sql import Window
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for g in gates:
+        aggs.append(F.sum(F.when(~F.col(g), 1).otherwise(0))
+                    .alias(f"__f_{g}"))
+    row = ens.agg(*aggs)
+    arr = F.array(*[F.struct(
+        F.lit(g).alias("gate"),
+        F.col(f"__f_{g}").cast("long").alias("n_fail"),
+        F.lit(float(costs[g])).alias("cost")) for g in gates])
+    r = (row.select("n_docs", F.explode(arr).alias("s"))
+         .select(F.col("s.gate").alias("gate"),
+                 F.col("s.n_fail").alias("n_fail"),
+                 F.col("s.cost").alias("cost"),
+                 (F.col("s.n_fail") / F.col("n_docs")).alias("__dr")))
+    w = Window.orderBy((F.col("__dr") / F.col("cost")).desc(),
+                       F.col("gate").asc())
+    r = (r.withColumn("eval_order", F.row_number().over(w))
+         .withColumn(
+             "reach_frac",
+             F.exp(F.coalesce(
+                 F.sum(F.log(F.greatest(1.0 - F.col("__dr"),
+                                        F.lit(1e-300))))
+                 .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                 F.lit(0.0)))))
+    wo = Window.orderBy("eval_order")
+    return (r.withColumn(
+        "cum_cost",
+        F.sum(F.col("cost") * F.col("reach_frac"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("gate", "n_fail", F.round("__dr", 6).alias("drop_rate"),
+                "cost", "eval_order",
+                F.round("reach_frac", 6).alias("reach_frac"),
+                F.round("cum_cost", 6).alias("cum_cost"))
+        .orderBy("eval_order"))
+
+
+def cascade_plan_sql(ens_sql: str,
+                     gates: "tuple[str, ...]" = ("g_ok", "nb_ok",
+                                                 "ppl_ok", "ent_ok"),
+                     costs: "dict[str, float] | None" = None) -> str:
+    """DuckDB mirror of :func:`cascade_plan` over an ensemble query."""
+    costs = dict(DEFAULT_GATE_COSTS if costs is None else costs)
+    fsums = ", ".join(
+        f"CAST(sum(CASE WHEN NOT {g} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS f_{g}" for g in gates)
+    unions = " UNION ALL ".join(
+        f"SELECT '{g}' AS gate, f_{g} AS n_fail, "
+        f"CAST({float(costs[g])!r} AS DOUBLE) AS cost, n_docs FROM agg"
+        for g in gates)
+    ordw = "ORDER BY dr / cost DESC, gate ASC"
+    return (
+        f"WITH e AS ({ens_sql}), "
+        f"agg AS (SELECT count(*) AS n_docs, {fsums} FROM e), "
+        f"rows_ AS ({unions}), "
+        f"r AS (SELECT gate, n_fail, cost, "
+        f"CAST(n_fail AS DOUBLE) / n_docs AS dr FROM rows_), "
+        f"o AS (SELECT gate, n_fail, cost, dr, "
+        f"row_number() OVER ({ordw}) AS eval_order, "
+        f"exp(coalesce(sum(ln(greatest(1.0 - dr, 1e-300))) "
+        f"OVER ({ordw} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING), 0.0)) AS reach FROM r) "
+        f"SELECT gate, n_fail, round(dr, 6) AS drop_rate, cost, "
+        f"eval_order, round(reach, 6) AS reach_frac, "
+        f"round(sum(cost * reach) OVER (ORDER BY eval_order "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+        f"AS cum_cost FROM o ORDER BY eval_order")
+
+
 def gate_ablation(ens: DataFrame,
                   gates: "tuple[str, ...]" = ("g_ok", "nb_ok",
                                               "ppl_ok", "ent_ok")
