@@ -371,6 +371,67 @@ def _unimax_sample_sql() -> str:
     return unimax_sample_sql("SELECT * FROM documents", "source", 300)
 
 
+def q_temperature_quotas(spark, sf_dir):
+    """T5-style temperature-scaled mixture allocation (w ∝ n^alpha,
+    largest-remainder integerization, DECIMAL-exact denominator) —
+    the flattening between proportional and uniform that multilingual
+    mixes train on (operators/budgeting.py temperature_quotas)."""
+    from nacc_form_validator_spark.operators.budgeting import (
+        temperature_quotas)
+    return temperature_quotas(_docs(spark, sf_dir), "source", 0.5, 300)
+
+
+def _temperature_quotas_sql() -> str:
+    from nacc_form_validator_spark.operators.budgeting import (
+        temperature_quotas_sql)
+    return temperature_quotas_sql("SELECT * FROM documents", "source",
+                                  0.5, 300)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """The temperature-mixed subsample: per source, quota rows with the
+    smallest md5(doc_id) rank (operators/budgeting.py)."""
+    from nacc_form_validator_spark.operators.budgeting import (
+        temperature_sample)
+    return temperature_sample(_docs(spark, sf_dir), "source", 0.5, 300)
+
+
+def _temperature_sample_sql() -> str:
+    from nacc_form_validator_spark.operators.budgeting import (
+        temperature_sample_sql)
+    return temperature_sample_sql("SELECT * FROM documents", "source",
+                                  0.5, 300)
+
+
+def q_score_auc(spark, sf_dir):
+    """Tie-aware ROC AUC of the cheap composite quality score against
+    the full ensemble keep decision — "can the one-projection score
+    stand in for the trained ensemble?", the filter-evaluation number
+    (operators/diagnostics.py score_auc)."""
+    from nacc_form_validator_spark.operators.diagnostics import score_auc
+    from nacc_form_validator_spark.operators.ensemble import (
+        quality_ensemble)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score)
+    d = _docs(spark, sf_dir)
+    scores = d.select(F.col("doc_id").alias("id"),
+                      quality_score(F.col("text")).alias("q"))
+    ens = quality_ensemble(d).select("id", "keep")
+    return score_auc(scores.join(ens, "id"), F.col("q"), F.col("keep"))
+
+
+def _score_auc_sql() -> str:
+    from nacc_form_validator_spark.operators.diagnostics import (
+        score_auc_sql)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score_sql)
+    from nacc_form_validator_spark.plans.oracle import quality_ensemble_sql
+    tbl = (f"SELECT d.doc_id, {quality_score_sql('d.text')} AS q, "
+           f"e.keep FROM documents d "
+           f"JOIN ({quality_ensemble_sql()}) e ON d.doc_id = e.id")
+    return score_auc_sql(tbl, "q", "keep")
+
+
 def q_oph_signatures(spark, sf_dir):
     """One-permutation MinHash signatures with rotation densification:
     ONE md5 per shingle instead of k — the 1/k-hash-cost signature
@@ -3572,6 +3633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_plan": q_cascade_plan,
         "waterfill_quotas": q_waterfill_quotas,
         "unimax_sample": q_unimax_sample,
+        "temperature_quotas": q_temperature_quotas,
+        "temperature_sample": q_temperature_sample,
+        "score_auc": q_score_auc,
         "oph_signatures": q_oph_signatures,
         "oph_pairs": q_oph_pairs,
         "rule_cooccurrence": q_rule_cooccurrence,
@@ -3827,6 +3891,9 @@ def oracle_sql() -> dict[str, str]:
         "cascade_plan": _cascade_plan_sql(),
         "waterfill_quotas": _waterfill_quotas_sql(),
         "unimax_sample": _unimax_sample_sql(),
+        "temperature_quotas": _temperature_quotas_sql(),
+        "temperature_sample": _temperature_sample_sql(),
+        "score_auc": _score_auc_sql(),
         "oph_signatures": oph_mod.oph_signatures_sql(k=8, n=3),
         "oph_pairs": oph_mod.oph_pairs_sql(k=8, bands=4, n=3),
         "jl_project": projection_mod.jl_project_sql(

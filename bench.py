@@ -227,7 +227,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "span_corrupt", "release_manifest", "trust_rank",
                  "ann_recall", "pq_encode", "cascade_plan",
                  "waterfill_quotas", "unimax_sample", "oph_signatures",
-                 "oph_pairs"]:
+                 "oph_pairs", "temperature_quotas",
+                 "temperature_sample", "score_auc"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

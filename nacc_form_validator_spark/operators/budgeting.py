@@ -137,3 +137,130 @@ def unimax_sample_sql(table_sql: str, group_sql: str = "host",
         f"SELECT ranked.id, ranked.grp AS {group_sql}, quotas.quota, "
         f"ranked.rk FROM ranked JOIN quotas ON ranked.grp = quotas.grp "
         f"WHERE ranked.rk <= quotas.quota ORDER BY id")
+
+
+def temperature_quotas(df: DataFrame, group_col: str = "host",
+                       alpha: float = 0.5,
+                       budget: int = 100) -> DataFrame:
+    """(group, n, weight, target, quota): T5-style temperature-scaled
+    mixture allocation — sampling weight w_g ∝ n_g^alpha (alpha = 1 is
+    proportional, alpha = 0 uniform, alpha ≈ 0.3-0.7 the usual
+    multilingual flattening), integerized by largest remainder.
+
+    Temperature sampling classically draws WITH replacement (small
+    groups repeat for multiple epochs); this operator samples without
+    replacement, so ``quota = least(n, target)`` and a capped group
+    honestly under-fills rather than duplicating — the realized total
+    can be below ``budget`` when alpha pushes targets past small-group
+    sizes (UniMax water-filling is the redistribute-the-surplus
+    alternative; compose the two if the budget must be met exactly).
+
+    Engine parity: n^alpha is one libm pow per group; the weight
+    denominator is summed as DECIMAL(38,18) so the total is exact and
+    association-order-free (a double sum could differ in the last ulp
+    between engines and flip a floor at an integer boundary).  Largest-
+    remainder ties break by group key.
+
+    Scale shape (100 TB): everything after the per-group COUNT runs on
+    the G-row table; selection via :func:`temperature_sample` is the
+    same ONE corpus shuffle as unimax_sample.  Reference analogue:
+    none (recast LLM-corpus surface).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"))
+    c = counts.withColumn(
+        "__p", F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+        .cast("decimal(38,18)"))
+    tot = c.agg(F.sum("__p").alias("__t"))
+    c = c.join(F.broadcast(tot), how="cross")
+    w = (F.col("__p").cast("double")
+         / F.col("__t").cast("double"))
+    tgt = F.lit(budget) * w
+    c = (c.withColumn("__w", w)
+         .withColumn("__fl", F.floor(tgt).cast("long"))
+         .withColumn("__fr", tgt - F.floor(tgt)))
+    base = c.agg(F.sum("__fl").alias("__sfl"))
+    c = c.join(F.broadcast(base), how="cross")
+    wk = Window.orderBy(F.col("__fr").desc(), F.col("grp").asc())
+    rem = F.lit(budget) - F.col("__sfl")
+    out = (c.withColumn("__k", F.row_number().over(wk))
+           .select(
+               F.col("grp").alias(group_col), "n",
+               F.round(F.col("__w"), 6).alias("weight"),
+               (F.col("__fl") + F.when(F.col("__k") <= rem, 1)
+                .otherwise(0)).cast("long").alias("target")))
+    return (out.withColumn("quota", F.least(F.col("n"),
+                                            F.col("target")))
+            .orderBy(group_col))
+
+
+def temperature_sample(df: DataFrame, group_col: str = "host",
+                       alpha: float = 0.5, budget: int = 100,
+                       id_col: str = "doc_id") -> DataFrame:
+    """The temperature-mixed subsample: per group, the ``quota`` rows
+    with the smallest md5(id) rank — deterministic, resume-stable.
+    Returns (id, group, quota, rk)."""
+    quotas = temperature_quotas(df, group_col, alpha, budget)
+    wr = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("id").cast("string")).asc(),
+        F.col("id").asc())
+    return (df.select(F.col(id_col).alias("id"), F.col(group_col))
+            .withColumn("rk", F.row_number().over(wr))
+            .join(quotas.select(group_col, "quota"), group_col)
+            .where(F.col("rk") <= F.col("quota"))
+            .select("id", group_col, "quota", "rk")
+            .orderBy("id"))
+
+
+def _temperature_ctes(table_sql: str, group_sql: str, alpha: float,
+                      budget: int) -> str:
+    """Shared oracle CTEs ending in quotas(grp, n, weight, target,
+    quota) — DECIMAL(38,18) denominator, largest remainder."""
+    return (
+        f"src AS ({table_sql}), "
+        f"counts AS (SELECT {group_sql} AS grp, count(*) AS n "
+        f"FROM src GROUP BY 1), "
+        f"p AS (SELECT grp, n, CAST(pow(CAST(n AS DOUBLE), {alpha!r}) "
+        f"AS DECIMAL(38,18)) AS pw FROM counts), "
+        f"t AS (SELECT sum(pw) AS tot FROM p), "
+        f"w AS (SELECT grp, n, CAST(pw AS DOUBLE) / "
+        f"CAST(tot AS DOUBLE) AS w, "
+        f"{budget} * (CAST(pw AS DOUBLE) / CAST(tot AS DOUBLE)) AS tgt "
+        f"FROM p CROSS JOIN t), "
+        f"fl AS (SELECT grp, n, w, CAST(floor(tgt) AS BIGINT) AS fl, "
+        f"tgt - floor(tgt) AS fr FROM w), "
+        f"b AS (SELECT sum(fl) AS sfl FROM fl), "
+        f"quotas AS (SELECT grp, n, round(w, 6) AS weight, "
+        f"CAST(fl + (CASE WHEN row_number() OVER (ORDER BY fr DESC, "
+        f"grp ASC) <= {budget} - b.sfl THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS target, least(n, fl + (CASE WHEN row_number() OVER ("
+        f"ORDER BY fr DESC, grp ASC) <= {budget} - b.sfl THEN 1 "
+        f"ELSE 0 END)) AS quota FROM fl CROSS JOIN b)")
+
+
+def temperature_quotas_sql(table_sql: str, group_sql: str = "host",
+                           alpha: float = 0.5,
+                           budget: int = 100) -> str:
+    """DuckDB mirror of :func:`temperature_quotas`."""
+    return (f"WITH {_temperature_ctes(table_sql, group_sql, alpha, budget)} "
+            f"SELECT grp AS {group_sql}, n, weight, target, quota "
+            f"FROM quotas ORDER BY {group_sql}")
+
+
+def temperature_sample_sql(table_sql: str, group_sql: str = "host",
+                           alpha: float = 0.5, budget: int = 100,
+                           id_sql: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`temperature_sample`."""
+    return (
+        f"WITH {_temperature_ctes(table_sql, group_sql, alpha, budget)}, "
+        f"ranked AS (SELECT {id_sql} AS id, {group_sql} AS grp, "
+        f"row_number() OVER (PARTITION BY {group_sql} "
+        f"ORDER BY md5(CAST({id_sql} AS VARCHAR)) ASC, {id_sql} ASC) "
+        f"AS rk FROM src) "
+        f"SELECT ranked.id, ranked.grp AS {group_sql}, quotas.quota, "
+        f"ranked.rk FROM ranked JOIN quotas ON ranked.grp = quotas.grp "
+        f"WHERE ranked.rk <= quotas.quota ORDER BY id")

@@ -115,3 +115,63 @@ def shard_manifest_sql(table_sql: str, shard_sql: str,
             f"AS BIGINT) AS n_bytes, "
             f"bit_xor({h}) AS checksum "
             f"FROM src GROUP BY 1 ORDER BY shard")
+
+
+def score_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """Tie-aware ROC AUC of a quality score against a boolean label —
+    the filter-evaluation number (DataComp-style): "how well does the
+    cheap score predict the expensive decision".
+
+    Mann-Whitney form without a corpus-wide rank: aggregate to the
+    per-distinct-score (pos, neg) table, cumulate negatives below each
+    score, AUC = sum(pos * (cneg_below + neg/2)) / (n_pos * n_neg) —
+    equal scores contribute half, the standard tie correction.
+
+    Scale shape (100 TB): ONE corpus aggregate keyed by score value;
+    the window runs over the |distinct scores|-row table, which is
+    bounded by the score's quantization (quality_score rounds to 1e-6,
+    so <= 1e6 rows regardless of corpus size — a truly continuous
+    score should be quantized first for the same reason).  Exact half-
+    integer double arithmetic below 2^53, so the value is
+    engine-identical.  Returns one row (n_pos, n_neg, auc); AUC is
+    NULL when either class is empty.  Reference analogue: none (recast
+    LLM-corpus surface).
+    """
+    from pyspark.sql import Window
+    s = df.select(score.alias("s"), label.cast("boolean").alias("y"))
+    s = s.where(F.col("s").isNotNull() & F.col("y").isNotNull())
+    per = s.groupBy("s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    per = per.withColumn(
+        "cneg", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return (per.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (F.col("cneg") + F.col("neg") / 2.0))
+        .alias("__u"))
+        .select("n_pos", "n_neg",
+                F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                       F.round(F.col("__u")
+                               / (F.col("n_pos") * F.col("n_neg")), 6))
+                .alias("auc")))
+
+
+def score_auc_sql(table_sql: str, score_sql: str, label_sql: str) -> str:
+    """DuckDB mirror of :func:`score_auc` — same per-score cumulation."""
+    return (
+        f"WITH src AS ({table_sql}), "
+        f"v AS (SELECT {score_sql} AS s, {label_sql} AS y FROM src "
+        f"WHERE {score_sql} IS NOT NULL AND {label_sql} IS NOT NULL), "
+        f"per AS (SELECT s, "
+        f"sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos, "
+        f"sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg FROM v GROUP BY s), "
+        f"c AS (SELECT s, pos, neg, coalesce(sum(neg) OVER ("
+        f"ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        f"0) AS cneg FROM per), "
+        f"a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos, "
+        f"CAST(sum(neg) AS BIGINT) AS n_neg, "
+        f"sum(pos * (cneg + neg / 2.0)) AS u FROM c) "
+        f"SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 "
+        f"THEN round(u / (n_pos * n_neg), 6) END AS auc FROM a")
