@@ -1209,6 +1209,35 @@ def q_host_pagerank(spark, sf_dir):
 _TRUST_SEEDS = ["host0.example", "host1.example"]
 
 
+def q_bloom_gate(spark, sf_dir):
+    """Bloom-filter membership gate (operators/sketches.py): a
+    fixed-memory blocklist probe for member sets too large to
+    broadcast exactly — build is one word-keyed bit_or aggregate
+    (shuffle bounded at m_bits/64 rows regardless of corpus size),
+    probe is a broadcast join however large the probe side.  No false
+    negatives by construction; fp rate sized by geometry."""
+    from nacc_form_validator_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+    docs = _docs(spark, sf_dir)
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    members = (docs.where(F.col("doc_id") % 5 == 0)
+               .select(key.alias("k")))
+    bloom = bloom_build(members, F.col("k"), m_bits=1 << 14, k=3)
+    return bloom_probe(docs.select("doc_id", key.alias("k")),
+                       F.col("k"), bloom, m_bits=1 << 14, k=3)
+
+
+def _bloom_gate_sql() -> str:
+    from nacc_form_validator_spark.operators.sketches import (
+        bloom_probe_sql)
+    return bloom_probe_sql(
+        "SELECT 'u' || CAST(doc_id AS VARCHAR) AS k FROM documents "
+        "WHERE doc_id % 5 = 0",
+        "SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS k "
+        "FROM documents",
+        key_sql="k", id_sql="doc_id", m_bits=1 << 14, k=3)
+
+
 def q_pq_encode(spark, sf_dir):
     """Product-quantization codes (4 subspaces x 8 trained centroids):
     64 floats -> 4 codes — the compression that fits billion-vector
@@ -3630,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "bloom_gate": q_bloom_gate,
         "cascade_plan": q_cascade_plan,
         "waterfill_quotas": q_waterfill_quotas,
         "unimax_sample": q_unimax_sample,
@@ -3892,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "waterfill_quotas": _waterfill_quotas_sql(),
         "unimax_sample": _unimax_sample_sql(),
         "temperature_quotas": _temperature_quotas_sql(),
+        "bloom_gate": _bloom_gate_sql(),
         "temperature_sample": _temperature_sample_sql(),
         "score_auc": _score_auc_sql(),
         "oph_signatures": oph_mod.oph_signatures_sql(k=8, n=3),

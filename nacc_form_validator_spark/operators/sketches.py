@@ -402,3 +402,111 @@ def histogram_quantiles_sql(table_sql: str, value_sql: str,
         f"SELECT q, round({lo!r} + bin * {step!r} + "
         f"(q * tot - (cum - c)) / c * {step!r}, 6) AS est "
         f"FROM hit WHERE rn = 1 ORDER BY q")
+
+
+# --------------------------------------------------------------- Bloom
+def bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """The key's ``k`` bit positions: position j = 32 md5 bits of
+    (j || key) mod m_bits — identical arithmetic in the oracle."""
+    return F.array(*[
+        _hex_long(F.md5(F.concat(F.lit(str(j)), key)), 1, 8) % m_bits
+        for j in range(k)])
+
+
+def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 16,
+                k: int = 4) -> DataFrame:
+    """(word, bits): Bloom filter over ``key`` as a table of 64-bit
+    words — the fixed-memory membership gate (Bloom 1970) blocklists
+    and decontamination probes use when the member set itself is too
+    big to broadcast exactly.
+
+    Build is ONE aggregate keyed by word index: each key explodes to k
+    (word = pos/64, mask = 1<<(pos%64)) rows, bit_or per word.
+    Map-side partials are bounded at m_bits/64 rows per partition, so
+    the shuffle never scales with the corpus; two filters of the same
+    geometry merge with :func:`bloom_merge` (bit_or is commutative and
+    idempotent — yesterday's filter absorbs today's batch without
+    touching either corpus).  Spark's shiftleft wraps 1<<63 to the
+    sign bit; the oracle spells that mask as BIGINT min since DuckDB's
+    << is overflow-checked, and two's-complement bit_or/& then behave
+    identically, so word contents are value-reproducible.  Reference
+    analogue: none (recast LLM-corpus surface).
+    """
+    pos = (df.select(F.explode(
+        bloom_positions(key, m_bits, k)).alias("p"))
+        .select(F.floor(F.col("p") / 64).cast("long").alias("word"),
+                F.expr("shiftleft(1L, CAST(p % 64 AS INT))")
+                .alias("m")))
+    return (pos.groupBy("word").agg(F.expr("bit_or(m)").alias("bits"))
+            .orderBy("word"))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-geometry filters: bit_or per word."""
+    return (a.unionByName(b)
+            .groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+            .orderBy("word"))
+
+
+def bloom_probe(df: DataFrame, key: Column, bloom: DataFrame,
+                id_col: str = "doc_id", m_bits: int = 1 << 16,
+                k: int = 4) -> DataFrame:
+    """(id, might_contain): membership probe — true iff ALL k bit
+    positions are set (no false negatives; false-positive rate
+    ~(1 - e^{-kn/m})^k, sized by geometry).
+
+    The filter is <= m_bits/64 rows and broadcasts unconditionally;
+    probing is a map-side join however large the probe side.  A word
+    absent from the sparse filter table means all-zero bits, so the
+    left join's NULL coalesces to a miss.
+    """
+    pos = (df.select(F.col(id_col).alias("id"),
+                     F.explode(bloom_positions(key, m_bits, k))
+                     .alias("p"))
+           .select("id", F.floor(F.col("p") / 64).cast("long").alias("word"),
+                   F.expr("shiftleft(1L, CAST(p % 64 AS INT))")
+                   .alias("m")))
+    hit = (F.col("bits").isNotNull() &
+           (F.col("bits").bitwiseAND(F.col("m")) != 0))
+    return (pos.join(F.broadcast(bloom), "word", "left")
+            .groupBy("id")
+            .agg(F.min(hit.cast("int")).alias("__all"))
+            .select("id", (F.col("__all") == 1).alias("might_contain"))
+            .orderBy("id"))
+
+
+# DuckDB's << raises on 1<<63 (checked overflow) where Spark's
+# shiftleft wraps to the sign bit; spell bit 63 as BIGINT min.
+_MASK = ("CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775807 - 1 "
+         "AS BIGINT) ELSE CAST(1 AS BIGINT) << "
+         "CAST(p % 64 AS INTEGER) END")
+
+
+def _bloom_pos_sql(key_sql: str, m_bits: int, j: str) -> str:
+    return (f"CAST(concat('0x', substr(md5(CAST({j} AS VARCHAR) || "
+            f"{key_sql}), 1, 8)) AS BIGINT) % {m_bits}")
+
+
+def bloom_probe_sql(build_sql: str, probe_sql: str,
+                    key_sql: str = "k", id_sql: str = "id",
+                    m_bits: int = 1 << 16, k: int = 4) -> str:
+    """DuckDB mirror: build the filter from ``build_sql`` (one column
+    ``{key_sql}``), probe ``probe_sql`` rows — same words, same masks,
+    same all-k rule."""
+    pos = _bloom_pos_sql(key_sql, m_bits, "u.j")
+    return (
+        f"WITH b AS ({build_sql}), "
+        f"bp AS (SELECT {pos} AS p FROM b, "
+        f"unnest(range(0, {k})) AS u(j)), "
+        f"bw AS (SELECT CAST(p // 64 AS BIGINT) AS word, "
+        f"bit_or({_MASK}) AS bits "
+        f"FROM bp GROUP BY 1), "
+        f"q AS ({probe_sql}), "
+        f"qp AS (SELECT {id_sql} AS id, {pos} AS p FROM q, "
+        f"unnest(range(0, {k})) AS u(j)), "
+        f"qw AS (SELECT id, CAST(p // 64 AS BIGINT) AS word, "
+        f"{_MASK} AS m FROM qp) "
+        f"SELECT id, min(CASE WHEN bw.bits IS NOT NULL AND "
+        f"(bw.bits & qw.m) <> 0 THEN 1 ELSE 0 END) = 1 "
+        f"AS might_contain FROM qw LEFT JOIN bw USING (word) "
+        f"GROUP BY id ORDER BY id")
