@@ -482,6 +482,30 @@ _MASK = ("CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775807 - 1 "
          "CAST(p % 64 AS INTEGER) END")
 
 
+def bloom_probe_inrow(df: DataFrame, key: Column, bloom: DataFrame,
+                      m_bits: int = 1 << 16, k: int = 4,
+                      flag: str = "might_contain") -> DataFrame:
+    """Zero-shuffle probe: the filter (<= m_bits/64 longs) is collected
+    once and inlined as a dense literal array, so the probe becomes a
+    pure codegen projection appended to ``df`` — no explode, no join,
+    no per-id aggregate.  This is the shape to compose into a larger
+    single-pass gate plan; value-identical to :func:`bloom_probe`.
+    For filters too large to inline as a literal (m_bits beyond ~2^27
+    the plan string itself gets heavy), keep the broadcast-join path.
+    """
+    words = {r["word"]: r["bits"] for r in bloom.collect()}
+    dense = F.lit([words.get(w, 0) for w in range(m_bits // 64)])
+
+    def hit(pcol: Column) -> Column:
+        word = F.element_at(dense, F.floor(pcol / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pcol % 64).cast("int"))
+        return word.bitwiseAND(mask) != 0
+
+    return df.withColumn(
+        flag, F.forall(bloom_positions(key, m_bits, k), hit))
+
+
 def _bloom_pos_sql(key_sql: str, m_bits: int, j: str) -> str:
     return (f"CAST(concat('0x', substr(md5(CAST({j} AS VARCHAR) || "
             f"{key_sql}), 1, 8)) AS BIGINT) % {m_bits}")

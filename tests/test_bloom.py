@@ -84,3 +84,30 @@ def test_bloom_oracle_parity(spark):
         key_sql="k", id_sql="doc_id", m_bits=1 << 12,
         k=3)).fetchall()}
     assert got == want
+
+
+def test_bloom_inrow_matches_join_probe(spark):
+    from nacc_form_validator_spark.operators.sketches import (
+        bloom_probe_inrow)
+    members = [f"u{i}" for i in range(150)]
+    probes = [f"u{i * 3}" for i in range(200)]
+    bloom = bloom_build(_member_df(spark, members), F.col("k"),
+                        m_bits=1 << 12, k=3)
+    join_path = {(r["id"], r["might_contain"]) for r in bloom_probe(
+        _probe_df(spark, probes), F.col("k"), bloom,
+        m_bits=1 << 12, k=3).collect()}
+    inrow = {(r["doc_id"], r["might_contain"]) for r in bloom_probe_inrow(
+        _probe_df(spark, probes), F.col("k"), bloom,
+        m_bits=1 << 12, k=3).collect()}
+    assert inrow == join_path
+
+
+def test_bloom_inrow_is_shuffle_free(spark):
+    from nacc_form_validator_spark.operators.sketches import (
+        bloom_probe_inrow)
+    bloom = bloom_build(_member_df(spark, ["a", "b"]), F.col("k"),
+                        m_bits=1 << 10, k=2)
+    plan = bloom_probe_inrow(
+        _probe_df(spark, ["a", "c"]), F.col("k"), bloom,
+        m_bits=1 << 10, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
