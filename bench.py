@@ -228,7 +228,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "ann_recall", "pq_encode", "cascade_plan",
                  "waterfill_quotas", "unimax_sample", "oph_signatures",
                  "oph_pairs", "temperature_quotas",
-                 "temperature_sample", "score_auc"]:
+                 "temperature_sample", "score_auc", "bloom_gate"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
