@@ -37,6 +37,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
                                                            whitespace_token_count)
 from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
+from nacc_form_validator_spark.operators import features as features_mod
 from nacc_form_validator_spark.operators import oph as oph_mod
 from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.operators import projection as projection_mod
@@ -1207,6 +1208,21 @@ def q_host_pagerank(spark, sf_dir):
 #: hand-vetted seed hosts for the trustrank query — the two hub hosts
 #: the quadratic bucket mapping makes largest (deterministic fixture)
 _TRUST_SEEDS = ["host0.example", "host1.example"]
+
+
+def q_hashed_vectors(spark, sf_dir):
+    """Feature-hashed doc vectors (operators/features.py): text ->
+    fixed-dim signed hashed-TF integer vector with no vocabulary and
+    no external model — the map that lets k-means / LSH / SemDeDup
+    run over raw-text corpora.  Pure in-row fold: zero shuffles."""
+    from nacc_form_validator_spark.operators.features import (
+        hashed_doc_vectors)
+    # double-cast for the harness: np.int64 list cells JSON-serialize
+    # differently per engine, float cells identically
+    return (hashed_doc_vectors(_docs(spark, sf_dir), dim=16)
+            .select("id", F.transform("hvec",
+                                      lambda x: x.cast("double"))
+                    .alias("hvec")))
 
 
 def q_bloom_gate(spark, sf_dir):
@@ -3659,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "hashed_vectors": q_hashed_vectors,
         "bloom_gate": q_bloom_gate,
         "cascade_plan": q_cascade_plan,
         "waterfill_quotas": q_waterfill_quotas,
@@ -3923,6 +3940,10 @@ def oracle_sql() -> dict[str, str]:
         "unimax_sample": _unimax_sample_sql(),
         "temperature_quotas": _temperature_quotas_sql(),
         "bloom_gate": _bloom_gate_sql(),
+        "hashed_vectors": (
+            "SELECT id, list_transform(hvec, x -> CAST(x AS DOUBLE)) "
+            "AS hvec FROM (" +
+            features_mod.hashed_doc_vectors_sql(dim=16) + ")"),
         "temperature_sample": _temperature_sample_sql(),
         "score_auc": _score_auc_sql(),
         "oph_signatures": oph_mod.oph_signatures_sql(k=8, n=3),

@@ -228,7 +228,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "ann_recall", "pq_encode", "cascade_plan",
                  "waterfill_quotas", "unimax_sample", "oph_signatures",
                  "oph_pairs", "temperature_quotas",
-                 "temperature_sample", "score_auc", "bloom_gate"]:
+                 "temperature_sample", "score_auc", "bloom_gate",
+                 "hashed_vectors"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
