@@ -39,6 +39,7 @@ from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import features as features_mod
 from nacc_form_validator_spark.operators import oph as oph_mod
+from nacc_form_validator_spark.operators import packing as packing_mod
 from nacc_form_validator_spark.operators import ordering as ordering_mod
 from nacc_form_validator_spark.operators import projection as projection_mod
 from nacc_form_validator_spark.operators import release as release_mod
@@ -1208,6 +1209,24 @@ def q_host_pagerank(spark, sf_dir):
 #: hand-vetted seed hosts for the trustrank query — the two hub hosts
 #: the quadratic bucket mapping makes largest (deterministic fixture)
 _TRUST_SEEDS = ["host0.example", "host1.example"]
+
+
+def q_pack_bins(spark, sf_dir):
+    """No-split next-fit-decreasing bin packing (operators/packing.py
+    pack_bins): the SFT/example regime where docs stay whole and bin
+    tails are padding — md5-sharded so the sequential scan is one
+    Arrow batch per shard, embarrassingly parallel across shards."""
+    from nacc_form_validator_spark.operators.packing import pack_bins
+    return pack_bins(_docs(spark, sf_dir), budget=256, shards=8)
+
+
+def q_packing_stats(spark, sf_dir):
+    """Packing-efficiency report over pack_bins (bins, fill ratio,
+    padding waste, oversize docs) — the diagnostic that sizes the
+    token budget before a 10^12-token packing run."""
+    from nacc_form_validator_spark.operators.packing import (
+        packing_stats)
+    return packing_stats(_docs(spark, sf_dir), budget=256, shards=8)
 
 
 def q_hashed_vectors(spark, sf_dir):
@@ -3675,6 +3694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "pack_bins": q_pack_bins,
+        "packing_stats": q_packing_stats,
         "hashed_vectors": q_hashed_vectors,
         "bloom_gate": q_bloom_gate,
         "cascade_plan": q_cascade_plan,
@@ -3940,6 +3961,9 @@ def oracle_sql() -> dict[str, str]:
         "unimax_sample": _unimax_sample_sql(),
         "temperature_quotas": _temperature_quotas_sql(),
         "bloom_gate": _bloom_gate_sql(),
+        "pack_bins": packing_mod.pack_bins_sql(budget=256, shards=8),
+        "packing_stats": packing_mod.packing_stats_sql(budget=256,
+                                                       shards=8),
         "hashed_vectors": (
             "SELECT id, list_transform(hvec, x -> CAST(x AS DOUBLE)) "
             "AS hvec FROM (" +

@@ -189,3 +189,133 @@ def shard_by_bytes_sql(table_sql: str, target_bytes: int,
         f"AS shard, CAST((off + local) - CAST(floor((off + local) / "
         f"{target_bytes}) AS BIGINT) * {target_bytes} AS BIGINT) "
         f"AS shard_offset FROM loc JOIN offs USING (b) ORDER BY id")
+
+
+def pack_bins(docs: DataFrame, budget: int = 2048,
+              id_col: str = "doc_id", text_col: str = "text",
+              shards: int = 8) -> DataFrame:
+    """(id, shard, n_tokens, bin_id): next-fit-decreasing NO-SPLIT
+    packing — the SFT/example regime where a document must stay whole
+    inside one ``budget``-token bin and the bin tail is padding, vs
+    :func:`pack_sequences`' pretraining concat-and-chunk where docs
+    span sequences.
+
+    Law (engine-portable, value-exact in the DuckDB mirror): within a
+    shard, order docs by (eff DESC, id), eff = min(n_tokens, budget)
+    (an oversize doc truncates into one dedicated full bin); scan
+    sequentially — first doc opens bin 0 with remainder budget - eff,
+    each next doc joins the CURRENT bin iff eff <= remainder, else
+    opens the next bin.  Next-fit (not best-fit) because it is the
+    strongest rule both engines can state exactly: a pure sequential
+    recurrence, mirrored as a recursive CTE.
+
+    Scale: shard = md5(id) mod ``shards`` bounds the serial unit,
+    exactly as pack_sequences — the scan is inherently stateful (a
+    window cannot express the running-remainder reset), so each shard
+    runs as ONE Arrow batch through applyInPandas, O(n log n) per
+    shard and embarrassingly parallel across shards.  Reference
+    analogue: none (recast LLM-corpus surface).
+    """
+    import pandas as pd
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1,
+                               8), 16, 10).cast("long"),
+            F.lit(shards)).alias("shard"),
+        whitespace_tokens(F.col(text_col)).cast("long").alias(
+            "n_tokens"))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["eff"] = pdf["n_tokens"].clip(upper=budget)
+        pdf = pdf.sort_values(["eff", "id"], ascending=[False, True])
+        bins, rem, b = [], -1, -1
+        for e in pdf["eff"]:
+            if b >= 0 and e <= rem:
+                rem -= e
+            else:
+                b += 1
+                rem = budget - e
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf[["id", "shard", "n_tokens", "bin_id"]]
+
+    return (d.groupBy("shard").applyInPandas(
+        scan, "id long, shard long, n_tokens long, bin_id long")
+        .orderBy("id"))
+
+
+def packing_stats(docs: DataFrame, budget: int = 2048,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  shards: int = 8) -> DataFrame:
+    """One-row packing efficiency report over :func:`pack_bins`:
+    (n_bins, n_docs, total_tokens, packed_tokens, padding_tokens,
+    fill_ratio, oversize_docs) — the token-budget diagnostic that
+    decides ``budget`` before a 10^12-token packing run."""
+    b = pack_bins(docs, budget, id_col, text_col, shards)
+    eff = F.least(F.col("n_tokens"), F.lit(budget))
+    per_bin = (b.groupBy("shard", "bin_id")
+               .agg(F.sum(eff).alias("fill"),
+                    F.count("*").alias("n"),
+                    F.sum("n_tokens").alias("tok"),
+                    F.sum((F.col("n_tokens") > budget).cast("long"))
+                    .alias("over")))
+    return per_bin.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n").alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum("fill").alias("packed_tokens"),
+        (F.count("*") * budget - F.sum("fill")).alias("padding_tokens"),
+        F.round(F.sum("fill") / (F.count("*") * budget), 6)
+        .alias("fill_ratio"),
+        F.sum("over").alias("oversize_docs"))
+
+
+def pack_bins_sql(budget: int = 2048, shards: int = 8,
+                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`pack_bins`: the same next-fit scan as a
+    recursive CTE stepping one row per shard per iteration (depth =
+    max shard size — an oracle form, not a scale path)."""
+    nt = ("len(list_filter(string_split_regex(text, '\\s+'), "
+          "x -> x <> ''))")
+    shard = (f"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+             f"1, 8)) AS BIGINT) % {shards}")
+    return (
+        f"WITH RECURSIVE d AS (SELECT doc_id AS id, {shard} AS shard, "
+        f"CAST({nt} AS BIGINT) AS n_tokens FROM {table}), "
+        f"o AS (SELECT id, shard, n_tokens, "
+        f"least(n_tokens, {budget}) AS eff, row_number() OVER ("
+        f"PARTITION BY shard ORDER BY least(n_tokens, {budget}) DESC, "
+        f"id) AS rn FROM d), "
+        f"scan AS ("
+        f"SELECT shard, rn, id, n_tokens, eff, CAST(0 AS BIGINT) AS "
+        f"bin_id, {budget} - eff AS rem FROM o WHERE rn = 1 "
+        f"UNION ALL "
+        f"SELECT o.shard, o.rn, o.id, o.n_tokens, o.eff, "
+        f"CASE WHEN o.eff <= s.rem THEN s.bin_id ELSE s.bin_id + 1 "
+        f"END, CASE WHEN o.eff <= s.rem THEN s.rem - o.eff "
+        f"ELSE {budget} - o.eff END "
+        f"FROM scan s JOIN o ON o.shard = s.shard AND o.rn = s.rn + 1) "
+        f"SELECT id, shard, n_tokens, bin_id FROM scan ORDER BY id")
+
+
+def packing_stats_sql(budget: int = 2048, shards: int = 8,
+                      table: str = "documents") -> str:
+    """DuckDB mirror of :func:`packing_stats`."""
+    return (
+        f"WITH pb AS ({pack_bins_sql(budget, shards, table)}), "
+        f"per AS (SELECT shard, bin_id, "
+        f"sum(least(n_tokens, {budget})) AS fill, count(*) AS n, "
+        f"sum(n_tokens) AS tok, "
+        f"sum(CASE WHEN n_tokens > {budget} THEN 1 ELSE 0 END) AS "
+        f"over FROM pb GROUP BY 1, 2) "
+        f"SELECT CAST(count(*) AS BIGINT) AS n_bins, "
+        f"CAST(sum(n) AS BIGINT) AS n_docs, "
+        f"CAST(sum(tok) AS BIGINT) AS total_tokens, "
+        f"CAST(sum(fill) AS BIGINT) AS packed_tokens, "
+        f"CAST(count(*) * {budget} - sum(fill) AS BIGINT) AS "
+        f"padding_tokens, "
+        f"round(sum(fill) / (count(*) * {budget}), 6) AS fill_ratio, "
+        f"CAST(sum(over) AS BIGINT) AS oversize_docs FROM per")
