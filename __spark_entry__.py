@@ -1211,6 +1211,42 @@ def q_host_pagerank(spark, sf_dir):
 _TRUST_SEEDS = ["host0.example", "host1.example"]
 
 
+#: hex magic prepended per doc_id % 6 for the mime_sniff fixture —
+#: jpeg / png / gif / pdf / gzip / none (bare '<html>' text payload)
+_SNIFF_MAGS = ["FFD8FF", "89504E470D0A1A0A", "474946383961",
+               "25504446", "1F8B08", ""]
+
+
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing (operators/multimodal.py sniff_mime):
+    the ingestion-typing stage a WARC reader runs before routing
+    payloads to decode paths — pure codegen cascade over the hex of
+    the first 64 bytes, zero Python, zero shuffles.  Payloads are
+    synthesized deterministically from the documents table (doc_id%6
+    selects the magic)."""
+    from nacc_form_validator_spark.operators.multimodal import (
+        sniff_mime)
+    mag = F.element_at(F.array(*[F.unhex(F.lit(m)) for m in
+                                 _SNIFF_MAGS]),
+                       (F.col("doc_id") % 6).cast("int") + 1)
+    payload = F.concat(mag, F.encode(
+        F.concat(F.lit("<html>"), F.col("text")), "utf-8"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", sniff_mime(payload).alias("mime"))
+            .orderBy("doc_id"))
+
+
+def _mime_sniff_sql() -> str:
+    from nacc_form_validator_spark.operators.multimodal import (
+        sniff_mime_sql)
+    mags = ", ".join(f"unhex('{m}')" if m else "unhex('')"
+                     for m in _SNIFF_MAGS)
+    payload = (f"list_extract([{mags}], CAST(doc_id % 6 AS INTEGER) "
+               f"+ 1) || encode('<html>' || text)")
+    return (f"SELECT doc_id, {sniff_mime_sql(payload)} AS mime "
+            f"FROM documents ORDER BY doc_id")
+
+
 def q_pack_bins(spark, sf_dir):
     """No-split next-fit-decreasing bin packing (operators/packing.py
     pack_bins): the SFT/example regime where docs stay whole and bin
@@ -3694,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "mime_sniff": q_mime_sniff,
         "pack_bins": q_pack_bins,
         "packing_stats": q_packing_stats,
         "hashed_vectors": q_hashed_vectors,
@@ -3961,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_sample": _unimax_sample_sql(),
         "temperature_quotas": _temperature_quotas_sql(),
         "bloom_gate": _bloom_gate_sql(),
+        "mime_sniff": _mime_sniff_sql(),
         "pack_bins": packing_mod.pack_bins_sql(budget=256, shards=8),
         "packing_stats": packing_mod.packing_stats_sql(budget=256,
                                                        shards=8),

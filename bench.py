@@ -229,7 +229,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "waterfill_quotas", "unimax_sample", "oph_signatures",
                  "oph_pairs", "temperature_quotas",
                  "temperature_sample", "score_auc", "bloom_gate",
-                 "hashed_vectors", "pack_bins", "packing_stats"]:
+                 "hashed_vectors", "pack_bins", "packing_stats",
+                 "mime_sniff"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -143,3 +143,61 @@ def resize_image_batch(df: DataFrame, bin_col: str = "html",
             .repartition(max(df.sparkSession.sparkContext.defaultParallelism,
                              1))
             .mapInPandas(run, RESIZED_SCHEMA))
+
+
+# ------------------------------------------------------------- sniffing
+#: magic-byte table: (hex prefix at offset 0, mime).  Order matters —
+#: first match wins; checked against the UPPERCASE hex of the payload's
+#: first 64 bytes, so detection is a pure string-prefix cascade both
+#: engines state identically.
+MAGIC_PREFIXES = [
+    ("FFD8FF", "image/jpeg"),
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+    ("3C", "text/html"),           # '<' — html/xml-ish text payloads
+]
+
+
+def sniff_mime(payload: "F.Column") -> "F.Column":
+    """Content-type from magic bytes — the ingestion-typing stage a
+    WARC reader runs before routing payloads to decode paths (the
+    Content-Type header lies often enough that production crawlers
+    sniff; cf. WHATWG MIME sniffing).  Pure codegen cascade over the
+    hex of the FIRST 64 BYTES only (never hexes the full payload):
+    zero Python, zero shuffles.  RIFF containers (wav/webp) and mp4's
+    offset-4 'ftyp' box are checked before the prefix table; unknown
+    bytes fall through to application/octet-stream, NULL stays NULL.
+    """
+    h = F.upper(F.hex(F.substring(payload, 1, 64)))
+    expr = F.when(payload.isNull(), F.lit(None).cast("string"))
+    expr = expr.when((F.substring(h, 1, 8) == "52494646") &
+                     (F.substring(h, 17, 8) == "57415645"),
+                     "audio/wav")
+    expr = expr.when((F.substring(h, 1, 8) == "52494646") &
+                     (F.substring(h, 17, 8) == "57454250"),
+                     "image/webp")
+    expr = expr.when(F.substring(h, 9, 8) == "66747970", "video/mp4")
+    for prefix, mime in MAGIC_PREFIXES:
+        expr = expr.when(F.substring(h, 1, len(prefix)) == prefix,
+                         mime)
+    return expr.otherwise("application/octet-stream")
+
+
+def sniff_mime_sql(payload_sql: str) -> str:
+    """DuckDB mirror of :func:`sniff_mime` (same cascade, same hex)."""
+    h = f"upper(substr(hex({payload_sql}), 1, 128))"
+    arms = [
+        f"WHEN {payload_sql} IS NULL THEN NULL",
+        f"WHEN substr({h}, 1, 8) = '52494646' AND "
+        f"substr({h}, 17, 8) = '57415645' THEN 'audio/wav'",
+        f"WHEN substr({h}, 1, 8) = '52494646' AND "
+        f"substr({h}, 17, 8) = '57454250' THEN 'image/webp'",
+        f"WHEN substr({h}, 9, 8) = '66747970' THEN 'video/mp4'",
+    ] + [f"WHEN substr({h}, 1, {len(p)}) = '{p}' THEN '{m}'"
+         for p, m in MAGIC_PREFIXES]
+    return ("CASE " + " ".join(arms) +
+            " ELSE 'application/octet-stream' END")
