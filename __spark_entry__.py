@@ -38,6 +38,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
 from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import features as features_mod
+from nacc_form_validator_spark.operators import lshplan as lshplan_mod
 from nacc_form_validator_spark.operators import oph as oph_mod
 from nacc_form_validator_spark.operators import packing as packing_mod
 from nacc_form_validator_spark.operators import ordering as ordering_mod
@@ -1215,6 +1216,18 @@ _TRUST_SEEDS = ["host0.example", "host1.example"]
 #: jpeg / png / gif / pdf / gzip / none (bare '<html>' text payload)
 _SNIFF_MAGS = ["FFD8FF", "89504E470D0A1A0A", "474946383961",
                "25504446", "1F8B08", ""]
+
+
+def q_minhash_plan(spark, sf_dir):
+    """MinHash-LSH (bands, rows) S-curve planner
+    (operators/lshplan.py): one row per factorization of the signature
+    budget with inflection threshold, collision probability at the
+    target, and fp/fn masses — the design table a 10^12-doc dedup run
+    is tuned from.  Engine-resident plan math over an in-row midpoint
+    grid."""
+    from nacc_form_validator_spark.operators.lshplan import (
+        minhash_plan)
+    return minhash_plan(spark, n_perm=128, threshold=0.8)
 
 
 def q_mime_sniff(spark, sf_dir):
@@ -3730,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "minhash_plan": q_minhash_plan,
         "mime_sniff": q_mime_sniff,
         "pack_bins": q_pack_bins,
         "packing_stats": q_packing_stats,
@@ -3999,6 +4013,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_quotas": _temperature_quotas_sql(),
         "bloom_gate": _bloom_gate_sql(),
         "mime_sniff": _mime_sniff_sql(),
+        "minhash_plan": lshplan_mod.minhash_plan_sql(n_perm=128,
+                                                     threshold=0.8),
         "pack_bins": packing_mod.pack_bins_sql(budget=256, shards=8),
         "packing_stats": packing_mod.packing_stats_sql(budget=256,
                                                        shards=8),
