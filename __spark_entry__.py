@@ -1218,6 +1218,16 @@ _SNIFF_MAGS = ["FFD8FF", "89504E470D0A1A0A", "474946383961",
                "25504446", "1F8B08", ""]
 
 
+def q_mlm_mask(spark, sf_dir):
+    """BERT-style masked-LM example construction (operators/
+    spancorrupt.py mlm_mask): deterministic md5-fraction 80/10/10
+    masking per position — the encoder sibling of fim_transform and
+    span_corrupt.  Pure in-row HOF projection, zero shuffles."""
+    from nacc_form_validator_spark.operators.spancorrupt import (
+        mlm_mask)
+    return mlm_mask(_docs(spark, sf_dir), rate=0.15)
+
+
 def q_minhash_plan(spark, sf_dir):
     """MinHash-LSH (bands, rows) S-curve planner
     (operators/lshplan.py): one row per factorization of the signature
@@ -3743,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "mlm_mask": q_mlm_mask,
         "minhash_plan": q_minhash_plan,
         "mime_sniff": q_mime_sniff,
         "pack_bins": q_pack_bins,
@@ -4015,6 +4026,7 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": _mime_sniff_sql(),
         "minhash_plan": lshplan_mod.minhash_plan_sql(n_perm=128,
                                                      threshold=0.8),
+        "mlm_mask": spancorrupt_mod.mlm_mask_sql(rate=0.15),
         "pack_bins": packing_mod.pack_bins_sql(budget=256, shards=8),
         "packing_stats": packing_mod.packing_stats_sql(budget=256,
                                                        shards=8),

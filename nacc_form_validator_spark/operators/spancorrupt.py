@@ -159,3 +159,85 @@ def span_corrupt_sql(table: str = "documents", rate: float = 0.5,
         f"CASE WHEN n_masked > 0 THEN tgt || ' <extra_id_' || "
         f"CAST(n_masked AS VARCHAR) || '>' ELSE '' END AS target_text "
         f"FROM built ORDER BY id")
+
+
+def mlm_mask(docs: DataFrame, rate: float = 0.15,
+             id_col: str = "doc_id", text_col: str = "text",
+             mask_token: str = "[MASK]") -> DataFrame:
+    """(id, n_tokens, n_masked, input_text, labels_text): BERT-style
+    masked-LM example construction (Devlin et al. 2018, public
+    objective) — each token masks with probability ``rate``; a masked
+    position becomes ``mask_token`` 80% of the time, a (deterministic)
+    token drawn from the SAME document 10%, and stays itself 10%.
+    ``labels_text`` is the space-joined originals of the masked
+    positions in order — the training targets.
+
+    Determinism law (fim.py): every decision is an md5 fraction of
+    (doc_id, position, salt) — no RNG state, resume-stable,
+    byte-reproducible in the DuckDB mirror.  Scale shape: pure in-row
+    HOF projection, zero shuffles, zero Python.
+    """
+    key = F.col(id_col)
+    d = docs.select(
+        key.alias("id"),
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda x: x != "").alias("w"))
+    n = F.size("w")
+
+    def frac(i: Column, salt: str) -> Column:
+        return _hash_frac(F.concat(F.col("id").cast("string"),
+                                   F.lit(":"), i.cast("string")), salt)
+
+    masked = lambda i: frac(i, "mlm-m") < rate  # noqa: E731
+    # sub-decision: [0, .8) -> [MASK]; [.8, .9) -> in-doc random
+    # token; [.9, 1) -> keep original (still predicted)
+    sub = lambda i: frac(i, "mlm-s")  # noqa: E731
+    rnd = lambda i: F.element_at(  # noqa: E731
+        F.col("w"), (F.floor(frac(i, "mlm-r") * n) + 1).cast("int"))
+
+    inp = F.transform(
+        F.col("w"), lambda t, i: F.when(
+            ~masked(i), t).when(sub(i) < 0.8, F.lit(mask_token))
+        .when(sub(i) < 0.9, rnd(i)).otherwise(t))
+    lbl = F.filter(
+        F.transform(F.col("w"),
+                    lambda t, i: F.when(masked(i), t)),
+        lambda x: x.isNotNull())
+    return d.select(
+        "id", n.cast("long").alias("n_tokens"),
+        F.size(lbl).cast("long").alias("n_masked"),
+        F.array_join(inp, " ").alias("input_text"),
+        F.array_join(lbl, " ").alias("labels_text"))
+
+
+def mlm_mask_sql(table: str = "documents", rate: float = 0.15,
+                 mask_token: str = "[MASK]") -> str:
+    """DuckDB mirror of :func:`mlm_mask` (same hashes, same 80/10/10
+    split, 0-based positions)."""
+
+    def frac(i: str, salt: str) -> str:
+        return (f"(CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) "
+                f"|| ':' || CAST({i} AS VARCHAR) || '{salt}'), 1, 8)) "
+                f"AS BIGINT) / 4294967296.0)")
+
+    m = f"({frac('i - 1', 'mlm-m')} < {rate})"
+    s = frac("i - 1", "mlm-s")
+    r = (f"w[CAST(floor({frac('i - 1', 'mlm-r')} * len(w)) "
+         f"AS INTEGER) + 1]")
+    return (
+        f"WITH d AS (SELECT doc_id AS id, "
+        f"list_filter(string_split_regex(text, '\\s+'), "
+        f"x -> x <> '') AS w FROM {table}), "
+        f"e AS (SELECT id, w, len(w) AS n, "
+        f"list_transform(range(1, len(w) + 1), i -> CASE "
+        f"WHEN NOT {m} THEN w[i] "
+        f"WHEN {s} < 0.8 THEN '{mask_token}' "
+        f"WHEN {s} < 0.9 THEN {r} ELSE w[i] END) AS inp, "
+        f"list_filter(list_transform(range(1, len(w) + 1), "
+        f"i -> CASE WHEN {m} THEN w[i] END), x -> x IS NOT NULL) "
+        f"AS lbl FROM d) "
+        f"SELECT id, CAST(n AS BIGINT) AS n_tokens, "
+        f"CAST(len(lbl) AS BIGINT) AS n_masked, "
+        f"coalesce(array_to_string(inp, ' '), '') AS input_text, "
+        f"coalesce(array_to_string(lbl, ' '), '') AS labels_text "
+        f"FROM e ORDER BY id")

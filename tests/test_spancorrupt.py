@@ -68,3 +68,63 @@ def test_short_doc_passthrough(spark):
                                "doc_id long, text string")
     r = span_corrupt(df, rate=1.0, block=8, span=3).first()
     assert r["n_masked"] == 0 and r["input_text"] == "one two"
+
+
+# ---------------------------------------------------------------- MLM
+def _mlm_docs(spark):
+    rows = [(0, "the quick brown fox jumps over the lazy dog " * 4),
+            (1, "single"), (2, ""),
+            (3, "a b c d e f g h i j " * 10)]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_mlm_mask_oracle_parity(spark):
+    import duckdb
+    import pandas as pd
+    from nacc_form_validator_spark.operators.spancorrupt import (
+        mlm_mask, mlm_mask_sql)
+    rows, df = _mlm_docs(spark)
+    got = {r["id"]: tuple(r) for r in mlm_mask(df, rate=0.3).collect()}
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: tuple(r) for r in
+            con.execute(mlm_mask_sql(rate=0.3)).fetchall()}
+    assert got == want
+
+
+def test_mlm_mask_semantics(spark):
+    from nacc_form_validator_spark.operators.spancorrupt import mlm_mask
+    rows, df = _mlm_docs(spark)
+    out = {r["id"]: r for r in mlm_mask(df, rate=0.3).collect()}
+    for i, text in rows:
+        r = out[i]
+        toks = text.split()
+        assert r["n_tokens"] == len(toks)
+        inp = r["input_text"].split() if r["input_text"] else []
+        lbl = r["labels_text"].split() if r["labels_text"] else []
+        # length-preserving; labels count masked positions
+        assert len(inp) == len(toks)
+        assert len(lbl) == r["n_masked"] <= len(toks)
+        # every label is an original token of this doc; every
+        # replacement token is [MASK] or a token from this doc
+        assert all(t in toks for t in lbl)
+        assert all(t == "[MASK]" or t in toks for t in inp)
+    # masking rate lands near 30% on the 100-token doc
+    assert 15 <= out[3]["n_masked"] <= 45
+
+
+def test_mlm_mask_deterministic(spark):
+    from nacc_form_validator_spark.operators.spancorrupt import mlm_mask
+    _, df = _mlm_docs(spark)
+    a = {tuple(r) for r in mlm_mask(df, rate=0.15).collect()}
+    b = {tuple(r) for r in mlm_mask(df, rate=0.15).collect()}
+    assert a == b
+
+
+def test_mlm_mask_plan_is_pure_projection(spark):
+    from nacc_form_validator_spark.operators.spancorrupt import mlm_mask
+    _, df = _mlm_docs(spark)
+    plan = (mlm_mask(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
