@@ -706,6 +706,46 @@ def q_qf_streaming_dedup(spark, sf_dir):
         "digest", "first_seen").orderBy("digest", "ts", "url")
 
 
+def q_qf_streaming_bloom(spark, sf_dir):
+    """BOUNDED-state streaming Bloom dedup under the correctness gate
+    (streaming/pipeline.py streaming_bloom_dedup): state is a fixed
+    16 x 128 KiB of filter words for the stream's life instead of a
+    growing digest map; at this geometry fp ~ 1e-10, so its novel
+    flags must value-match the exact batch window oracle on the same
+    recrawl + tiny-doc corpus."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, streaming_bloom_dedup)
+    base = tempfile.mkdtemp(prefix="qf_sbloom_")
+    inp, outp, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    extra = (pages.groupBy("url")
+             .agg(F.min("warc_ts").alias("warc_ts0"))
+             .select("url",
+                     (F.col("warc_ts0") +
+                      F.expr("INTERVAL 100 DAYS")).alias("warc_ts"),
+                     F.lit(None).cast("binary").alias("html"),
+                     F.lit("tiny doc").alias("text"),
+                     F.lit("en").alias("lang")))
+    pages.unionByName(extra).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+    q = (streaming_bloom_dedup(stream, m_bits=1 << 20, k=4, shards=16)
+         .writeStream.format("parquet")
+         .option("path", outp)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "digest", "novel").orderBy("digest", "ts", "url")
+
+
 def q_qf_streaming_metrics(spark, sf_dir):
     """Watermarked streaming aggregation under the value oracle: the
     per-window per-code rule-hit counts emitted by
@@ -3753,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- never driver-checked (r4 additions + component variants) ---
+        "qf_streaming_bloom": q_qf_streaming_bloom,
         "mlm_mask": q_mlm_mask,
         "minhash_plan": q_minhash_plan,
         "mime_sniff": q_mime_sniff,
@@ -4027,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_plan": lshplan_mod.minhash_plan_sql(n_perm=128,
                                                      threshold=0.8),
         "mlm_mask": spancorrupt_mod.mlm_mask_sql(rate=0.15),
+        "qf_streaming_bloom": oracle.streaming_dedup_sql(flag="novel"),
         "pack_bins": packing_mod.pack_bins_sql(budget=256, shards=8),
         "packing_stats": packing_mod.packing_stats_sql(budget=256,
                                                        shards=8),

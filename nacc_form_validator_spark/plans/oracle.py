@@ -1003,12 +1003,15 @@ def repetition_stats_sql(top_ns=(2, 3, 4), dup_ns=(5, 6)) -> str:
         f"GROUP BY w.doc_id, denom ORDER BY w.doc_id")
 
 
-def streaming_dedup_sql() -> str:
+def streaming_dedup_sql(flag: str = "first_seen") -> str:
     """Batch oracle for the STATEFUL streaming exact dedup
     (streaming/pipeline.py streaming_exact_dedup): first_seen == the
     (warc_ts, url)-minimal row per content digest.  Input is
     pages_from_documents plus one shared 'tiny doc' recrawl per url 100
-    days out, so one fat digest group spans every url."""
+    days out, so one fat digest group spans every url.  With
+    ``flag='novel'`` this is also the oracle for streaming_bloom_dedup
+    — at the query's geometry the Bloom fp probability is ~1e-10, so
+    novel must value-match exact first_seen."""
     return (
         f"WITH p AS ({pages_cte(with_ts=True)}), "
         f"p2 AS (SELECT url, warc_ts, text FROM p UNION ALL "
@@ -1017,7 +1020,7 @@ def streaming_dedup_sql() -> str:
         f"d AS (SELECT url, warc_ts, md5({NORM}) AS digest FROM p2) "
         f"SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
         f"digest, (row_number() OVER (PARTITION BY digest "
-        f"ORDER BY warc_ts, url) = 1) AS first_seen "
+        f"ORDER BY warc_ts, url) = 1) AS {flag} "
         f"FROM d ORDER BY digest, ts, url")
 
 

@@ -417,3 +417,99 @@ def streaming_minhash_dedup(pages_stream: DataFrame, k: int = 8,
         stateStructType=DEDUP_STATE,
         outputMode="append",
         timeoutConf=timeout))
+
+
+BLOOM_DEDUP_OUT = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("novel", T.BooleanType()),
+])
+
+BLOOM_DEDUP_STATE = T.StructType([T.StructField("bits", T.BinaryType())])
+
+
+def _make_bloom_dedup_fn(m_bits: int, k: int):
+    """Per-shard Bloom state fn: state is the shard's filter words as
+    ONE fixed-size binary blob (m_bits/8 bytes — the whole point);
+    positions reuse the sketches.bloom_positions arithmetic (md5 of
+    j || digest) so batch and streaming filters are bit-compatible.
+    Rows process in deterministic (warc_ts, url) order; earlier rows'
+    bits are visible to later rows in the same batch."""
+
+    def _fn(key, pdfs, state: GroupState):
+        import hashlib
+
+        import numpy as np
+        nwords = m_bits // 64
+        if state.exists:
+            words = np.frombuffer(state.get[0], dtype=np.uint64).copy()
+        else:
+            words = np.zeros(nwords, dtype=np.uint64)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((words.tobytes(), ))
+            yield pd.DataFrame(columns=["url", "warc_ts", "digest",
+                                        "novel"])
+            return
+        pdf = (pd.concat(frames) if len(frames) > 1 else
+               frames[0]).sort_values(["warc_ts", "url"])
+        novel = np.zeros(len(pdf), dtype=bool)
+        for row_i, digest in enumerate(pdf["digest"].to_numpy()):
+            hit = True
+            masks = []
+            for j in range(k):
+                p = int(hashlib.md5(
+                    f"{j}{digest}".encode()).hexdigest()[:8],
+                    16) % m_bits
+                w, m = p // 64, np.uint64(1 << (p % 64))
+                masks.append((w, m))
+                if not (words[w] & m):
+                    hit = False
+            novel[row_i] = not hit
+            for w, m in masks:
+                words[w] |= m
+        state.update((words.tobytes(), ))
+        yield pd.DataFrame({"url": pdf["url"].to_numpy(),
+                            "warc_ts": pdf["warc_ts"].to_numpy(),
+                            "digest": pdf["digest"].to_numpy(),
+                            "novel": novel})
+
+    return _fn
+
+
+def streaming_bloom_dedup(pages_stream: DataFrame,
+                          m_bits: int = 1 << 16, k: int = 4,
+                          shards: int = 16) -> DataFrame:
+    """Streaming content dedup with BOUNDED state: per-shard Bloom
+    filters instead of the per-digest counters of
+    :func:`streaming_exact_dedup`, for streams whose digest cardinality
+    would outgrow any state store.
+
+    Memory contract: state is exactly ``shards * m_bits/8`` bytes for
+    the LIFE of the stream (e.g. 16 shards x 8 KiB = 128 KiB here;
+    production sizes m_bits to the expected novel-digest volume per
+    shard).  The trade is one-sided: a true duplicate is ALWAYS
+    flagged (no false negatives — dedup still guarantees coverage),
+    while a novel document is falsely dropped with the Bloom fp
+    probability (~(1-e^{-kn/m})^k), which a corpus pipeline accepts as
+    a bounded recall tax.  Shard = digest md5-prefix mod ``shards``,
+    so the state exchange ships ``shards`` keys however wide the
+    stream;
+    position arithmetic is bit-compatible with the batch filter
+    (operators/sketches.py bloom_build), so a warm batch-built filter
+    can seed the stream's horizon.  Reference analogue: none (recast
+    streaming surface)."""
+    from nacc_form_validator_spark.operators.dedup import normalized
+
+    digested = (pages_stream
+                .withColumn("digest", F.md5(normalized(F.col("text"))))
+                .withColumn("shard", F.pmod(
+                    F.conv(F.substring("digest", 1, 8), 16, 10)
+                    .cast("long"), F.lit(shards))))
+    return (digested.groupBy("shard").applyInPandasWithState(
+        _make_bloom_dedup_fn(m_bits, k),
+        outputStructType=BLOOM_DEDUP_OUT,
+        stateStructType=BLOOM_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

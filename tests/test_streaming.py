@@ -221,3 +221,55 @@ def test_streaming_exact_dedup_ttl_evicts_after_horizon(spark, tmp_path):
     res = spark.read.parquet(out)
     assert res.where("first_seen").count() == \
         2 * n1 + batch_b.count()
+
+
+def test_streaming_bloom_dedup_bounded_state(spark, tmp_path):
+    """Bounded-state Bloom dedup: (a) a byte-identical recrawl in a
+    later cycle is never novel (no false negatives across batches);
+    (b) at sane geometry every distinct digest IS novel (fp ~ 0);
+    (c) state bytes stay fixed at shards * m_bits/8 regardless of how
+    many digests flow through."""
+    from nacc_form_validator_spark.streaming.pipeline import (
+        PAGES_SCHEMA, streaming_bloom_dedup)
+
+    inp = str(tmp_path / "bloom_in")
+    out = str(tmp_path / "bloom_out")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    pages = _pages(spark)
+    batch1 = pages.where(F.col("warc_ts") < "2025-01-08")
+
+    def run_cycle(df):
+        df.write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+        q = (streaming_bloom_dedup(stream, m_bits=1 << 14, k=4,
+                                   shards=8)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_cycle(batch1)
+    first = spark.read.parquet(out)
+    n_digests = first.select("digest").distinct().count()
+    # tiny load vs 16384-bit filters: no false positives expected,
+    # and exactly one novel row per distinct digest
+    assert first.where("novel").count() == n_digests
+
+    replay = batch1.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 200 DAYS"))
+    run_cycle(replay)
+    res = spark.read.parquet(out)
+    assert res.count() == 2 * batch1.count()
+    late = res.where(F.col("warc_ts") >= "2025-06-01")
+    assert late.where("novel").count() == 0       # no false negatives
+
+    # state bound: the checkpointed state is the fixed filter blobs
+    import glob
+    import os
+    state_files = glob.glob(os.path.join(ckpt, "state", "**", "*"),
+                            recursive=True)
+    total = sum(os.path.getsize(f) for f in state_files
+                if os.path.isfile(f))
+    # 8 shards x 2 KiB words = 16 KiB of filter payload; allow store
+    # framing overhead but reject anything that scales with digests
+    assert total < 8 * (1 << 14) // 8 * 12
