@@ -3784,6 +3784,77 @@ def _threshold_sweep_sql():
                                quality_score_sql("text"), _SWEEP_GRID)
 
 
+def _table_format_build(spark, sf_dir):
+    """Build a 3-snapshot table (even-id append, odd-id append, %10
+    recrawl merge) from documents under a fresh temp dir; returns its
+    path.  Deterministic: versions/operations/row-sets depend only on
+    doc_id, so DuckDB can reproduce every read without seeing the
+    manifests."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    path = tempfile.mkdtemp(prefix="qf_tblfmt_")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tf.snapshot_write(d.where(F.col("doc_id") % 2 == 0), path, "doc_id")
+    tf.snapshot_write(d.where(F.col("doc_id") % 2 == 1), path, "doc_id")
+    upd = (d.where(F.col("doc_id") % 10 == 0)
+           .withColumn("text", F.concat(F.lit("[recrawl] "),
+                                        F.col("text"))))
+    tf.merge_upsert(upd, path)
+    return tf, path
+
+
+def q_table_format(spark, sf_dir):
+    """Snapshot table format (sources/tableformat.py): current-version
+    read after append+append+copy-on-write merge, with a manifest
+    stats key-range prune (doc_id >= 10) applied before Spark plans
+    the scan.  The oracle replays the same upsert algebraically over
+    the documents view."""
+    tf, path = _table_format_build(spark, sf_dir)
+    return tf.snapshot_read(spark, path, key_range=(10, None))
+
+
+_TABLE_FORMAT_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN '[recrawl] ' || text "
+    "ELSE text END AS text FROM documents WHERE doc_id >= 10")
+
+
+def q_table_time_travel(spark, sf_dir):
+    """Time travel over the 3-snapshot table: per-version row counts
+    from the manifests alone (no data scan).  v1 = even ids, v2 = all,
+    v3 = merge (row count unchanged: every update key existed)."""
+    tf, path = _table_format_build(spark, sf_dir)
+    return (tf.table_history(spark, path)
+            .select("version", "operation", "n_rows"))
+
+
+_TABLE_TIME_TRAVEL_SQL = (
+    "SELECT 1 AS version, 'append' AS operation, (SELECT COUNT(*) FROM "
+    "documents WHERE doc_id % 2 = 0) AS n_rows "
+    "UNION ALL SELECT 2, 'append', (SELECT COUNT(*) FROM documents) "
+    "UNION ALL SELECT 3, 'merge', (SELECT COUNT(*) FROM documents)")
+
+
+def q_table_incremental(spark, sf_dir):
+    """Incremental read (the resumable-recrawl delta): append a
+    fourth 'new crawl' snapshot (fresh keys, %7 sample) on top of the
+    3-snapshot table and read only the files added since snapshot 3 —
+    exactly the appended rows, never a rescan of the base table."""
+    tf, path = _table_format_build(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = (d.where(F.col("doc_id") % 7 == 3)
+             .select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+                     F.concat(F.lit("[crawl2] "),
+                              F.col("text")).alias("text")))
+    tf.snapshot_write(batch, path, "doc_id")
+    return tf.incremental_read(spark, path, since=3)
+
+
+_TABLE_INCREMENTAL_SQL = (
+    "SELECT doc_id + 1000000 AS doc_id, '[crawl2] ' || text AS text "
+    "FROM documents WHERE doc_id % 7 = 3")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -3863,6 +3934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logic is driver-covered via release_manifest, which composes
         # it; the standalone row is judge-run via check_oracles.py) ---
         "shard_manifest": q_shard_manifest,
+        "table_format": q_table_format,
+        "table_time_travel": q_table_time_travel,
+        "table_incremental": q_table_incremental,
         # curriculum_order's global_rank core is driver-covered via
         # zorder_layout (which composes it); topic_tags is a pure
         # literal-HOF projection pinned by hand goldens — both
@@ -4057,6 +4131,9 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": diagnostics_mod.shard_manifest_sql(
             "SELECT doc_id, text FROM documents",
             "CAST(doc_id % 8 AS BIGINT)", "text"),
+        "table_format": _TABLE_FORMAT_SQL,
+        "table_time_travel": _TABLE_TIME_TRAVEL_SQL,
+        "table_incremental": _TABLE_INCREMENTAL_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
         "cascade_plan": _cascade_plan_sql(),

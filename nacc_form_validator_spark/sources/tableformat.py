@@ -1,0 +1,277 @@
+"""Snapshot-versioned parquet table format (Iceberg-style stand-in).
+
+The north rule's production target is Iceberg; this sandbox has no
+Iceberg catalog, so this module implements the three Iceberg mechanics
+the pipeline actually leans on, over plain parquet + JSON manifests:
+
+1. **Snapshot isolation + time travel** — every commit writes an
+   immutable manifest ``meta/v{N}.json`` listing the table's data files
+   and flips an atomic ``meta/current`` pointer (write-temp +
+   ``os.replace``).  Readers resolve a manifest ONCE and only ever see
+   a committed file set; any historical version stays readable until
+   expired.  (Single-writer: a production catalog would CAS the
+   pointer; the commit protocol is otherwise identical.)
+2. **Manifest-driven scans** — a read never lists directories: the
+   manifest IS the file list, O(files) driver-side metadata however
+   many rows the table holds, and per-file min/max stats on the table
+   key let :func:`snapshot_read` prune files BEFORE Spark plans the
+   scan — Iceberg's manifest filtering.  At 100 TB this is the
+   difference between planning over a few thousand manifest entries
+   and statting a few thousand files per query.
+3. **Append / copy-on-write merge as file operations** — an append
+   only ADDS files; :func:`merge_upsert` rewrites exactly the files
+   whose key-range stats overlap the update keys (everything else is
+   carried by reference), which is how a recrawl patch touches a few
+   hot files out of a petabyte.  :func:`incremental_read` reads only
+   files added between two snapshots — the resumable-recrawl delta.
+
+Reference analogue: none (the reference validator keeps no table
+state); this is the storage layer under the checkpointed decisions
+sink (``sources/sinks.py``), which already gates on a real Iceberg
+catalog and falls back to the same parquet layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "meta"
+_DATA = "data"
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_meta_dir(path), f"v{version}.json")
+
+
+def current_version(path: str) -> int:
+    """Committed table version; 0 when the table does not exist."""
+    ptr = os.path.join(_meta_dir(path), "current")
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def load_manifest(path: str, version: Optional[int] = None) -> dict:
+    ver = current_version(path) if version is None else version
+    if ver <= 0:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    with open(_manifest_path(path, ver)) as f:
+        return json.load(f)
+
+
+def _commit(path: str, manifest: dict) -> None:
+    """Write the manifest, then atomically flip the current pointer.
+    A crash before the replace leaves the table at the old version
+    with an orphan manifest — never a torn read."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    mp = _manifest_path(path, manifest["version"])
+    with open(mp + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mp + ".tmp", mp)
+    ptr = os.path.join(_meta_dir(path), "current")
+    with open(ptr + ".tmp", "w") as f:
+        f.write(str(manifest["version"]))
+    os.replace(ptr + ".tmp", ptr)
+
+
+def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list:
+    """Per-file (rows, min/max key) for the files just written — one
+    aggregate over only the new files, collected as O(files) metadata.
+    Iceberg gathers these stats at write time inside the writer; here
+    it is a follow-up scan of the same (still page-cached) files."""
+    rows = (spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("path"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.min(key).alias("min"),
+                 F.max(key).alias("max"))
+            .collect())
+    return sorted(({"path": r["path"], "rows": r["rows"],
+                    "min": r["min"], "max": r["max"]} for r in rows),
+                  key=lambda d: d["path"])
+
+
+def snapshot_write(df: DataFrame, path: str, key: str,
+                   mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot; returns the new version.
+
+    ``append`` adds files next to the current file set; ``overwrite``
+    starts a fresh file set — either way no existing data file is
+    touched, so every prior version stays time-travel readable."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = df.sparkSession
+    ver = current_version(path) + 1
+    sub = os.path.join(path, _DATA, f"s{ver}")
+    df.write.mode("error").parquet(sub)
+    added = _file_stats(spark, sub, key)
+    prev = ([] if (mode == "overwrite" or ver == 1)
+            else load_manifest(path)["files"])
+    _commit(path, {"version": ver, "operation": mode, "key": key,
+                   "schema": df.schema.jsonValue(),
+                   "files": prev + added, "added": added})
+    return ver
+
+
+def _prune(files: list, key_range: Optional[Tuple]) -> list:
+    if key_range is None:
+        return files
+    lo, hi = key_range
+    return [f for f in files
+            if not (f["max"] is not None and lo is not None
+                    and f["max"] < lo)
+            and not (f["min"] is not None and hi is not None
+                     and f["min"] > hi)]
+
+
+def manifest_files(path: str, version: Optional[int] = None,
+                   key_range: Optional[Tuple] = None) -> list:
+    """The file entries a read at ``version`` would scan, after
+    min/max-stats pruning by ``key_range`` — exposed so callers (and
+    tests) can audit pruning without running the scan."""
+    return _prune(load_manifest(path, version)["files"], key_range)
+
+
+def _read_files(spark: SparkSession, manifest: dict,
+                files: list) -> DataFrame:
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(manifest["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    # explicit file list — no directory listing, no partition discovery
+    return spark.read.schema(schema).parquet(*[f["path"] for f in files])
+
+
+def snapshot_read(spark: SparkSession, path: str,
+                  version: Optional[int] = None,
+                  key_range: Optional[Tuple] = None) -> DataFrame:
+    """Read the table as of ``version`` (default: current).
+    ``key_range=(lo, hi)`` prunes data files by manifest stats before
+    Spark ever plans the scan; the residual row filter still applies
+    inside each surviving file, so the result is exact."""
+    manifest = load_manifest(path, version)
+    files = _prune(manifest["files"], key_range)
+    df = _read_files(spark, manifest, files)
+    if key_range is not None:
+        lo, hi = key_range
+        k = F.col(manifest["key"])
+        if lo is not None:
+            df = df.where(k >= F.lit(lo))
+        if hi is not None:
+            df = df.where(k <= F.lit(hi))
+    return df
+
+
+def incremental_read(spark: SparkSession, path: str, since: int,
+                     until: Optional[int] = None) -> DataFrame:
+    """Rows in files ADDED by snapshots ``since+1 .. until`` — the
+    recrawl delta.  Append snapshots yield exactly their new rows; a
+    merge snapshot's delta also carries the rewritten survivors of the
+    files it replaced (append-only changelog semantics — downstream
+    consumers dedupe on the table key, newest snapshot wins)."""
+    until = current_version(path) if until is None else until
+    files: List[dict] = []
+    manifest = None
+    for v in range(since + 1, until + 1):
+        manifest = load_manifest(path, v)
+        files.extend(manifest["added"])
+    if manifest is None:          # empty range
+        manifest = load_manifest(path, until if until > 0 else None)
+        files = []
+    return _read_files(spark, manifest, files)
+
+
+def merge_upsert(updates: DataFrame, path: str) -> int:
+    """Copy-on-write MERGE: replace current rows whose key appears in
+    ``updates`` (insert the rest).  Only data files whose min/max key
+    stats overlap an update key are rewritten; every other file is
+    carried into the new snapshot by reference — the petabyte table
+    pays for the hot files, not a full rewrite.
+
+    Update keys are collected to the driver to drive file pruning and
+    are broadcast into the anti-join, so updates are assumed to be the
+    small side (a recrawl patch, a takedown list); bulk rewrites
+    should use ``snapshot_write(mode='overwrite')`` instead."""
+    import bisect
+
+    spark = updates.sparkSession
+    manifest = load_manifest(path)
+    key = manifest["key"]
+    keys = sorted(r[0] for r in updates.select(key).distinct().collect())
+    if not keys:
+        raise ValueError("merge_upsert: updates carry no keys")
+
+    def overlaps(f: dict) -> bool:
+        if f["min"] is None or f["max"] is None:
+            return True
+        i = bisect.bisect_left(keys, f["min"])
+        return i < len(keys) and keys[i] <= f["max"]
+
+    touched = [f for f in manifest["files"] if overlaps(f)]
+    kept = [f for f in manifest["files"] if not overlaps(f)]
+    survivors = (_read_files(spark, manifest, touched)
+                 .join(F.broadcast(updates.select(key)), key,
+                       "left_anti"))
+    ver = manifest["version"] + 1
+    sub = os.path.join(path, _DATA, f"s{ver}")
+    survivors.unionByName(updates).write.mode("error").parquet(sub)
+    added = _file_stats(spark, sub, key)
+    _commit(path, {"version": ver, "operation": "merge", "key": key,
+                   "schema": manifest["schema"],
+                   "files": kept + added, "added": added})
+    return ver
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per live snapshot: version, operation, files/rows
+    visible at that version, and files/rows added by it."""
+    rows = []
+    for v in range(1, current_version(path) + 1):
+        try:
+            m = load_manifest(path, v)
+        except FileNotFoundError:
+            continue              # expired
+        rows.append((m["version"], m["operation"],
+                     len(m["files"]),
+                     sum(f["rows"] for f in m["files"]),
+                     len(m["added"]),
+                     sum(f["rows"] for f in m["added"])))
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_files int, "
+              "n_rows bigint, n_added_files int, n_added_rows bigint")
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop manifests older than the newest ``keep_last`` and delete
+    data files no remaining manifest references.  Metadata-only
+    bookkeeping plus targeted deletes — never a table scan."""
+    cur = current_version(path)
+    cutoff = cur - keep_last + 1
+    live: set = set()
+    for v in range(cutoff, cur + 1):
+        live.update(f["path"] for f in load_manifest(path, v)["files"])
+    dropped_manifests = dropped_files = 0
+    for v in range(1, cutoff):
+        mp = _manifest_path(path, v)
+        if not os.path.exists(mp):
+            continue
+        for f in load_manifest(path, v)["files"]:
+            if f["path"] not in live:
+                local = f["path"].replace("file:", "", 1)
+                if os.path.exists(local):
+                    os.remove(local)
+                    dropped_files += 1
+                live.add(f["path"])   # count each orphan once
+        os.remove(mp)
+        dropped_manifests += 1
+    return {"dropped_manifests": dropped_manifests,
+            "dropped_files": dropped_files}

@@ -1,0 +1,156 @@
+"""Snapshot table format (sources/tableformat.py): commit protocol,
+time travel, manifest stats pruning, incremental reads, copy-on-write
+merge, snapshot expiry.
+
+Reference analogue: none (the reference validator keeps no table
+state) — this is the Iceberg-mechanics storage layer under the
+checkpointed sink required by the north rule.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nacc_form_validator_spark.sources import tableformat as tf
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mkdf(spark, lo, hi, tag="a"):
+    return (spark.range(lo, hi)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit(tag + "-"),
+                             F.col("id").cast("string")).alias("text"))
+            .repartition(4, "doc_id"))
+
+
+def test_append_and_time_travel(spark, table):
+    v1 = tf.snapshot_write(_mkdf(spark, 0, 100), table, "doc_id")
+    v2 = tf.snapshot_write(_mkdf(spark, 100, 250), table, "doc_id")
+    assert (v1, v2) == (1, 2)
+    assert tf.current_version(table) == 2
+    # current read sees both commits; v1 read only the first
+    assert tf.snapshot_read(spark, table).count() == 250
+    assert tf.snapshot_read(spark, table, version=1).count() == 100
+    # appends never rewrite: every v1 file is carried into v2
+    f1 = {f["path"] for f in tf.manifest_files(table, 1)}
+    f2 = {f["path"] for f in tf.manifest_files(table, 2)}
+    assert f1 < f2
+
+
+def test_overwrite_starts_fresh(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 50), table, "doc_id")
+    tf.snapshot_write(_mkdf(spark, 0, 10, tag="b"), table, "doc_id",
+                      mode="overwrite")
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 10
+    assert cur.where(F.col("text").startswith("a-")).count() == 0
+    # old version still time-travel readable after the overwrite
+    assert tf.snapshot_read(spark, table, version=1).count() == 50
+
+
+def test_key_range_prunes_files_and_is_exact(spark, table):
+    # sortWithinPartitions after a range repartition gives disjoint
+    # per-file key ranges -> stats pruning has something to cut
+    df = (spark.range(0, 1000)
+          .select(F.col("id").alias("doc_id"),
+                  F.col("id").cast("string").alias("text"))
+          .repartitionByRange(8, "doc_id"))
+    tf.snapshot_write(df, table, "doc_id")
+    all_files = tf.manifest_files(table)
+    pruned = tf.manifest_files(table, key_range=(0, 99))
+    assert len(pruned) < len(all_files)
+    got = tf.snapshot_read(spark, table, key_range=(0, 99))
+    assert got.count() == 100
+    assert got.agg(F.min("doc_id"), F.max("doc_id")).first() == (0, 99)
+    # half-open ranges
+    assert tf.snapshot_read(spark, table,
+                            key_range=(900, None)).count() == 100
+    assert tf.snapshot_read(spark, table,
+                            key_range=(None, 9)).count() == 10
+
+
+def test_incremental_read_is_the_delta(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 100), table, "doc_id")
+    tf.snapshot_write(_mkdf(spark, 100, 180), table, "doc_id")
+    tf.snapshot_write(_mkdf(spark, 180, 200), table, "doc_id")
+    delta = tf.incremental_read(spark, table, since=1)
+    assert delta.count() == 100
+    assert delta.agg(F.min("doc_id")).first()[0] == 100
+    assert tf.incremental_read(spark, table, since=1, until=2).count() == 80
+    assert tf.incremental_read(spark, table, since=3).count() == 0
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, table):
+    df = (spark.range(0, 1000)
+          .select(F.col("id").alias("doc_id"),
+                  F.lit("old").alias("text"))
+          .repartitionByRange(8, "doc_id"))
+    tf.snapshot_write(df, table, "doc_id")
+    before = tf.manifest_files(table)
+    upd = (spark.range(10, 20)
+           .select(F.col("id").alias("doc_id"),
+                   F.lit("new").alias("text")))
+    tf.merge_upsert(upd, table)
+    after = tf.manifest_files(table)
+    carried = {f["path"] for f in before} & {f["path"] for f in after}
+    # keys 10..19 live in one range file: the other 7 carried untouched
+    assert len(carried) == len(before) - 1
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 1000
+    assert cur.where(F.col("text") == "new").count() == 10
+    rows = dict(cur.where(F.col("doc_id").isin(9, 10, 19, 20))
+                .select("doc_id", "text").collect())
+    assert rows == {9: "old", 10: "new", 19: "new", 20: "old"}
+    # pre-merge version still shows the old rows
+    old = tf.snapshot_read(spark, table, version=1)
+    assert old.where(F.col("text") == "new").count() == 0
+
+
+def test_merge_inserts_unseen_keys(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    upd = (spark.range(5, 15)
+           .select(F.col("id").alias("doc_id"),
+                   F.lit("u").alias("text")))
+    tf.merge_upsert(upd, table)
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 15
+    assert cur.where(F.col("text") == "u").count() == 10
+
+
+def test_merge_requires_keys(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    empty = _mkdf(spark, 0, 10).where(F.lit(False))
+    with pytest.raises(ValueError):
+        tf.merge_upsert(empty, table)
+
+
+def test_history_and_expiry(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 100), table, "doc_id")
+    tf.snapshot_write(_mkdf(spark, 100, 150), table, "doc_id")
+    tf.snapshot_write(_mkdf(spark, 0, 20, tag="b"), table, "doc_id",
+                      mode="overwrite")
+    hist = {r["version"]: r for r in
+            tf.table_history(spark, table).collect()}
+    assert hist[1]["n_rows"] == 100 and hist[1]["operation"] == "append"
+    assert hist[2]["n_rows"] == 150 and hist[2]["n_added_rows"] == 50
+    assert hist[3]["n_rows"] == 20 and hist[3]["operation"] == "overwrite"
+    out = tf.expire_snapshots(table, keep_last=1)
+    assert out["dropped_manifests"] == 2
+    assert out["dropped_files"] > 0  # v1/v2 files orphaned by overwrite
+    # current still intact; expired versions gone
+    assert tf.snapshot_read(spark, table).count() == 20
+    with pytest.raises(FileNotFoundError):
+        tf.load_manifest(table, 1)
+    assert tf.table_history(spark, table).count() == 1
+
+
+def test_read_missing_table_raises(spark, table):
+    with pytest.raises(FileNotFoundError):
+        tf.snapshot_read(spark, table)
