@@ -3855,6 +3855,27 @@ _TABLE_INCREMENTAL_SQL = (
     "FROM documents WHERE doc_id % 7 = 3")
 
 
+def q_table_delete_compact(spark, sf_dir):
+    """Merge-on-read delete + compaction (sources/tableformat.py):
+    commit a takedown key list (%9 sample) as a delete file — zero
+    data files rewritten — then bin-pack compact, which materializes
+    the deletes into the rewritten files; the read is identical either
+    side of the compact (layout changed, data did not).  Oracle: the
+    upsert algebra minus the taken-down keys."""
+    from nacc_form_validator_spark.sources import tableformat as tf_mod
+    tf, path = _table_format_build(spark, sf_dir)
+    takedown = (_docs(spark, sf_dir).select("doc_id")
+                .where(F.col("doc_id") % 9 == 4))
+    tf.delete_keys(takedown, path)
+    tf.compact(path, target_rows=10**6, spark=spark)
+    return tf.snapshot_read(spark, path)
+
+
+_TABLE_DELETE_COMPACT_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN '[recrawl] ' || text "
+    "ELSE text END AS text FROM documents WHERE doc_id % 9 <> 4")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -3937,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
+        "table_delete_compact": q_table_delete_compact,
         # curriculum_order's global_rank core is driver-covered via
         # zorder_layout (which composes it); topic_tags is a pure
         # literal-HOF projection pinned by hand goldens — both
@@ -4134,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
         "table_format": _TABLE_FORMAT_SQL,
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,
         "table_incremental": _TABLE_INCREMENTAL_SQL,
+        "table_delete_compact": _TABLE_DELETE_COMPACT_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
         "cascade_plan": _cascade_plan_sql(),

@@ -24,6 +24,17 @@ the pipeline actually leans on, over plain parquet + JSON manifests:
    carried by reference), which is how a recrawl patch touches a few
    hot files out of a petabyte.  :func:`incremental_read` reads only
    files added between two snapshots — the resumable-recrawl delta.
+4. **Merge-on-read deletes + compaction** — :func:`delete_keys`
+   commits a takedown/GDPR key list as a DELETE FILE (no data file is
+   touched: at 100 TB you cannot rewrite the table to honor a removal
+   request); :func:`snapshot_read` applies pending deletes with
+   Iceberg's sequence-number rule — a delete committed at version D
+   erases a key only from data files added at version < D, so a later
+   re-crawl of the same key is NOT swallowed by an old takedown.
+   :func:`compact` bin-packs small files to a target row count and
+   materializes every delete pending against the files it rewrites
+   (rewritten files get the new sequence number, so stale delete
+   entries become no-ops against them automatically).
 
 Reference analogue: none (the reference validator keeps no table
 state); this is the storage layer under the checkpointed decisions
@@ -84,11 +95,14 @@ def _commit(path: str, manifest: dict) -> None:
     os.replace(ptr + ".tmp", ptr)
 
 
-def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list:
-    """Per-file (rows, min/max key) for the files just written — one
-    aggregate over only the new files, collected as O(files) metadata.
-    Iceberg gathers these stats at write time inside the writer; here
-    it is a follow-up scan of the same (still page-cached) files."""
+def _file_stats(spark: SparkSession, data_dir: str, key: str,
+                seq: int) -> list:
+    """Per-file (rows, min/max key, sequence number) for the files
+    just written — one aggregate over only the new files, collected as
+    O(files) metadata.  Iceberg gathers these stats at write time
+    inside the writer; here it is a follow-up scan of the same (still
+    page-cached) files.  ``seq`` is the committing version: the
+    ordinal that decides which delete files apply to these rows."""
     rows = (spark.read.parquet(data_dir)
             .groupBy(F.input_file_name().alias("path"))
             .agg(F.count(F.lit(1)).alias("rows"),
@@ -96,7 +110,8 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str) -> list:
                  F.max(key).alias("max"))
             .collect())
     return sorted(({"path": r["path"], "rows": r["rows"],
-                    "min": r["min"], "max": r["max"]} for r in rows),
+                    "min": r["min"], "max": r["max"], "seq": seq}
+                   for r in rows),
                   key=lambda d: d["path"])
 
 
@@ -113,12 +128,17 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     ver = current_version(path) + 1
     sub = os.path.join(path, _DATA, f"s{ver}")
     df.write.mode("error").parquet(sub)
-    added = _file_stats(spark, sub, key)
-    prev = ([] if (mode == "overwrite" or ver == 1)
-            else load_manifest(path)["files"])
+    added = _file_stats(spark, sub, key, ver)
+    prev_files: list = []
+    prev_deletes: list = []
+    if mode == "append" and ver > 1:
+        prev = load_manifest(path)
+        prev_files = prev["files"]
+        prev_deletes = prev.get("deletes", [])
     _commit(path, {"version": ver, "operation": mode, "key": key,
                    "schema": df.schema.jsonValue(),
-                   "files": prev + added, "added": added})
+                   "files": prev_files + added, "added": added,
+                   "deletes": prev_deletes})
     return ver
 
 
@@ -151,16 +171,50 @@ def _read_files(spark: SparkSession, manifest: dict,
     return spark.read.schema(schema).parquet(*[f["path"] for f in files])
 
 
+def _read_with_deletes(spark: SparkSession, manifest: dict,
+                       files: list) -> DataFrame:
+    """Data files minus pending merge-on-read deletes.  Sequence rule
+    (Iceberg equality deletes): a delete committed at version D erases
+    a key only from files with seq < D — a key re-added AFTER the
+    takedown survives it.  Files are grouped by seq (one group per
+    committing snapshot, so a handful however large the table) and
+    each group anti-joins the broadcast union of exactly the delete
+    files that postdate it."""
+    deletes = manifest.get("deletes", [])
+    if not deletes or not files:
+        return _read_files(spark, manifest, files)
+    from pyspark.sql.types import StructType
+    key = manifest["key"]
+    full = StructType.fromJson(manifest["schema"])
+    kschema = StructType([full[key]])
+    parts = []
+    for seq in sorted({f["seq"] for f in files}):
+        grp = [f for f in files if f["seq"] == seq]
+        live = [d for d in deletes if d["seq"] > seq]
+        df = _read_files(spark, manifest, grp)
+        if live:
+            dk = (spark.read.schema(kschema)
+                  .parquet(*[d["path"] for d in live])
+                  .select(key).distinct())
+            df = df.join(F.broadcast(dk), key, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snapshot_read(spark: SparkSession, path: str,
                   version: Optional[int] = None,
                   key_range: Optional[Tuple] = None) -> DataFrame:
     """Read the table as of ``version`` (default: current).
     ``key_range=(lo, hi)`` prunes data files by manifest stats before
     Spark ever plans the scan; the residual row filter still applies
-    inside each surviving file, so the result is exact."""
+    inside each surviving file, so the result is exact.  Pending
+    merge-on-read deletes are applied (see :func:`delete_keys`)."""
     manifest = load_manifest(path, version)
     files = _prune(manifest["files"], key_range)
-    df = _read_files(spark, manifest, files)
+    df = _read_with_deletes(spark, manifest, files)
     if key_range is not None:
         lo, hi = key_range
         k = F.col(manifest["key"])
@@ -218,22 +272,87 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
 
     touched = [f for f in manifest["files"] if overlaps(f)]
     kept = [f for f in manifest["files"] if not overlaps(f)]
-    survivors = (_read_files(spark, manifest, touched)
+    # read touched files THROUGH pending deletes — a rewrite must not
+    # resurrect a taken-down row by re-materializing it at a new seq
+    survivors = (_read_with_deletes(spark, manifest, touched)
                  .join(F.broadcast(updates.select(key)), key,
                        "left_anti"))
     ver = manifest["version"] + 1
     sub = os.path.join(path, _DATA, f"s{ver}")
     survivors.unionByName(updates).write.mode("error").parquet(sub)
-    added = _file_stats(spark, sub, key)
+    added = _file_stats(spark, sub, key, ver)
     _commit(path, {"version": ver, "operation": "merge", "key": key,
                    "schema": manifest["schema"],
-                   "files": kept + added, "added": added})
+                   "files": kept + added, "added": added,
+                   "deletes": manifest.get("deletes", [])})
+    return ver
+
+
+def delete_keys(keys: DataFrame, path: str) -> int:
+    """Merge-on-read DELETE: commit the keys in ``keys`` as a delete
+    file — NO data file is read or rewritten (the takedown/GDPR path:
+    at 100 TB honoring a removal list by rewrite is not an option).
+    Readers subtract the keys via a broadcast anti-join under the
+    sequence rule: the delete applies only to data files committed
+    BEFORE it, so appending the key again later re-inserts it.
+    Physical removal happens when :func:`compact` (or a merge) next
+    rewrites the affected files."""
+    spark = keys.sparkSession
+    manifest = load_manifest(path)
+    key = manifest["key"]
+    ver = manifest["version"] + 1
+    sub = os.path.join(path, _DATA, f"d{ver}")
+    dk = keys.select(key).distinct()
+    dk.coalesce(1).write.mode("error").parquet(sub)
+    entry = _file_stats(spark, sub, key, ver)
+    if sum(e["rows"] for e in entry) == 0:
+        raise ValueError("delete_keys: no keys to delete")
+    _commit(path, {"version": ver, "operation": "delete", "key": key,
+                   "schema": manifest["schema"],
+                   "files": manifest["files"], "added": [],
+                   "deletes": manifest.get("deletes", []) + entry})
+    return ver
+
+
+def compact(path: str, target_rows: int,
+            spark: Optional[SparkSession] = None) -> int:
+    """Bin-pack data files smaller than ``target_rows`` into
+    ~target-sized files and materialize every delete pending against
+    them; files already at size are carried by reference.  Rewritten
+    rows get the NEW sequence number, so older delete entries become
+    no-ops against them by the sequence rule — the entries stay in the
+    manifest only for any small-enough-to-carry files they still
+    cover, and expire with their manifests.  Returns the new version
+    (the current one when there is nothing to compact)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    manifest = load_manifest(path)
+    key = manifest["key"]
+    small = [f for f in manifest["files"] if f["rows"] < target_rows]
+    if len(small) < 2:
+        return manifest["version"]
+    kept = [f for f in manifest["files"] if f["rows"] >= target_rows]
+    total = sum(f["rows"] for f in small)
+    n_out = max(1, -(-total // target_rows))
+    ver = manifest["version"] + 1
+    sub = os.path.join(path, _DATA, f"s{ver}")
+    (_read_with_deletes(spark, manifest, small)
+     .coalesce(n_out).write.mode("error").parquet(sub))
+    added = _file_stats(spark, sub, key, ver)
+    _commit(path, {"version": ver, "operation": "compact", "key": key,
+                   "schema": manifest["schema"],
+                   "files": kept + added, "added": added,
+                   "deletes": manifest.get("deletes", [])})
     return ver
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per live snapshot: version, operation, files/rows
-    visible at that version, and files/rows added by it."""
+    visible at that version, files/rows added by it, and pending
+    delete-file keys.  ``n_rows`` counts PHYSICAL rows (manifest
+    stats); merge-on-read deletes subtract at read time, so a 'delete'
+    snapshot leaves n_rows unchanged until a compact/merge
+    materializes it — exactly Iceberg's bookkeeping."""
     rows = []
     for v in range(1, current_version(path) + 1):
         try:
@@ -244,10 +363,12 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
                      len(m["files"]),
                      sum(f["rows"] for f in m["files"]),
                      len(m["added"]),
-                     sum(f["rows"] for f in m["added"])))
+                     sum(f["rows"] for f in m["added"]),
+                     sum(d["rows"] for d in m.get("deletes", []))))
     return spark.createDataFrame(
         rows, "version int, operation string, n_files int, "
-              "n_rows bigint, n_added_files int, n_added_rows bigint")
+              "n_rows bigint, n_added_files int, n_added_rows bigint, "
+              "n_delete_keys bigint")
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
@@ -258,13 +379,16 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     cutoff = cur - keep_last + 1
     live: set = set()
     for v in range(cutoff, cur + 1):
-        live.update(f["path"] for f in load_manifest(path, v)["files"])
+        m = load_manifest(path, v)
+        live.update(f["path"] for f in m["files"])
+        live.update(d["path"] for d in m.get("deletes", []))
     dropped_manifests = dropped_files = 0
     for v in range(1, cutoff):
         mp = _manifest_path(path, v)
         if not os.path.exists(mp):
             continue
-        for f in load_manifest(path, v)["files"]:
+        m = load_manifest(path, v)
+        for f in m["files"] + m.get("deletes", []):
             if f["path"] not in live:
                 local = f["path"].replace("file:", "", 1)
                 if os.path.exists(local):

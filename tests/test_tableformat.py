@@ -154,3 +154,89 @@ def test_history_and_expiry(spark, table):
 def test_read_missing_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         tf.snapshot_read(spark, table)
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def test_delete_is_merge_on_read(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 100), table, "doc_id")
+    files_before = tf.manifest_files(table)
+    tf.delete_keys(_keys(spark, [3, 7, 7, 50]), table)
+    # no data file touched: the file set is byte-identical
+    assert tf.manifest_files(table) == files_before
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 97
+    assert cur.where(F.col("doc_id").isin(3, 7, 50)).count() == 0
+    # pre-delete version still shows all rows
+    assert tf.snapshot_read(spark, table, version=1).count() == 100
+    # history: physical rows unchanged, pending keys surfaced
+    h = {r["version"]: r for r in tf.table_history(spark, table).collect()}
+    assert h[2]["operation"] == "delete"
+    assert h[2]["n_rows"] == 100 and h[2]["n_delete_keys"] == 3
+
+
+def test_delete_sequence_rule_reinsert_survives(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    tf.delete_keys(_keys(spark, [4]), table)
+    # re-crawl of key 4 AFTER the takedown: newer seq, delete no-ops
+    tf.snapshot_write(_mkdf(spark, 4, 5, tag="new"), table, "doc_id")
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 10
+    assert cur.where(F.col("doc_id") == 4).first()["text"] == "new-4"
+    # the intermediate version still has the key deleted
+    assert tf.snapshot_read(spark, table, version=2).count() == 9
+
+
+def test_merge_does_not_resurrect_deleted_rows(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 100), table, "doc_id")
+    tf.delete_keys(_keys(spark, [5]), table)
+    # merge rewrites the file holding key 5 (updates key 6): the
+    # rewritten survivors must not re-materialize the taken-down row
+    upd = (spark.range(6, 7).select(F.col("id").alias("doc_id"),
+                                    F.lit("upd").alias("text")))
+    tf.merge_upsert(upd, table)
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 99
+    assert cur.where(F.col("doc_id") == 5).count() == 0
+    assert cur.where(F.col("doc_id") == 6).first()["text"] == "upd"
+
+
+def test_compact_bins_small_files_and_materializes_deletes(spark, table):
+    # 4 small appends of 25 rows -> 4x4=16 small files
+    for lo in range(0, 100, 25):
+        tf.snapshot_write(_mkdf(spark, lo, lo + 25), table, "doc_id")
+    tf.delete_keys(_keys(spark, [1, 2]), table)
+    before = tf.manifest_files(table)
+    ver = tf.compact(table, target_rows=50, spark=spark)
+    after = tf.manifest_files(table, ver)
+    assert len(after) < len(before)
+    # deletes are physically gone from the rewritten files
+    assert sum(f["rows"] for f in after) == 98
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 98
+    assert cur.where(F.col("doc_id").isin(1, 2)).count() == 0
+    # compaction changed layout, not data: same rows as pre-compact read
+    pre = tf.snapshot_read(spark, table, version=ver - 1)
+    assert pre.exceptAll(cur).count() == 0
+    assert cur.exceptAll(pre).count() == 0
+    # at-size files were carried, not rewritten
+    carried = {f["path"] for f in before} & {f["path"] for f in after}
+    assert all(f["rows"] >= 50 for f in after if f["path"] in carried)
+
+
+def test_compact_noop_when_nothing_small(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10).coalesce(1), table, "doc_id")
+    assert tf.compact(table, target_rows=5, spark=spark) == 1
+
+
+def test_expire_keeps_referenced_delete_files(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 20), table, "doc_id")
+    tf.delete_keys(_keys(spark, [0]), table)
+    tf.snapshot_write(_mkdf(spark, 20, 30), table, "doc_id")
+    tf.expire_snapshots(table, keep_last=1)
+    # the delete file is referenced by the retained manifest: survives
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 29
+    assert cur.where(F.col("doc_id") == 0).count() == 0
