@@ -3876,6 +3876,34 @@ _TABLE_DELETE_COMPACT_SQL = (
     "ELSE text END AS text FROM documents WHERE doc_id % 9 <> 4")
 
 
+def q_table_schema_evolution(spark, sf_dir):
+    """Field-id schema evolution (sources/tableformat.py): add a
+    defaulted column + rename, both metadata-only (zero data files
+    touched), then append under the evolved schema.  The read conforms
+    the pre-evolution files by field id: old rows surface under the
+    NEW column name with the add-time default back-filled."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    path = tempfile.mkdtemp(prefix="qf_tblevo_")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tf.snapshot_write(d, path, "doc_id")
+    tf.add_column(path, "lang", "string", default="unk")
+    tf.rename_column(path, "text", "body")
+    batch = (d.where(F.col("doc_id") % 3 == 1)
+             .select((F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+                     F.col("text").alias("body"),
+                     F.lit("en").alias("lang")))
+    tf.snapshot_write(batch, path, "doc_id")
+    return tf.snapshot_read(spark, path)
+
+
+_TABLE_SCHEMA_EVOLUTION_SQL = (
+    "SELECT doc_id, text AS body, 'unk' AS lang FROM documents "
+    "UNION ALL SELECT doc_id + 2000000, text, 'en' FROM documents "
+    "WHERE doc_id % 3 = 1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -3959,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
         "table_delete_compact": q_table_delete_compact,
+        "table_schema_evolution": q_table_schema_evolution,
         # curriculum_order's global_rank core is driver-covered via
         # zorder_layout (which composes it); topic_tags is a pure
         # literal-HOF projection pinned by hand goldens — both
@@ -4157,6 +4186,7 @@ def oracle_sql() -> dict[str, str]:
         "table_time_travel": _TABLE_TIME_TRAVEL_SQL,
         "table_incremental": _TABLE_INCREMENTAL_SQL,
         "table_delete_compact": _TABLE_DELETE_COMPACT_SQL,
+        "table_schema_evolution": _TABLE_SCHEMA_EVOLUTION_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
         "cascade_plan": _cascade_plan_sql(),

@@ -24,7 +24,15 @@ the pipeline actually leans on, over plain parquet + JSON manifests:
    carried by reference), which is how a recrawl patch touches a few
    hot files out of a petabyte.  :func:`incremental_read` reads only
    files added between two snapshots — the resumable-recrawl delta.
-4. **Merge-on-read deletes + compaction** — :func:`delete_keys`
+4. **Schema evolution by field id** — :func:`add_column` /
+   :func:`rename_column` / :func:`drop_column` are metadata-only
+   commits (no data file is touched at any table size).  Every column
+   carries an immutable field id; each snapshot records the id→name
+   binding its files were written under, and reads conform every file
+   group to the CURRENT schema by id — so a rename never orphans old
+   files, a re-added name never captures dropped data (fresh id), and
+   a column added with a default back-fills old rows at read time.
+5. **Merge-on-read deletes + compaction** — :func:`delete_keys`
    commits a takedown/GDPR key list as a DELETE FILE (no data file is
    touched: at 100 TB you cannot rewrite the table to honor a removal
    request); :func:`snapshot_read` applies pending deletes with
@@ -115,30 +123,57 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
                   key=lambda d: d["path"])
 
 
+def _new_fields(schema) -> list:
+    return [{"id": i + 1, "name": f.name}
+            for i, f in enumerate(schema.fields)]
+
+
+def _ws_entry(manifest_or_schema, fields) -> dict:
+    """The id→name/type binding files written NOW carry — recorded per
+    snapshot so reads can conform any file to any later schema."""
+    return {"fields": fields, "schema": manifest_or_schema}
+
+
 def snapshot_write(df: DataFrame, path: str, key: str,
                    mode: str = "append") -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
-    ``append`` adds files next to the current file set; ``overwrite``
-    starts a fresh file set — either way no existing data file is
-    touched, so every prior version stays time-travel readable."""
+    ``append`` adds files next to the current file set (``df`` must
+    carry the table's CURRENT schema — evolve first, then write);
+    ``overwrite`` starts a fresh file set and resets the schema —
+    either way no existing data file is touched, so every prior
+    version stays time-travel readable."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
     ver = current_version(path) + 1
+    fresh = mode == "overwrite" or ver == 1
+    prev = None if fresh else load_manifest(path)
+    if prev is not None:
+        want = [f["name"] for f in prev["fields"]]
+        if df.columns != want:
+            raise ValueError(
+                f"append schema mismatch: table has {want}, "
+                f"df has {df.columns}")
     sub = os.path.join(path, _DATA, f"s{ver}")
     df.write.mode("error").parquet(sub)
     added = _file_stats(spark, sub, key, ver)
-    prev_files: list = []
-    prev_deletes: list = []
-    if mode == "append" and ver > 1:
-        prev = load_manifest(path)
-        prev_files = prev["files"]
-        prev_deletes = prev.get("deletes", [])
+    if prev is None:
+        fields = _new_fields(df.schema)
+        schema = df.schema.jsonValue()
+        files, deletes, ws = added, [], {}
+        last_id = len(fields)
+    else:
+        fields, schema = prev["fields"], prev["schema"]
+        files = prev["files"] + added
+        deletes = prev.get("deletes", [])
+        ws = dict(prev["write_schemas"])
+        last_id = prev["last_field_id"]
+    ws[str(ver)] = _ws_entry(schema, fields)
     _commit(path, {"version": ver, "operation": mode, "key": key,
-                   "schema": df.schema.jsonValue(),
-                   "files": prev_files + added, "added": added,
-                   "deletes": prev_deletes})
+                   "schema": schema, "fields": fields,
+                   "last_field_id": last_id, "write_schemas": ws,
+                   "files": files, "added": added, "deletes": deletes})
     return ver
 
 
@@ -161,14 +196,55 @@ def manifest_files(path: str, version: Optional[int] = None,
     return _prune(load_manifest(path, version)["files"], key_range)
 
 
+def _empty(spark: SparkSession, manifest: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+    return spark.createDataFrame([], StructType.fromJson(
+        manifest["schema"]))
+
+
+def _read_seq_group(spark: SparkSession, manifest: dict, seq: int,
+                    grp: list) -> DataFrame:
+    """Read one snapshot's files with their WRITE-TIME schema and
+    conform to the manifest's CURRENT schema by field id: renamed
+    columns follow their id, columns added later back-fill their
+    default (NULL when none), dropped columns are simply not selected.
+    Metadata-only evolution, exact at read."""
+    from pyspark.sql.types import StructType
+    w = manifest["write_schemas"][str(seq)]
+    wschema = StructType.fromJson(w["schema"])
+    # explicit file list — no directory listing, no partition discovery
+    df = spark.read.schema(wschema).parquet(*[f["path"] for f in grp])
+    cur_fields = manifest["fields"]
+    cur_schema = StructType.fromJson(manifest["schema"])
+    written = {f["id"]: f["name"] for f in w["fields"]}
+    if [f["name"] for f in cur_fields] == [
+            written.get(f["id"]) for f in cur_fields]:
+        return df.select([f["name"] for f in cur_fields])
+    cols = []
+    for cf, sf in zip(cur_fields, cur_schema.fields):
+        wname = written.get(cf["id"])
+        if wname is None:      # column added after this file was written
+            cols.append(F.lit(cf.get("default")).cast(sf.dataType)
+                        .alias(cf["name"]))
+        else:
+            cols.append(F.col(wname).cast(sf.dataType).alias(cf["name"]))
+    return df.select(*cols)
+
+
 def _read_files(spark: SparkSession, manifest: dict,
                 files: list) -> DataFrame:
-    from pyspark.sql.types import StructType
-    schema = StructType.fromJson(manifest["schema"])
+    """Conformed read of an explicit file list (no delete filtering) —
+    one schema-conforming scan per originating snapshot, unioned."""
     if not files:
-        return spark.createDataFrame([], schema)
-    # explicit file list — no directory listing, no partition discovery
-    return spark.read.schema(schema).parquet(*[f["path"] for f in files])
+        return _empty(spark, manifest)
+    parts = [
+        _read_seq_group(spark, manifest, seq,
+                        [f for f in files if f["seq"] == seq])
+        for seq in sorted({f["seq"] for f in files})]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _read_with_deletes(spark: SparkSession, manifest: dict,
@@ -191,7 +267,7 @@ def _read_with_deletes(spark: SparkSession, manifest: dict,
     for seq in sorted({f["seq"] for f in files}):
         grp = [f for f in files if f["seq"] == seq]
         live = [d for d in deletes if d["seq"] > seq]
-        df = _read_files(spark, manifest, grp)
+        df = _read_seq_group(spark, manifest, seq, grp)
         if live:
             dk = (spark.read.schema(kschema)
                   .parquet(*[d["path"] for d in live])
@@ -260,6 +336,10 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
     spark = updates.sparkSession
     manifest = load_manifest(path)
     key = manifest["key"]
+    want = [f["name"] for f in manifest["fields"]]
+    if updates.columns != want:
+        raise ValueError(f"merge schema mismatch: table has {want}, "
+                         f"updates has {updates.columns}")
     keys = sorted(r[0] for r in updates.select(key).distinct().collect())
     if not keys:
         raise ValueError("merge_upsert: updates carry no keys")
@@ -281,8 +361,13 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
     sub = os.path.join(path, _DATA, f"s{ver}")
     survivors.unionByName(updates).write.mode("error").parquet(sub)
     added = _file_stats(spark, sub, key, ver)
+    ws = dict(manifest["write_schemas"])
+    ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver, "operation": "merge", "key": key,
                    "schema": manifest["schema"],
+                   "fields": manifest["fields"],
+                   "last_field_id": manifest["last_field_id"],
+                   "write_schemas": ws,
                    "files": kept + added, "added": added,
                    "deletes": manifest.get("deletes", [])})
     return ver
@@ -309,6 +394,9 @@ def delete_keys(keys: DataFrame, path: str) -> int:
         raise ValueError("delete_keys: no keys to delete")
     _commit(path, {"version": ver, "operation": "delete", "key": key,
                    "schema": manifest["schema"],
+                   "fields": manifest["fields"],
+                   "last_field_id": manifest["last_field_id"],
+                   "write_schemas": manifest["write_schemas"],
                    "files": manifest["files"], "added": [],
                    "deletes": manifest.get("deletes", []) + entry})
     return ver
@@ -339,11 +427,97 @@ def compact(path: str, target_rows: int,
     (_read_with_deletes(spark, manifest, small)
      .coalesce(n_out).write.mode("error").parquet(sub))
     added = _file_stats(spark, sub, key, ver)
+    ws = dict(manifest["write_schemas"])
+    ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver, "operation": "compact", "key": key,
                    "schema": manifest["schema"],
+                   "fields": manifest["fields"],
+                   "last_field_id": manifest["last_field_id"],
+                   "write_schemas": ws,
                    "files": kept + added, "added": added,
                    "deletes": manifest.get("deletes", [])})
     return ver
+
+
+def _evolve(path: str, op: str, fields: list, schema: dict,
+            last_id: Optional[int] = None) -> int:
+    """Metadata-only schema commit: same files, same deletes, new
+    current schema — O(1) however large the table."""
+    manifest = load_manifest(path)
+    ver = manifest["version"] + 1
+    _commit(path, {"version": ver, "operation": op,
+                   "key": manifest["key"], "schema": schema,
+                   "fields": fields,
+                   "last_field_id": (manifest["last_field_id"]
+                                     if last_id is None else last_id),
+                   "write_schemas": manifest["write_schemas"],
+                   "files": manifest["files"], "added": [],
+                   "deletes": manifest.get("deletes", [])})
+    return ver
+
+
+def add_column(path: str, name: str, dtype: str,
+               default=None) -> int:
+    """Add a column (metadata-only).  ``dtype`` is a Spark DDL type
+    string ('string', 'int', ...); rows written before this commit
+    read as ``default`` (NULL when omitted) — back-filled at read
+    time, never by rewrite.  The new column gets a FRESH field id, so
+    re-adding a previously dropped name cannot capture old data."""
+    from pyspark.sql.types import StructType
+    manifest = load_manifest(path)
+    if any(f["name"] == name for f in manifest["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    schema = StructType.fromJson(manifest["schema"])
+    new_field = StructType.fromDDL(f"`{name}` {dtype}").fields[0]
+    schema = StructType(schema.fields + [new_field])
+    # ids are never reused (Iceberg's last-assigned-id rule): a
+    # re-added name after a drop must get a FRESH id or old files'
+    # dropped data would leak back in under the new column
+    nid = manifest["last_field_id"] + 1
+    entry: dict = {"id": nid, "name": name}
+    if default is not None:
+        entry["default"] = default
+    return _evolve(path, "add-column",
+                   manifest["fields"] + [entry], schema.jsonValue(),
+                   last_id=nid)
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Rename a column (metadata-only).  Old files keep their written
+    name; reads follow the field id.  The table key cannot be renamed
+    (delete files are bound to its name)."""
+    from pyspark.sql.types import StructType, StructField
+    manifest = load_manifest(path)
+    if old == manifest["key"]:
+        raise ValueError("cannot rename the table key column")
+    names = [f["name"] for f in manifest["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [dict(f, name=new) if f["name"] == old else f
+              for f in manifest["fields"]]
+    schema = StructType.fromJson(manifest["schema"])
+    schema = StructType([
+        StructField(new, f.dataType, f.nullable) if f.name == old else f
+        for f in schema.fields])
+    return _evolve(path, "rename-column", fields, schema.jsonValue())
+
+
+def drop_column(path: str, name: str) -> int:
+    """Drop a column (metadata-only).  The data stays in the old
+    files — time travel to a pre-drop version still reads it — but no
+    current read selects it.  The table key cannot be dropped."""
+    from pyspark.sql.types import StructType
+    manifest = load_manifest(path)
+    if name == manifest["key"]:
+        raise ValueError("cannot drop the table key column")
+    if not any(f["name"] == name for f in manifest["fields"]):
+        raise ValueError(f"no column {name!r}")
+    fields = [f for f in manifest["fields"] if f["name"] != name]
+    schema = StructType.fromJson(manifest["schema"])
+    schema = StructType([f for f in schema.fields if f.name != name])
+    return _evolve(path, "drop-column", fields, schema.jsonValue())
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:

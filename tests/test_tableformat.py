@@ -231,6 +231,86 @@ def test_compact_noop_when_nothing_small(spark, table):
     assert tf.compact(table, target_rows=5, spark=spark) == 1
 
 
+def test_add_column_backfills_default_at_read(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    tf.add_column(table, "lang", "string", default="unk")
+    tf.add_column(table, "score", "double")  # no default -> NULL
+    new = (spark.range(10, 15)
+           .select(F.col("id").alias("doc_id"),
+                   F.lit("t").alias("text"),
+                   F.lit("en").alias("lang"),
+                   F.lit(0.5).alias("score")))
+    tf.snapshot_write(new, table, "doc_id")
+    cur = tf.snapshot_read(spark, table)
+    assert cur.columns == ["doc_id", "text", "lang", "score"]
+    old_rows = cur.where(F.col("doc_id") < 10)
+    assert old_rows.where(F.col("lang") == "unk").count() == 10
+    assert old_rows.where(F.col("score").isNull()).count() == 10
+    assert cur.where(F.col("lang") == "en").count() == 5
+    # time travel to before the evolution: old schema
+    assert tf.snapshot_read(spark, table, version=1).columns == [
+        "doc_id", "text"]
+
+
+def test_rename_follows_field_id_across_old_files(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    tf.rename_column(table, "text", "body")
+    tf.snapshot_write(
+        spark.range(10, 12).select(F.col("id").alias("doc_id"),
+                                   F.lit("new").alias("body")),
+        table, "doc_id")
+    cur = tf.snapshot_read(spark, table)
+    assert cur.columns == ["doc_id", "body"]
+    # pre-rename rows surface under the new name
+    assert cur.where(F.col("body") == "a-3").count() == 1
+    with pytest.raises(ValueError):
+        tf.rename_column(table, "doc_id", "id")  # key is pinned
+
+
+def test_drop_then_readd_gets_fresh_id(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 5), table, "doc_id")
+    tf.drop_column(table, "text")
+    assert tf.snapshot_read(spark, table).columns == ["doc_id"]
+    # re-adding the NAME must not resurrect the dropped data
+    tf.add_column(table, "text", "string", default="fresh")
+    cur = tf.snapshot_read(spark, table)
+    assert cur.where(F.col("text") == "fresh").count() == 5
+    assert cur.where(F.col("text").startswith("a-")).count() == 0
+    # time travel: version 1 still reads the original data
+    v1 = tf.snapshot_read(spark, table, version=1)
+    assert v1.where(F.col("text").startswith("a-")).count() == 5
+
+
+def test_evolution_is_metadata_only_and_guards_append(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    files_before = tf.manifest_files(table)
+    tf.add_column(table, "lang", "string")
+    tf.rename_column(table, "text", "body")
+    assert tf.manifest_files(table) == files_before  # no file touched
+    with pytest.raises(ValueError):  # stale-schema append rejected
+        tf.snapshot_write(_mkdf(spark, 10, 12), table, "doc_id")
+    with pytest.raises(ValueError):
+        tf.add_column(table, "lang", "string")
+    with pytest.raises(ValueError):
+        tf.drop_column(table, "doc_id")
+
+
+def test_evolution_composes_with_merge_and_compact(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 40), table, "doc_id")
+    tf.add_column(table, "lang", "string", default="unk")
+    upd = (spark.range(5, 10)
+           .select(F.col("id").alias("doc_id"),
+                   F.lit("u").alias("text"), F.lit("en").alias("lang")))
+    tf.merge_upsert(upd, table)
+    tf.delete_keys(_keys(spark, [0]), table)
+    tf.compact(table, target_rows=10**6, spark=spark)
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 39
+    assert cur.where(F.col("lang") == "en").count() == 5
+    assert cur.where(F.col("lang") == "unk").count() == 34
+    assert cur.where(F.col("doc_id") == 0).count() == 0
+
+
 def test_expire_keeps_referenced_delete_files(spark, table):
     tf.snapshot_write(_mkdf(spark, 0, 20), table, "doc_id")
     tf.delete_keys(_keys(spark, [0]), table)
