@@ -3904,6 +3904,41 @@ _TABLE_SCHEMA_EVOLUTION_SQL = (
     "WHERE doc_id % 3 = 1")
 
 
+def q_table_stream_sink(spark, sf_dir):
+    """Exactly-once streaming sink (streaming/pipeline.py
+    stream_to_table): documents stream into the snapshot table via
+    foreachBatch with idempotence tokens; the checkpoint is then
+    DELETED and the stream re-run, replaying batch 0 — the token makes
+    the replay a table no-op, so the oracle (a plain SELECT: one copy
+    of every row) only hashes green if exactly-once held."""
+    import os
+    import shutil
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    from nacc_form_validator_spark.streaming.pipeline import (
+        stream_to_table)
+    base = tempfile.mkdtemp(prefix="qf_tblstream_")
+    inp, ck, table = (os.path.join(base, d)
+                      for d in ("in", "ck", "tbl"))
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d.write.mode("overwrite").parquet(inp)
+    schema = d.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        stream_to_table(stream, table, "doc_id", ck,
+                        job="gate").awaitTermination()
+
+    run()
+    shutil.rmtree(ck)          # crash before the checkpoint commit
+    run()                      # batch 0 replays; token must no-op it
+    return tf.snapshot_read(spark, table)
+
+
+_TABLE_STREAM_SINK_SQL = "SELECT doc_id, text FROM documents"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -3988,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_incremental": q_table_incremental,
         "table_delete_compact": q_table_delete_compact,
         "table_schema_evolution": q_table_schema_evolution,
+        "table_stream_sink": q_table_stream_sink,
         # curriculum_order's global_rank core is driver-covered via
         # zorder_layout (which composes it); topic_tags is a pure
         # literal-HOF projection pinned by hand goldens — both
@@ -4187,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
         "table_incremental": _TABLE_INCREMENTAL_SQL,
         "table_delete_compact": _TABLE_DELETE_COMPACT_SQL,
         "table_schema_evolution": _TABLE_SCHEMA_EVOLUTION_SQL,
+        "table_stream_sink": _TABLE_STREAM_SINK_SQL,
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
         "cascade_plan": _cascade_plan_sql(),

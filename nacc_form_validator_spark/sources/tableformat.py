@@ -135,20 +135,32 @@ def _ws_entry(manifest_or_schema, fields) -> dict:
 
 
 def snapshot_write(df: DataFrame, path: str, key: str,
-                   mode: str = "append") -> int:
+                   mode: str = "append",
+                   token: Optional[str] = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``append`` adds files next to the current file set (``df`` must
     carry the table's CURRENT schema — evolve first, then write);
     ``overwrite`` starts a fresh file set and resets the schema —
     either way no existing data file is touched, so every prior
-    version stays time-travel readable."""
+    version stays time-travel readable.
+
+    ``token`` makes the commit IDEMPOTENT: if a live manifest already
+    carries the token, the write is skipped and that snapshot's
+    version is returned — the exactly-once handshake a streaming
+    ``foreachBatch`` sink needs when a micro-batch is replayed after a
+    crash (the batch reached the table, the source checkpoint did
+    not)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
     ver = current_version(path) + 1
     fresh = mode == "overwrite" or ver == 1
     prev = None if fresh else load_manifest(path)
+    if token is not None and prev is not None:
+        seen = prev.get("tokens", {})
+        if token in seen:
+            return seen[token]
     if prev is not None:
         want = [f["name"] for f in prev["fields"]]
         if df.columns != want:
@@ -163,16 +175,21 @@ def snapshot_write(df: DataFrame, path: str, key: str,
         schema = df.schema.jsonValue()
         files, deletes, ws = added, [], {}
         last_id = len(fields)
+        tokens: dict = {}
     else:
         fields, schema = prev["fields"], prev["schema"]
         files = prev["files"] + added
         deletes = prev.get("deletes", [])
         ws = dict(prev["write_schemas"])
         last_id = prev["last_field_id"]
+        tokens = dict(prev.get("tokens", {}))
+    if token is not None:
+        tokens[token] = ver
     ws[str(ver)] = _ws_entry(schema, fields)
     _commit(path, {"version": ver, "operation": mode, "key": key,
                    "schema": schema, "fields": fields,
                    "last_field_id": last_id, "write_schemas": ws,
+                   "tokens": tokens,
                    "files": files, "added": added, "deletes": deletes})
     return ver
 
@@ -364,6 +381,7 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver, "operation": "merge", "key": key,
+                   "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "last_field_id": manifest["last_field_id"],
@@ -393,6 +411,7 @@ def delete_keys(keys: DataFrame, path: str) -> int:
     if sum(e["rows"] for e in entry) == 0:
         raise ValueError("delete_keys: no keys to delete")
     _commit(path, {"version": ver, "operation": "delete", "key": key,
+                   "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "last_field_id": manifest["last_field_id"],
@@ -430,6 +449,7 @@ def compact(path: str, target_rows: int,
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver, "operation": "compact", "key": key,
+                   "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "last_field_id": manifest["last_field_id"],
@@ -447,6 +467,7 @@ def _evolve(path: str, op: str, fields: list, schema: dict,
     ver = manifest["version"] + 1
     _commit(path, {"version": ver, "operation": op,
                    "key": manifest["key"], "schema": schema,
+                   "tokens": manifest.get("tokens", {}),
                    "fields": fields,
                    "last_field_id": (manifest["last_field_id"]
                                      if last_id is None else last_id),

@@ -513,3 +513,37 @@ def streaming_bloom_dedup(pages_stream: DataFrame,
         stateStructType=BLOOM_DEDUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_to_table(stream_df: DataFrame, path: str, key: str,
+                    checkpoint: str, job: str = "stream",
+                    available_now: bool = True):
+    """Exactly-once streaming sink into the snapshot table format
+    (sources/tableformat.py): each micro-batch commits as ONE table
+    snapshot via ``foreachBatch``, carrying the idempotence token
+    ``{job}:{batch_id}``.
+
+    Structured Streaming's contract is at-least-once delivery into
+    ``foreachBatch`` — after a crash between the sink action and the
+    checkpoint commit, the SAME batch id is replayed.  The token makes
+    the replay a no-op at the table (the manifest already carries it),
+    so table contents are exactly-once end-to-end while staying
+    resumable from the stream checkpoint: restart the query with the
+    same checkpoint dir and only genuinely new input commits.
+
+    Downstream consumers chain ``tableformat.incremental_read`` on the
+    committed versions — the streaming-in / incremental-out loop the
+    north rule's resumable recrawl pipeline runs on.  Reference
+    analogue: none (the reference validator keeps no table state)."""
+    from nacc_form_validator_spark.sources import tableformat as tf
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        tf.snapshot_write(batch_df, path, key,
+                          token=f"{job}:{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(_commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -156,6 +156,60 @@ def test_read_missing_table_raises(spark, table):
         tf.snapshot_read(spark, table)
 
 
+def test_token_makes_append_idempotent(spark, table):
+    v1 = tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id",
+                           token="job:0")
+    # replayed commit with the same token: no-op, same version back
+    v2 = tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id",
+                           token="job:0")
+    assert (v1, v2) == (1, 1)
+    assert tf.current_version(table) == 1
+    assert tf.snapshot_read(spark, table).count() == 10
+    # a fresh token commits; tokens survive intervening snapshots
+    tf.snapshot_write(_mkdf(spark, 10, 15), table, "doc_id",
+                      token="job:1")
+    tf.delete_keys(_keys(spark, [0]), table)
+    v4 = tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id",
+                           token="job:0")
+    assert v4 == 1 and tf.current_version(table) == 3
+    assert tf.snapshot_read(spark, table).count() == 14
+
+
+def test_stream_to_table_exactly_once(spark, tmp_path):
+    import shutil
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        stream_to_table)
+    table = str(tmp_path / "tbl")
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    first = _mkdf(spark, 0, 50)
+    first.write.mode("overwrite").parquet(inp)
+    schema = first.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = stream_to_table(stream, table, "doc_id", ck, job="t1")
+        q.awaitTermination()
+
+    run()
+    assert tf.snapshot_read(spark, table).count() == 50
+    # crash-replay: lose the checkpoint -> the source replays batch 0
+    # with the same batch id; the token must make it a table no-op
+    ver_before = tf.current_version(table)
+    shutil.rmtree(ck)
+    run()
+    assert tf.current_version(table) == ver_before
+    assert tf.snapshot_read(spark, table).count() == 50
+    # resume: new input under the SAME checkpoint commits only the delta
+    _mkdf(spark, 50, 70, tag="b").write.mode("append").parquet(inp)
+    run()
+    assert tf.snapshot_read(spark, table).count() == 70
+    delta = tf.incremental_read(spark, table, since=ver_before)
+    assert delta.count() == 20
+    assert delta.agg(F.min("doc_id")).first()[0] == 50
+
+
 def _keys(spark, ids):
     return spark.createDataFrame([(i,) for i in ids], "doc_id long")
 
