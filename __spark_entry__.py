@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nacc_form_validator_spark.functions.heuristics import doc_stats
+from nacc_form_validator_spark.functions import perplexity as perplexity_mod
 from nacc_form_validator_spark.functions.langid import langid_expr
 from nacc_form_validator_spark.functions.perplexity import (
     make_ppl_bigram_udf, ppl_unigram_expr)
@@ -1114,6 +1115,31 @@ def q_nb_calibration(spark, sf_dir):
     from nacc_form_validator_spark.operators.selection import (
         nb_calibration)
     return nb_calibration(_docs(spark, sf_dir))
+
+
+def q_sb_trigram(spark, sf_dir):
+    """Stupid-backoff TRIGRAM fluency score (functions/perplexity.py
+    sb_trigram; Brants et al. 2007) — the web-scale LM built from
+    nothing but count aggregates: raw relative frequency with a fixed
+    0.4 backoff through bigram and unigram, no discounting.  Train =
+    three groupBys; score = trigram explode + five key joins (the
+    paper's sharded count servers, as a shuffle).  Exact integer
+    counts keep it value-exact vs DuckDB."""
+    from nacc_form_validator_spark.functions.perplexity import sb_trigram
+    return sb_trigram(_docs(spark, sf_dir))
+
+
+def q_sb_trigram_pretrained(spark, sf_dir):
+    """Train-once / score-many split of q_sb_trigram: the model
+    tables are materialized first (localCheckpoint — the production
+    shape writes them as a snapshot table) and the scorer joins the
+    frozen model; must value-match the inline form."""
+    from nacc_form_validator_spark.functions.perplexity import (
+        score_sb_trigram, train_sb_trigram)
+    d = _docs(spark, sf_dir)
+    tri, bi, uni = (t.localCheckpoint(eager=False)
+                    for t in train_sb_trigram(d))
+    return score_sb_trigram(d, tri, bi, uni)
 
 
 def q_ppl_kn_bigram(spark, sf_dir):
@@ -4024,6 +4050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_delete_compact": q_table_delete_compact,
         "table_schema_evolution": q_table_schema_evolution,
         "table_stream_sink": q_table_stream_sink,
+        "sb_trigram": q_sb_trigram,
+        "sb_trigram_pretrained": q_sb_trigram_pretrained,
         # curriculum_order's global_rank core is driver-covered via
         # zorder_layout (which composes it); topic_tags is a pure
         # literal-HOF projection pinned by hand goldens — both
@@ -4224,6 +4252,8 @@ def oracle_sql() -> dict[str, str]:
         "table_delete_compact": _TABLE_DELETE_COMPACT_SQL,
         "table_schema_evolution": _TABLE_SCHEMA_EVOLUTION_SQL,
         "table_stream_sink": _TABLE_STREAM_SINK_SQL,
+        "sb_trigram": perplexity_mod.sb_trigram_sql(),
+        "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
         "cascade_plan": _cascade_plan_sql(),

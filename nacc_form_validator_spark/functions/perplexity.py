@@ -639,3 +639,141 @@ def ppl_kn_bigram_sql(table: str = "documents",
         f"SELECT t.{id_col} AS id, per.n_bigrams, per.ppl_kn "
         f"FROM {table} t LEFT JOIN per ON t.{id_col} = per.id "
         f"ORDER BY id")
+
+
+def _doc_trigrams(docs, id_col: str, text_col: str):
+    """(id, w1, w2, w3) — every in-order word trigram per doc, via
+    three array slices zipped in-row (no self-join, no window)."""
+    w = docs.select(F.col(id_col).alias("id"),
+                    _corpus_words(F.col(text_col)).alias("w"))
+    len3 = F.greatest(F.size("w") - 2, F.lit(0))
+    pair = F.zip_with(F.slice(F.col("w"), 1, len3),
+                      F.slice(F.col("w"), 2, len3),
+                      lambda a, b: F.struct(a.alias("w1"),
+                                            b.alias("w2")))
+    tri = F.zip_with(pair, F.slice(F.col("w"), 3, len3),
+                     lambda p, c: F.struct(p["w1"].alias("w1"),
+                                           p["w2"].alias("w2"),
+                                           c.alias("w3")))
+    return (w.select("id", F.explode(tri).alias("t"))
+            .select("id", "t.w1", "t.w2", "t.w3"))
+
+
+def train_sb_trigram(docs, text_col: str = "text"):
+    """Stupid-backoff trigram model (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): the web-scale LM that
+    drops normalized discounting for raw relative frequencies with a
+    fixed 0.4 backoff — chosen BECAUSE it trains as nothing but count
+    aggregates, which is exactly what distributes (the paper's MapReduce
+    shards are these three groupBys).  Returns (tri, bi, uni) count
+    tables; total token mass is derivable from uni and computed by the
+    scorer."""
+    tri = (_doc_trigrams(
+        docs.select(F.lit(0).alias("_id"), F.col(text_col)),
+        "_id", text_col)
+        .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3")))
+    bi, uni = train_bigram_counts(docs, text_col)
+    return tri, bi, uni
+
+
+def score_sb_trigram(docs, tri, bi, uni, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     broadcast_model: "bool | None" = None):
+    """Per-doc stupid-backoff trigram score under a PRECOMPUTED
+    (tri, bi, uni) model — the train-once / score-many shape.
+
+    S(w3 | w1 w2) = c3/c2(w1,w2)            when the trigram was seen
+                  = 0.4 * c2(w2,w3)/c1(w2)  else when the bigram was
+                  = 0.4^2 * c1(w3)/N        else (OOV w3 floors at 0.5
+                                             counts — the score stays
+                                             finite off-corpus)
+    Output: (id, n_trigrams, sb_logscore = round(avg ln S, 6)); docs
+    with < 3 words score NULL.  Join strategy follows
+    MODEL_JOIN_CONTRACT (module docstring): AQE sizes the n-gram
+    tables by default — at web scale they exceed broadcast range and
+    the explode+key-join is the honest shape (the paper serves counts
+    from sharded key-value servers; here the shuffle IS that shard)."""
+    if broadcast_model is None:
+        hint = lambda d: d
+    elif broadcast_model:
+        hint = F.broadcast
+    else:
+        hint = lambda d: d.hint("merge")
+    n_tok = uni.agg(F.sum("c1").cast("double").alias("n"))
+    t = _doc_trigrams(docs, id_col, text_col)
+    scored = (
+        t.join(hint(tri), ["w1", "w2", "w3"], "left")
+        .join(hint(bi.select(F.col("w1"), F.col("w2"),
+                             F.col("c2").alias("c2_ctx"))),
+              ["w1", "w2"], "left")
+        .join(hint(bi.select(F.col("w1").alias("w2"),
+                             F.col("w2").alias("w3"),
+                             F.col("c2"))), ["w2", "w3"], "left")
+        .join(hint(uni.select(F.col("w1").alias("w2"),
+                              F.col("c1").alias("c1_ctx"))),
+              ["w2"], "left")
+        .join(hint(uni.select(F.col("w1").alias("w3"), F.col("c1"))),
+              ["w3"], "left")
+        .crossJoin(F.broadcast(n_tok)))
+    s = (F.when(F.col("c3").isNotNull(),
+                F.col("c3") / F.col("c2_ctx"))
+         .when(F.col("c2").isNotNull(),
+               0.4 * F.col("c2") / F.col("c1_ctx"))
+         .otherwise(0.4 * 0.4 * F.coalesce(F.col("c1"), F.lit(0.5))
+                    / F.col("n")))
+    per = (scored.groupBy("id")
+           .agg(F.round(F.avg(F.log(s)), 6).alias("sb_logscore"),
+                F.count("*").alias("n_trigrams")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per, "id", "left")
+            .select("id",
+                    F.col("n_trigrams").cast("long").alias("n_trigrams"),
+                    "sb_logscore")
+            .orderBy("id"))
+
+
+def sb_trigram(docs, id_col: str = "doc_id", text_col: str = "text",
+               broadcast_model: "bool | None" = None):
+    """Inline train+score stupid-backoff trigram fluency score —
+    composes :func:`train_sb_trigram` + :func:`score_sb_trigram`; call
+    them separately to train once and score many batches.  Reference
+    analogue: none (recast corpus stage); public source: Brants et
+    al. 2007."""
+    tri, bi, uni = train_sb_trigram(docs, text_col)
+    return score_sb_trigram(docs, tri, bi, uni, id_col, text_col,
+                            broadcast_model)
+
+
+def sb_trigram_sql(table: str = "documents",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`sb_trigram` — identical integer counts
+    and identical IEEE-double expression tree, so the backoff cascade
+    is value-exact across engines."""
+    words = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+             "s -> s <> '')")
+    return (
+        f"WITH w AS (SELECT {id_col} AS id, {words} AS w FROM {table}), "
+        f"tr AS (SELECT id, w[k] AS w1, w[k + 1] AS w2, w[k + 2] AS w3 "
+        f"FROM w, unnest(range(1, len(w) - 1)) AS u(k)), "
+        f"tg AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr "
+        f"GROUP BY 1, 2, 3), "
+        f"pr AS (SELECT id, w[k] AS w1, w[k + 1] AS w2 FROM w, "
+        f"unnest(range(1, len(w))) AS u(k)), "
+        f"bg AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2), "
+        f"tok AS (SELECT unnest(w) AS w1 FROM w), "
+        f"ug AS (SELECT w1, count(*) AS c1 FROM tok GROUP BY 1), "
+        f"tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM ug), "
+        f"sc AS (SELECT id, CASE "
+        f"WHEN tg.c3 IS NOT NULL THEN tg.c3 / bctx.c2 "
+        f"WHEN bg.c2 IS NOT NULL THEN 0.4 * bg.c2 / uctx.c1 "
+        f"ELSE 0.4 * 0.4 * coalesce(ug.c1, 0.5) / tot.n END AS s "
+        f"FROM tr LEFT JOIN tg USING (w1, w2, w3) "
+        f"LEFT JOIN bg ON tr.w2 = bg.w1 AND tr.w3 = bg.w2 "
+        f"LEFT JOIN bg bctx ON tr.w1 = bctx.w1 AND tr.w2 = bctx.w2 "
+        f"LEFT JOIN ug uctx ON tr.w2 = uctx.w1 "
+        f"LEFT JOIN ug ON tr.w3 = ug.w1, tot), "
+        f"per AS (SELECT id, round(avg(ln(s)), 6) AS sb_logscore, "
+        f"count(*) AS n_trigrams FROM sc GROUP BY id) "
+        f"SELECT t.{id_col} AS id, per.n_trigrams, per.sb_logscore "
+        f"FROM {table} t LEFT JOIN per ON t.{id_col} = per.id "
+        f"ORDER BY id")
