@@ -3979,6 +3979,60 @@ def q_table_stream_sink(spark, sf_dir):
 _TABLE_STREAM_SINK_SQL = "SELECT doc_id, text FROM documents"
 
 
+def q_table_cdc(spark, sf_dir):
+    """CDC changelog apply (sources/tableformat.py apply_changes +
+    streaming stream_apply_changes): a deterministic change batch
+    (upsert %6==0 with '[cdc] ' text, delete %11==7, insert fresh
+    keys +3000000 for %13==2) streams into the table via foreachBatch;
+    the stream checkpoint is then DELETED and re-run — per-half
+    idempotence tokens must no-op both the merge and the delete on
+    replay for the algebraic oracle to hash green."""
+    import os
+    import shutil
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    from nacc_form_validator_spark.streaming.pipeline import (
+        stream_apply_changes)
+    base = tempfile.mkdtemp(prefix="qf_tblcdc_")
+    inp, ck, table = (os.path.join(base, d)
+                      for d in ("in", "ck", "tbl"))
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tf.snapshot_write(d, table, "doc_id")
+    changes = (
+        d.where(F.col("doc_id") % 6 == 0)
+        .select("doc_id", F.concat(F.lit("[cdc] "), F.col("text"))
+                .alias("text"), F.lit("upsert").alias("op"))
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 7)
+            .select("doc_id", F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("op")))
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 2)
+            .select((F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+                    F.concat(F.lit("[new] "), F.col("text"))
+                    .alias("text"), F.lit("upsert").alias("op"))))
+    changes.write.mode("overwrite").parquet(inp)
+    schema = changes.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        stream_apply_changes(stream, table, ck,
+                             job="gate").awaitTermination()
+
+    run()
+    shutil.rmtree(ck)
+    run()                      # replay: both halves must no-op
+    return tf.snapshot_read(spark, table)
+
+
+_TABLE_CDC_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN '[cdc] ' || text "
+    "ELSE text END AS text FROM documents WHERE doc_id % 11 <> 7 "
+    "UNION ALL SELECT doc_id + 3000000, '[new] ' || text "
+    "FROM documents WHERE doc_id % 13 = 2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4064,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_delete_compact": q_table_delete_compact,
         "table_schema_evolution": q_table_schema_evolution,
         "table_stream_sink": q_table_stream_sink,
+        "table_cdc": q_table_cdc,
         "sb_trigram": q_sb_trigram,
         "sb_trigram_pretrained": q_sb_trigram_pretrained,
         "lr_quality": q_lr_quality,
@@ -4267,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
         "table_delete_compact": _TABLE_DELETE_COMPACT_SQL,
         "table_schema_evolution": _TABLE_SCHEMA_EVOLUTION_SQL,
         "table_stream_sink": _TABLE_STREAM_SINK_SQL,
+        "table_cdc": _TABLE_CDC_SQL,
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),
         "lr_quality": lrquality_mod.lr_quality_sql(),

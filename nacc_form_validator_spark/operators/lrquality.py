@@ -116,11 +116,15 @@ def lr_train(feats: DataFrame, dim: int = 8, iters: int = 4,
     w = [0.0] * (dim + 1)
     for _ in range(iters):
         p = 1.0 / (1.0 + F.exp(-_dot_w(w)))
-        err = p - F.col("y")
-        row = feats.agg(*[
-            F.round(F.lit(w[i]) - lr * F.round(
-                F.avg(err * F.col("x")[i]), 6), 6).alias(f"w{i}")
-            for i in range(dim + 1)]).first()
+        # project the residual ONCE per row: aggregate expressions get
+        # no common-subexpression elimination, so leaving (p - y)
+        # inline would re-evaluate the dot+sigmoid dim+1 times per row
+        row = (feats.select((p - F.col("y")).alias("e"), "x")
+               .agg(*[
+                   F.round(F.lit(w[i]) - lr * F.round(
+                       F.avg(F.col("e") * F.col("x")[i]), 6), 6)
+                   .alias(f"w{i}")
+                   for i in range(dim + 1)])).first()
         w = [row[f"w{i}"] for i in range(dim + 1)]
     return w
 
@@ -152,9 +156,20 @@ def lr_quality(docs: DataFrame, dim: int = 64, iters: int = 12,
         from nacc_form_validator_spark.functions.heuristics import (
             doc_stats)
         label = doc_stats(F.col(text_col))["stopword_ratio"] >= 0.04
-    feats = lr_features(docs, label, dim, id_col, text_col)
+    # the hash fold is the dominant cost (O(tokens x dim) per doc):
+    # spread it across cores even when the input is one parquet split
+    # — one cheap (id, text) shuffle buys 13+ parallel passes
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    feats = lr_features(docs.repartition(par), label, dim,
+                        id_col, text_col)
     zf, _, _ = lr_standardize(feats, dim)
-    return lr_score(zf, lr_train(zf, dim, iters, lr))
+    # iters+1 passes reuse the SAME feature table: persist it once
+    # instead of re-running the hash fold per GD step (caller frees it
+    # via dedup.release_intermediates, the repo-wide contract)
+    zf = zf.persist()
+    out = lr_score(zf, lr_train(zf, dim, iters, lr))
+    out._persisted_intermediates = [zf]  # type: ignore[attr-defined]
+    return out
 
 
 def _feats_ctes(dim: int, table: str, id_sql: str,

@@ -337,7 +337,8 @@ def incremental_read(spark: SparkSession, path: str, since: int,
     return _read_files(spark, manifest, files)
 
 
-def merge_upsert(updates: DataFrame, path: str) -> int:
+def merge_upsert(updates: DataFrame, path: str,
+                 token: Optional[str] = None) -> int:
     """Copy-on-write MERGE: replace current rows whose key appears in
     ``updates`` (insert the rest).  Only data files whose min/max key
     stats overlap an update key are rewritten; every other file is
@@ -352,6 +353,8 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
 
     spark = updates.sparkSession
     manifest = load_manifest(path)
+    if token is not None and token in manifest.get("tokens", {}):
+        return manifest["tokens"][token]
     key = manifest["key"]
     want = [f["name"] for f in manifest["fields"]]
     if updates.columns != want:
@@ -380,8 +383,11 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
     added = _file_stats(spark, sub, key, ver)
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
+    tokens = dict(manifest.get("tokens", {}))
+    if token is not None:
+        tokens[token] = ver
     _commit(path, {"version": ver, "operation": "merge", "key": key,
-                   "tokens": manifest.get("tokens", {}),
+                   "tokens": tokens,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "last_field_id": manifest["last_field_id"],
@@ -391,7 +397,8 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
     return ver
 
 
-def delete_keys(keys: DataFrame, path: str) -> int:
+def delete_keys(keys: DataFrame, path: str,
+                token: Optional[str] = None) -> int:
     """Merge-on-read DELETE: commit the keys in ``keys`` as a delete
     file — NO data file is read or rewritten (the takedown/GDPR path:
     at 100 TB honoring a removal list by rewrite is not an option).
@@ -402,6 +409,8 @@ def delete_keys(keys: DataFrame, path: str) -> int:
     rewrites the affected files."""
     spark = keys.sparkSession
     manifest = load_manifest(path)
+    if token is not None and token in manifest.get("tokens", {}):
+        return manifest["tokens"][token]
     key = manifest["key"]
     ver = manifest["version"] + 1
     sub = os.path.join(path, _DATA, f"d{ver}")
@@ -410,8 +419,11 @@ def delete_keys(keys: DataFrame, path: str) -> int:
     entry = _file_stats(spark, sub, key, ver)
     if sum(e["rows"] for e in entry) == 0:
         raise ValueError("delete_keys: no keys to delete")
+    tokens = dict(manifest.get("tokens", {}))
+    if token is not None:
+        tokens[token] = ver
     _commit(path, {"version": ver, "operation": "delete", "key": key,
-                   "tokens": manifest.get("tokens", {}),
+                   "tokens": tokens,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "last_field_id": manifest["last_field_id"],
@@ -594,3 +606,62 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         dropped_manifests += 1
     return {"dropped_manifests": dropped_manifests,
             "dropped_files": dropped_files}
+
+
+def rollback(path: str, version: int) -> int:
+    """Restore the table to an earlier snapshot as a NEW commit (the
+    bad commit stays readable for forensics — nothing is deleted
+    until :func:`expire_snapshots`).  Metadata-only: the new manifest
+    is the target version's file/delete/schema state under the next
+    version number.  The operational undo for a bad recrawl merge or
+    an over-eager takedown."""
+    cur = current_version(path)
+    if not 1 <= version <= cur:
+        raise ValueError(f"no snapshot v{version} (current is v{cur})")
+    target = load_manifest(path, version)
+    latest = load_manifest(path, cur)
+    ver = cur + 1
+    _commit(path, {"version": ver, "operation": f"rollback-to-v{version}",
+                   "key": target["key"], "schema": target["schema"],
+                   "fields": target["fields"],
+                   # ids already burned stay burned: a post-rollback
+                   # add_column must not reuse a rolled-back id
+                   "last_field_id": latest["last_field_id"],
+                   "tokens": latest.get("tokens", {}),
+                   "write_schemas": target["write_schemas"],
+                   "files": target["files"], "added": [],
+                   "deletes": target.get("deletes", [])})
+    return ver
+
+
+def apply_changes(changes: DataFrame, path: str, op_col: str = "op",
+                  token: Optional[str] = None) -> int:
+    """Apply one changelog batch (CDC): rows carry the table columns
+    plus ``op_col`` in {'upsert', 'delete'} (a delete row only needs
+    its key).  Upserts go through the copy-on-write merge, deletes
+    through the merge-on-read delete file — so a batch costs rewriting
+    only the files the upsert keys touch plus one O(keys) delete file.
+    When a key is both upserted and deleted in the SAME batch the
+    delete wins (it commits after, and the sequence rule erases the
+    just-rewritten row); order changes across batches to express the
+    opposite.  ``token`` idempotence covers BOTH commits separately
+    (suffixes ':u' / ':d'), so a crash between them replays exactly
+    the missing half.  Returns the final version."""
+    manifest = load_manifest(path)
+    key = manifest["key"]
+    cols = [f["name"] for f in manifest["fields"]]
+    ops = changes.select(op_col).distinct()
+    bad = [r[0] for r in ops.collect() if r[0] not in
+           ("upsert", "delete")]
+    if bad:
+        raise ValueError(f"unknown ops {bad!r}")
+    ver = manifest["version"]
+    ups = changes.where(F.col(op_col) == "upsert").select(*cols)
+    if ups.limit(1).count():
+        ver = merge_upsert(ups, path,
+                           token=None if token is None else token + ":u")
+    dels = changes.where(F.col(op_col) == "delete").select(key)
+    if dels.limit(1).count():
+        ver = delete_keys(dels, path,
+                          token=None if token is None else token + ":d")
+    return ver

@@ -547,3 +547,29 @@ def stream_to_table(stream_df: DataFrame, path: str, key: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_apply_changes(changes_stream: DataFrame, path: str,
+                         checkpoint: str, op_col: str = "op",
+                         job: str = "cdc",
+                         available_now: bool = True):
+    """CDC tail: stream a changelog (table columns + op in
+    {'upsert','delete'}) into the snapshot table — each micro-batch
+    applies as one copy-on-write merge plus one merge-on-read delete
+    via ``tableformat.apply_changes``, with per-half idempotence
+    tokens, so crash-replays re-apply exactly the missing half and
+    never double-apply.  The table must exist (bootstrap with
+    ``snapshot_write``).  Pair with ``tableformat.incremental_read``
+    downstream for the full changelog-in / delta-out loop."""
+    from nacc_form_validator_spark.sources import tableformat as tf
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        tf.apply_changes(batch_df, path, op_col=op_col,
+                         token=f"{job}:{batch_id}")
+
+    writer = (changes_stream.writeStream.foreachBatch(_commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

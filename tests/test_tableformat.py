@@ -365,6 +365,106 @@ def test_evolution_composes_with_merge_and_compact(spark, table):
     assert cur.where(F.col("doc_id") == 0).count() == 0
 
 
+def test_rollback_restores_state_as_new_commit(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 20), table, "doc_id")
+    tf.delete_keys(_keys(spark, [1]), table)          # v2
+    tf.snapshot_write(_mkdf(spark, 20, 99, tag="bad"), table,
+                      "doc_id")                       # v3: bad recrawl
+    v = tf.rollback(table, 2)
+    assert v == 4 and tf.current_version(table) == 4
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 19                          # v2 state (delete live)
+    assert cur.where(F.col("text").startswith("bad-")).count() == 0
+    # the bad commit stays readable for forensics
+    assert tf.snapshot_read(spark, table, version=3).count() == 98
+    # tokens survive the rollback: a replayed batch still no-ops
+    tf.snapshot_write(_mkdf(spark, 100, 110), table, "doc_id",
+                      token="j:0")
+    tf.rollback(table, 4)
+    assert tf.snapshot_write(_mkdf(spark, 100, 110), table, "doc_id",
+                             token="j:0") == 5
+    assert tf.snapshot_read(spark, table).count() == 19
+    with pytest.raises(ValueError):
+        tf.rollback(table, 99)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, op string")
+
+
+def test_apply_changes_upserts_and_deletes(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 20), table, "doc_id")
+    tf.apply_changes(_changes(spark, [
+        (3, "patched", "upsert"),
+        (25, "inserted", "upsert"),
+        (7, None, "delete"),
+    ]), table)
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 20          # -1 delete +1 insert
+    rows = dict(cur.where(F.col("doc_id").isin(3, 7, 25))
+                .select("doc_id", "text").collect())
+    assert rows == {3: "patched", 25: "inserted"}
+
+
+def test_apply_changes_delete_wins_within_batch(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    tf.apply_changes(_changes(spark, [
+        (4, "new", "upsert"), (4, None, "delete")]), table)
+    assert tf.snapshot_read(spark, table).count() == 9
+    # a later batch re-upserting the key resurrects it (seq rule)
+    tf.apply_changes(_changes(spark, [(4, "back", "upsert")]), table)
+    cur = tf.snapshot_read(spark, table)
+    assert cur.where(F.col("doc_id") == 4).first()["text"] == "back"
+
+
+def test_apply_changes_token_replays_missing_half(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")
+    batch = [(2, "u", "upsert"), (5, None, "delete")]
+    tf.apply_changes(_changes(spark, batch), table, token="b:0")
+    ver = tf.current_version(table)
+    # full replay: both halves token-skip, version unchanged
+    tf.apply_changes(_changes(spark, batch), table, token="b:0")
+    assert tf.current_version(table) == ver
+    assert tf.snapshot_read(spark, table).count() == 9
+    with pytest.raises(ValueError):
+        tf.apply_changes(_changes(spark, [(1, "x", "replace")]), table)
+
+
+def test_stream_apply_changes_end_to_end(spark, tmp_path):
+    import shutil
+
+    from nacc_form_validator_spark.streaming.pipeline import (
+        stream_apply_changes)
+    table = str(tmp_path / "tbl")
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    tf.snapshot_write(_mkdf(spark, 0, 30), table, "doc_id")
+    ch = _changes(spark, [(1, "patched", "upsert"),
+                          (2, None, "delete"),
+                          (40, "inserted", "upsert")])
+    ch.write.mode("overwrite").parquet(inp)
+    schema = ch.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        stream_apply_changes(stream, table, ck,
+                             job="c1").awaitTermination()
+
+    run()
+    cur = tf.snapshot_read(spark, table)
+    assert cur.count() == 30
+    rows = dict(cur.where(F.col("doc_id").isin(1, 2, 40))
+                .select("doc_id", "text").collect())
+    assert rows == {1: "patched", 40: "inserted"}
+    # crash-replay of the whole batch: both halves no-op
+    ver = tf.current_version(table)
+    shutil.rmtree(ck)
+    run()
+    assert tf.current_version(table) == ver
+    assert tf.snapshot_read(spark, table).count() == 30
+
+
 def test_expire_keeps_referenced_delete_files(spark, table):
     tf.snapshot_write(_mkdf(spark, 0, 20), table, "doc_id")
     tf.delete_keys(_keys(spark, [0]), table)
