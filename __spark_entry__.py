@@ -4041,7 +4041,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into a pipeline row anyway (qf_doc_stats, qf_langid, ...) sit past
     # the window — their r02-r04 green rows stand as evidence.
     return {
-        # --- never driver-checked (r4 additions + component variants) ---
+        # --- newest this round: snapshot table format + trained models ---
+        "table_format": q_table_format,
+        "table_time_travel": q_table_time_travel,
+        "table_incremental": q_table_incremental,
+        "table_delete_compact": q_table_delete_compact,
+        "table_schema_evolution": q_table_schema_evolution,
+        "table_stream_sink": q_table_stream_sink,
+        "table_cdc": q_table_cdc,
+        "sb_trigram": q_sb_trigram,
+        "sb_trigram_pretrained": q_sb_trigram_pretrained,
+        "lr_quality": q_lr_quality,
+        # --- never driver-checked (earlier r5 additions, then r4) ---
         "qf_streaming_bloom": q_qf_streaming_bloom,
         "mlm_mask": q_mlm_mask,
         "minhash_plan": q_minhash_plan,
@@ -4112,16 +4123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logic is driver-covered via release_manifest, which composes
         # it; the standalone row is judge-run via check_oracles.py) ---
         "shard_manifest": q_shard_manifest,
-        "table_format": q_table_format,
-        "table_time_travel": q_table_time_travel,
-        "table_incremental": q_table_incremental,
-        "table_delete_compact": q_table_delete_compact,
-        "table_schema_evolution": q_table_schema_evolution,
-        "table_stream_sink": q_table_stream_sink,
-        "table_cdc": q_table_cdc,
-        "sb_trigram": q_sb_trigram,
-        "sb_trigram_pretrained": q_sb_trigram_pretrained,
-        "lr_quality": q_lr_quality,
         # curriculum_order's global_rank core is driver-covered via
         # zorder_layout (which composes it); topic_tags is a pure
         # literal-HOF projection pinned by hand goldens — both
