@@ -4033,6 +4033,56 @@ _TABLE_CDC_SQL = (
     "FROM documents WHERE doc_id % 13 = 2")
 
 
+def q_table_changelog(spark, sf_dir):
+    """Snapshot-diff CDC (sources/tableformat.py table_changelog): a
+    merge (%6 patched, %17 fresh keys) then a key delete (%11) commit
+    on top of the documents snapshot; the changelog from v1 must
+    surface exactly the net row changes — merge-rewrite survivors
+    cancel, a key inserted AND deleted inside the range never appears,
+    an updated-then-deleted key surfaces as a delete carrying its OLD
+    (v1) value.  File-diff scan: carried files are never read."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tbllog_"), "tbl")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tf.snapshot_write(d, table, "doc_id")                        # v1
+    ups = (
+        d.where(F.col("doc_id") % 6 == 0)
+        .select("doc_id", F.concat(F.lit("[v2] "), F.col("text"))
+                .alias("text"))
+        .unionByName(
+            d.where(F.col("doc_id") % 17 == 3)
+            .select((F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+                    F.concat(F.lit("[new] "), F.col("text"))
+                    .alias("text"))))
+    tf.merge_upsert(ups, table)                                  # v2
+    tf.delete_keys(
+        d.select((F.col("doc_id") % 11).alias("m"), "doc_id")
+        .where(F.col("m") == 7).select("doc_id")
+        .unionByName(
+            d.where((F.col("doc_id") + 3000000) % 11 == 7)
+            .select((F.col("doc_id") + F.lit(3000000))
+                    .alias("doc_id"))),
+        table)                                                   # v3
+    return tf.table_changelog(spark, table, 1)
+
+
+_TABLE_CHANGELOG_SQL = (
+    # update: patched at v2 and still alive at v3
+    "SELECT doc_id, '[v2] ' || text AS text, 'update' AS op "
+    "FROM documents WHERE doc_id % 6 = 0 AND doc_id % 11 <> 7 "
+    # delete: present at v1, erased at v3 — OLD (v1) text
+    "UNION ALL SELECT doc_id, text, 'delete' FROM documents "
+    "WHERE doc_id % 11 = 7 "
+    # insert: fresh key from the merge — unless the delete also hit it
+    # (a key born and erased inside the range surfaces as nothing)
+    "UNION ALL SELECT doc_id + 3000000, '[new] ' || text, 'insert' "
+    "FROM documents WHERE doc_id % 17 = 3 "
+    "AND (doc_id + 3000000) % 11 <> 7")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4049,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_schema_evolution": q_table_schema_evolution,
         "table_stream_sink": q_table_stream_sink,
         "table_cdc": q_table_cdc,
+        "table_changelog": q_table_changelog,
         "sb_trigram": q_sb_trigram,
         "sb_trigram_pretrained": q_sb_trigram_pretrained,
         "lr_quality": q_lr_quality,
@@ -4324,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
         "table_schema_evolution": _TABLE_SCHEMA_EVOLUTION_SQL,
         "table_stream_sink": _TABLE_STREAM_SINK_SQL,
         "table_cdc": _TABLE_CDC_SQL,
+        "table_changelog": _TABLE_CHANGELOG_SQL,
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),
         "lr_quality": lrquality_mod.lr_quality_sql(),

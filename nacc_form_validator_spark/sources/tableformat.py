@@ -665,3 +665,103 @@ def apply_changes(changes: DataFrame, path: str, op_col: str = "op",
         ver = delete_keys(dels, path,
                           token=None if token is None else token + ":d")
     return ver
+
+
+def _conform_between(df: DataFrame, ma: dict, mb: dict) -> DataFrame:
+    """Project a DataFrame read under manifest ``ma``'s current schema
+    into manifest ``mb``'s current schema BY FIELD ID: a column renamed
+    between the two versions follows its id, a column added after
+    ``ma`` back-fills its default, a column dropped since ``ma`` is
+    simply not selected.  The changelog's cross-version comparator."""
+    from pyspark.sql.types import StructType
+    ids_a = {f["id"]: f["name"] for f in ma["fields"]}
+    cur = StructType.fromJson(mb["schema"])
+    cols = []
+    for bf, sf in zip(mb["fields"], cur.fields):
+        an = ids_a.get(bf["id"])
+        if an is None:        # column added after `ma`
+            cols.append(F.lit(bf.get("default")).cast(sf.dataType)
+                        .alias(bf["name"]))
+        else:
+            cols.append(F.col(an).cast(sf.dataType).alias(bf["name"]))
+    return df.select(*cols)
+
+
+def table_changelog(spark: SparkSession, path: str, since: int,
+                    until: Optional[int] = None) -> DataFrame:
+    """Exact row-level CDC between two snapshots: the table's current
+    columns (as of ``until``) plus ``op`` in {'insert', 'update',
+    'delete'} — insert/update rows carry the NEW values, delete rows
+    the OLD values.  Replaying the changelog onto the ``since`` state
+    (insert/update -> :func:`apply_changes` upserts, delete -> deletes)
+    reproduces the ``until`` state exactly; tests pin that law.
+
+    Scale: this is Iceberg's changelog scan, not two table scans — data
+    files are immutable and path-identified, so files present in BOTH
+    manifests cancel without being read.  Only files ADDED or REMOVED
+    in the range are scanned (each under its own snapshot's delete
+    state), plus, for delete-file commits in the range, the key-matched
+    rows of the common files they erase from (broadcast semi-join of
+    the new delete keys).  The final full-outer join on the table key
+    is sized by the CHANGE, not the table, and null-safe payload
+    comparison cancels merge-rewrite survivors (a copy-on-write merge
+    rewrites whole files to patch a few keys; the untouched co-resident
+    rows must not surface as updates).  A rollback inside the range can
+    resurrect rows by REMOVING delete files — the one case file-diffing
+    cannot localize, so it falls back to the exact full diff."""
+    until = current_version(path) if until is None else until
+    ma, mb = load_manifest(path, since), load_manifest(path, until)
+    key = mb["key"]
+    kid = next(f["id"] for f in mb["fields"] if f["name"] == key)
+    if not any(f["id"] == kid for f in ma["fields"]):
+        raise ValueError("table key has no counterpart at `since`")
+    paths_b = {f["path"] for f in mb["files"]}
+    paths_a = {f["path"] for f in ma["files"]}
+    dels_a = {d["path"] for d in ma.get("deletes", [])}
+    resurrected = dels_a - {d["path"] for d in mb.get("deletes", [])}
+    if resurrected:               # rollback in range: exact full diff
+        removed = snapshot_read(spark, path, version=since)
+        added = snapshot_read(spark, path, version=until)
+    else:
+        only_a = [f for f in ma["files"] if f["path"] not in paths_b]
+        only_b = [f for f in mb["files"] if f["path"] not in paths_a]
+        removed = _read_with_deletes(spark, ma, only_a)
+        added = _read_with_deletes(spark, mb, only_b)
+        # delete files committed in the range erase rows from files
+        # carried by reference: read exactly the key-matched,
+        # previously-visible rows of the common files they apply to
+        new_dels = [d for d in mb.get("deletes", [])
+                    if d["path"] not in dels_a]
+        common = [f for f in ma["files"] if f["path"] in paths_b]
+        hit = [f for f in common
+               if any(d["seq"] > f["seq"] for d in new_dels)]
+        if hit:
+            from pyspark.sql.types import StructType
+            kschema = StructType([StructType.fromJson(mb["schema"])[key]])
+            nk = (spark.read.schema(kschema)
+                  .parquet(*[d["path"] for d in new_dels
+                             if any(d["seq"] > f["seq"] for f in hit)])
+                  .select(key).distinct())
+            erased = (_read_with_deletes(spark, ma, hit)
+                      .join(F.broadcast(nk), key, "left_semi"))
+            removed = removed.unionByName(erased)
+    removed = _conform_between(removed, ma, mb)
+    cols = [f["name"] for f in mb["fields"]]
+    payload = [c for c in cols if c != key]
+    o, n = removed.alias("o"), added.alias("n")
+    j = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")),
+               "full_outer")
+    old_k, new_k = F.col(f"o.{key}"), F.col(f"n.{key}")
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (F.when(old_k.isNull(), F.lit("insert"))
+          .when(new_k.isNull(), F.lit("delete"))
+          .when(same, F.lit(None))           # rewrite survivor: no change
+          .otherwise(F.lit("update")))
+    side = F.when(op == "delete", F.lit("o")).otherwise(F.lit("n"))
+    out = j.select(
+        *[F.when(side == "o", F.col(f"o.{c}"))
+          .otherwise(F.col(f"n.{c}")).alias(c) for c in cols],
+        op.alias("op"))
+    return out.where(F.col("op").isNotNull())

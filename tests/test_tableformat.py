@@ -474,3 +474,100 @@ def test_expire_keeps_referenced_delete_files(spark, table):
     cur = tf.snapshot_read(spark, table)
     assert cur.count() == 29
     assert cur.where(F.col("doc_id") == 0).count() == 0
+
+
+def _replay(spark, log_df, table):
+    """insert/update -> upsert, delete -> delete: the changelog is
+    directly replayable through apply_changes."""
+    ch = log_df.withColumn("op", F.when(
+        F.col("op") == "delete", F.lit("delete")).otherwise("upsert"))
+    tf.apply_changes(ch, table)
+
+
+def _state(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_changelog_ops_and_survivor_cancellation(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 40), table, "doc_id")      # v1
+    tf.snapshot_write(_mkdf(spark, 40, 55), table, "doc_id")     # v2 append
+    tf.merge_upsert(_mkdf(spark, 3, 5, tag="new"), table)        # v3 patch
+    tf.delete_keys(spark.createDataFrame([(7,), (41,)],
+                   "doc_id long"), table)                        # v4
+    log = tf.table_changelog(spark, table, 1)
+    by_op = {r["op"]: [] for r in log.select("op").distinct().collect()}
+    for r in log.collect():
+        by_op[r["op"]].append((r["doc_id"], r["text"]))
+    # 41 was appended AND deleted inside the range: absent from both
+    # endpoint states, so it must not surface at all
+    assert sorted(k for k, _ in by_op["insert"]) == [40] + list(
+        range(42, 55))
+    assert sorted(by_op["update"]) == [(3, "new-3"), (4, "new-4")]
+    # delete rows carry OLD values; merge-rewrite survivors cancel
+    assert sorted(by_op["delete"]) == [(7, "a-7")]
+    assert log.count() == 14 + 2 + 1
+    # replay law: since-state + changelog == until-state
+    tbl2 = table + "_replay"
+    tf.snapshot_write(tf.snapshot_read(spark, table, version=1),
+                      tbl2, "doc_id")
+    _replay(spark, log, tbl2)
+    assert _state(tf.snapshot_read(spark, tbl2)) == _state(
+        tf.snapshot_read(spark, table))
+
+
+def test_changelog_reads_only_changed_files(spark, table):
+    # the common-file cancellation is structural: with no delete files
+    # in the range, the plan's parquet scans cover ONLY the files the
+    # range added/removed, never the carried ones
+    tf.snapshot_write(_mkdf(spark, 0, 1000), table, "doc_id")
+    tf.snapshot_write(_mkdf(spark, 1000, 1010), table, "doc_id")
+    log = tf.table_changelog(spark, table, 1, 2)
+    carried = {f["path"].rsplit("/", 1)[-1]
+               for f in tf.manifest_files(table, 1)}
+    plan = log._jdf.queryExecution().executedPlan().toString()
+    assert not any(p in plan for p in carried)
+    assert log.count() == 10
+    assert {r["op"] for r in log.select("op").distinct().collect()} == {
+        "insert"}
+
+
+def test_changelog_empty_range_and_identity(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 30), table, "doc_id")
+    tf.compact(table, target_rows=1000)        # layout-only commit
+    assert tf.table_changelog(spark, table, 1).count() == 0
+
+
+def test_changelog_across_schema_evolution(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 10), table, "doc_id")      # v1
+    tf.rename_column(table, "text", "body")                      # v2
+    tf.add_column(table, "lang", "string", default="en")         # v3
+    tf.merge_upsert(
+        spark.createDataFrame([(3, "patched", "fr")],
+                              "doc_id long, body string, lang string"),
+        table)                                                   # v4
+    log = tf.table_changelog(spark, table, 1)
+    assert log.columns == ["doc_id", "body", "lang", "op"]
+    rows = {(r["doc_id"], r["body"], r["lang"], r["op"])
+            for r in log.collect()}
+    # the rename itself is no change (id-conformed); the default
+    # back-fill is no change either (both sides read it as 'en');
+    # only the merged key surfaces
+    assert rows == {(3, "patched", "fr", "update")}
+
+
+def test_changelog_rollback_fallback_exact(spark, table):
+    tf.snapshot_write(_mkdf(spark, 0, 20), table, "doc_id")      # v1
+    tf.delete_keys(spark.createDataFrame([(5,)], "doc_id long"),
+                   table)                                        # v2
+    tf.rollback(table, 1)                                        # v3: resurrects 5
+    tf.snapshot_write(_mkdf(spark, 20, 22), table, "doc_id")     # v4
+    log = tf.table_changelog(spark, table, 2, 4)
+    rows = {(r["doc_id"], r["op"]) for r in log.collect()}
+    assert rows == {(5, "insert"), (20, "insert"), (21, "insert")}
+    # and the replay law still holds through the fallback path
+    tbl2 = table + "_replay"
+    tf.snapshot_write(tf.snapshot_read(spark, table, version=2),
+                      tbl2, "doc_id")
+    _replay(spark, tf.table_changelog(spark, table, 2, 4), tbl2)
+    assert _state(tf.snapshot_read(spark, tbl2)) == _state(
+        tf.snapshot_read(spark, table, version=4))
