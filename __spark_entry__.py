@@ -39,6 +39,7 @@ from nacc_form_validator_spark.operators.textstats import (bpeish_token_count,
 from nacc_form_validator_spark.operators import (
     diagnostics as diagnostics_mod)
 from nacc_form_validator_spark.operators import features as features_mod
+from nacc_form_validator_spark.operators import bitext as bitext_mod
 from nacc_form_validator_spark.operators import lrquality as lrquality_mod
 from nacc_form_validator_spark.operators import lshplan as lshplan_mod
 from nacc_form_validator_spark.operators import oph as oph_mod
@@ -1129,6 +1130,23 @@ def q_lr_quality(spark, sf_dir):
     DuckDB oracle (per-iteration round-6, unrolled CTEs)."""
     from nacc_form_validator_spark.operators.lrquality import lr_quality
     return lr_quality(_docs(spark, sf_dir))
+
+
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext.py; Artetxe &
+    Schwenk 2019 ratio margin, the CCMatrix/WikiMatrix criterion):
+    embeddings split by vec_id parity into two 'language' sides; each
+    source pairs with the target that maximizes cos / mean-of-kNN-cos,
+    hub vectors are demoted by their inflated denominators, each target
+    is claimed once ('max' strategy), threshold 1.04 gates the output.
+    Exact path (the oracle shape); the LSH-bucketed variant is the
+    sharded production path (tests/test_bitext.py)."""
+    from nacc_form_validator_spark.operators.bitext import (
+        bitext_margin_pairs)
+    emb = _emb(spark, sf_dir)
+    return bitext_margin_pairs(emb.where(F.col("vec_id") % 2 == 0),
+                               emb.where(F.col("vec_id") % 2 == 1),
+                               k=4, threshold=1.04)
 
 
 def q_sb_trigram(spark, sf_dir):
@@ -4103,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sb_trigram": q_sb_trigram,
         "sb_trigram_pretrained": q_sb_trigram_pretrained,
         "lr_quality": q_lr_quality,
+        "bitext_mine": q_bitext_mine,
         # --- never driver-checked (earlier r5 additions, then r4) ---
         "qf_streaming_bloom": q_qf_streaming_bloom,
         "mlm_mask": q_mlm_mask,
@@ -4379,6 +4398,7 @@ def oracle_sql() -> dict[str, str]:
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),
         "lr_quality": lrquality_mod.lr_quality_sql(),
+        "bitext_mine": bitext_mod.bitext_margin_sql(k=4, threshold=1.04),
         "zorder_layout": _zorder_layout_sql(),
         "gate_ablation": _gate_ablation_sql(),
         "cascade_plan": _cascade_plan_sql(),
