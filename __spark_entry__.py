@@ -4101,6 +4101,36 @@ _TABLE_CHANGELOG_SQL = (
     "AND (doc_id + 3000000) % 11 <> 7")
 
 
+def q_table_filter_scan(spark, sf_dir):
+    """Per-column manifest bounds (sources/tableformat.py
+    _file_stats/_prune_filters): documents range-partitioned by
+    n_chars so each data file carries a disjoint n_chars bound; the
+    read prunes files on a NON-KEY column predicate before Spark plans
+    the scan, then applies the exact residual filter.  The query
+    asserts pruning actually happened (else raises) — the oracle is the
+    plain residual SELECT, so the row must also be value-exact."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblfs_"), "tbl")
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", "text", "lang", "n_chars")
+         .repartitionByRange(8, "n_chars"))
+    tf.snapshot_write(d, table, "doc_id")
+    flt = {"n_chars": (200, 900), "lang": ("en", "en")}
+    pruned = tf.manifest_files(table, filters=flt)
+    total = tf.manifest_files(table)
+    if not len(pruned) < len(total):
+        raise AssertionError("column filters pruned nothing")
+    return tf.snapshot_read(spark, table, filters=flt)
+
+
+_TABLE_FILTER_SCAN_SQL = (
+    "SELECT doc_id, text, lang, n_chars FROM documents "
+    "WHERE n_chars BETWEEN 200 AND 900 AND lang = 'en'")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4118,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stream_sink": q_table_stream_sink,
         "table_cdc": q_table_cdc,
         "table_changelog": q_table_changelog,
+        "table_filter_scan": q_table_filter_scan,
         "sb_trigram": q_sb_trigram,
         "sb_trigram_pretrained": q_sb_trigram_pretrained,
         "lr_quality": q_lr_quality,
@@ -4395,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
         "table_stream_sink": _TABLE_STREAM_SINK_SQL,
         "table_cdc": _TABLE_CDC_SQL,
         "table_changelog": _TABLE_CHANGELOG_SQL,
+        "table_filter_scan": _TABLE_FILTER_SCAN_SQL,
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),
         "lr_quality": lrquality_mod.lr_quality_sql(),

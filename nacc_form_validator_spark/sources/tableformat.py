@@ -13,9 +13,11 @@ the pipeline actually leans on, over plain parquet + JSON manifests:
    pointer; the commit protocol is otherwise identical.)
 2. **Manifest-driven scans** — a read never lists directories: the
    manifest IS the file list, O(files) driver-side metadata however
-   many rows the table holds, and per-file min/max stats on the table
-   key let :func:`snapshot_read` prune files BEFORE Spark plans the
-   scan — Iceberg's manifest filtering.  At 100 TB this is the
+   many rows the table holds, and per-file min/max stats — on the
+   table key AND on every orderable column, keyed by field id — let
+   :func:`snapshot_read` prune files BEFORE Spark plans the scan
+   (``key_range`` / ``filters``) — Iceberg's manifest filtering with
+   per-column lower/upper bounds.  At 100 TB this is the
    difference between planning over a few thousand manifest entries
    and statting a few thousand files per query.
 3. **Append / copy-on-write merge as file operations** — an append
@@ -103,24 +105,74 @@ def _commit(path: str, manifest: dict) -> None:
     os.replace(ptr + ".tmp", ptr)
 
 
+#: fixed-width timestamp rendering — lexicographic order IS
+#: chronological order, so string min/max stats prune correctly
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _stat_col(name: str, dtype: str):
+    """Column expression whose min/max are JSON-storable AND
+    order-faithful for pruning; None for unorderable types."""
+    base = dtype.split("(")[0]
+    if base in ("tinyint", "smallint", "int", "bigint", "float",
+                "double", "decimal", "boolean", "string"):
+        return F.col(name)
+    if base == "timestamp":
+        return F.date_format(F.col(name), _TS_FMT)
+    if base == "date":
+        return F.col(name).cast("string")
+    return None
+
+
+def _coerce_bound(v):
+    """Render a Python predicate bound the way stats were stored."""
+    import datetime
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 def _file_stats(spark: SparkSession, data_dir: str, key: str,
-                seq: int) -> list:
+                seq: int, fields: Optional[list] = None) -> list:
     """Per-file (rows, min/max key, sequence number) for the files
     just written — one aggregate over only the new files, collected as
     O(files) metadata.  Iceberg gathers these stats at write time
     inside the writer; here it is a follow-up scan of the same (still
     page-cached) files.  ``seq`` is the committing version: the
-    ordinal that decides which delete files apply to these rows."""
-    rows = (spark.read.parquet(data_dir)
-            .groupBy(F.input_file_name().alias("path"))
-            .agg(F.count(F.lit(1)).alias("rows"),
-                 F.min(key).alias("min"),
-                 F.max(key).alias("max"))
-            .collect())
-    return sorted(({"path": r["path"], "rows": r["rows"],
-                    "min": r["min"], "max": r["max"], "seq": seq}
-                   for r in rows),
-                  key=lambda d: d["path"])
+    ordinal that decides which delete files apply to these rows.
+
+    With ``fields`` (the write-time id→name binding), min/max is also
+    recorded for EVERY orderable column, keyed by FIELD ID — rename-
+    proof, so :func:`snapshot_read` can prune files on any column
+    predicate however the schema evolves later (Iceberg's per-column
+    lower/upper bounds).  A table laid out by ``zorder_layout`` turns
+    these into multi-dimensional file skipping."""
+    df = spark.read.parquet(data_dir)
+    aggs = [F.count(F.lit(1)).alias("rows"),
+            F.min(key).alias("min"), F.max(key).alias("max")]
+    tracked = []
+    if fields is not None:
+        dtypes = dict(df.dtypes)
+        for fld in fields:
+            c = _stat_col(fld["name"], dtypes.get(fld["name"], ""))
+            if c is not None:
+                fid = str(fld["id"])
+                tracked.append(fid)
+                aggs.append(F.min(c).alias(f"_lo_{fid}"))
+                aggs.append(F.max(c).alias(f"_hi_{fid}"))
+    rows = (df.groupBy(F.input_file_name().alias("path"))
+            .agg(*aggs).collect())
+    out = []
+    for r in rows:
+        e = {"path": r["path"], "rows": r["rows"],
+             "min": r["min"], "max": r["max"], "seq": seq}
+        if tracked:
+            e["cols"] = {fid: [r[f"_lo_{fid}"], r[f"_hi_{fid}"]]
+                         for fid in tracked}
+        out.append(e)
+    return sorted(out, key=lambda d: d["path"])
 
 
 def _new_fields(schema) -> list:
@@ -169,9 +221,10 @@ def snapshot_write(df: DataFrame, path: str, key: str,
                 f"df has {df.columns}")
     sub = os.path.join(path, _DATA, f"s{ver}")
     df.write.mode("error").parquet(sub)
-    added = _file_stats(spark, sub, key, ver)
+    wfields = _new_fields(df.schema) if prev is None else prev["fields"]
+    added = _file_stats(spark, sub, key, ver, fields=wfields)
     if prev is None:
-        fields = _new_fields(df.schema)
+        fields = wfields
         schema = df.schema.jsonValue()
         files, deletes, ws = added, [], {}
         last_id = len(fields)
@@ -205,12 +258,48 @@ def _prune(files: list, key_range: Optional[Tuple]) -> list:
                      and f["min"] > hi)]
 
 
+def _prune_filters(files: list, manifest: dict,
+                   filters: Optional[dict]) -> list:
+    """Drop files whose per-column lower/upper bounds are disjoint from
+    ``filters`` ({column: (lo, hi)}, either bound None for open-ended).
+    Columns resolve to FIELD IDS against the manifest's current
+    schema, so a filter keeps pruning correctly across renames.  Files
+    without recorded bounds for a column (pre-stats snapshots, all-NULL
+    columns) are conservatively kept — pruning is never lossy."""
+    if not filters:
+        return files
+    ids = {f["name"]: str(f["id"]) for f in manifest["fields"]}
+    unknown = sorted(set(filters) - set(ids))
+    if unknown:
+        raise ValueError(f"filters on unknown columns: {unknown}")
+    out = []
+    for f in files:
+        stats = f.get("cols", {})
+        keep = True
+        for col, (lo, hi) in filters.items():
+            b = stats.get(ids[col])
+            if b is None or b[0] is None or b[1] is None:
+                continue
+            lo, hi = _coerce_bound(lo), _coerce_bound(hi)
+            if (lo is not None and b[1] < lo) or (
+                    hi is not None and b[0] > hi):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def manifest_files(path: str, version: Optional[int] = None,
-                   key_range: Optional[Tuple] = None) -> list:
+                   key_range: Optional[Tuple] = None,
+                   filters: Optional[dict] = None) -> list:
     """The file entries a read at ``version`` would scan, after
-    min/max-stats pruning by ``key_range`` — exposed so callers (and
-    tests) can audit pruning without running the scan."""
-    return _prune(load_manifest(path, version)["files"], key_range)
+    min/max-stats pruning by ``key_range`` and per-column ``filters``
+    — exposed so callers (and tests) can audit pruning without running
+    the scan."""
+    manifest = load_manifest(path, version)
+    return _prune_filters(_prune(manifest["files"], key_range),
+                          manifest, filters)
 
 
 def _empty(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -299,14 +388,20 @@ def _read_with_deletes(spark: SparkSession, manifest: dict,
 
 def snapshot_read(spark: SparkSession, path: str,
                   version: Optional[int] = None,
-                  key_range: Optional[Tuple] = None) -> DataFrame:
+                  key_range: Optional[Tuple] = None,
+                  filters: Optional[dict] = None) -> DataFrame:
     """Read the table as of ``version`` (default: current).
-    ``key_range=(lo, hi)`` prunes data files by manifest stats before
-    Spark ever plans the scan; the residual row filter still applies
-    inside each surviving file, so the result is exact.  Pending
-    merge-on-read deletes are applied (see :func:`delete_keys`)."""
+    ``key_range=(lo, hi)`` prunes data files by manifest key stats and
+    ``filters`` ({column: (lo, hi)}) by the per-column bounds BEFORE
+    Spark ever plans the scan; the residual row filters still apply
+    inside each surviving file, so the result is exact (equality is
+    ``filters={col: (v, v)}``).  Pending merge-on-read deletes are
+    applied (see :func:`delete_keys`).  Combined with a Z-ordered
+    layout (``operators/layout.py``) the per-column bounds skip files
+    on EVERY interleaved dimension, not just the table key."""
     manifest = load_manifest(path, version)
-    files = _prune(manifest["files"], key_range)
+    files = _prune_filters(_prune(manifest["files"], key_range),
+                           manifest, filters)
     df = _read_with_deletes(spark, manifest, files)
     if key_range is not None:
         lo, hi = key_range
@@ -315,6 +410,11 @@ def snapshot_read(spark: SparkSession, path: str,
             df = df.where(k >= F.lit(lo))
         if hi is not None:
             df = df.where(k <= F.lit(hi))
+    for col, (lo, hi) in (filters or {}).items():
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
     return df
 
 
@@ -380,7 +480,8 @@ def merge_upsert(updates: DataFrame, path: str,
     ver = manifest["version"] + 1
     sub = os.path.join(path, _DATA, f"s{ver}")
     survivors.unionByName(updates).write.mode("error").parquet(sub)
-    added = _file_stats(spark, sub, key, ver)
+    added = _file_stats(spark, sub, key, ver,
+                        fields=manifest["fields"])
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     tokens = dict(manifest.get("tokens", {}))
@@ -457,7 +558,8 @@ def compact(path: str, target_rows: int,
     sub = os.path.join(path, _DATA, f"s{ver}")
     (_read_with_deletes(spark, manifest, small)
      .coalesce(n_out).write.mode("error").parquet(sub))
-    added = _file_stats(spark, sub, key, ver)
+    added = _file_stats(spark, sub, key, ver,
+                        fields=manifest["fields"])
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver, "operation": "compact", "key": key,

@@ -571,3 +571,85 @@ def test_changelog_rollback_fallback_exact(spark, table):
     _replay(spark, tf.table_changelog(spark, table, 2, 4), tbl2)
     assert _state(tf.snapshot_read(spark, tbl2)) == _state(
         tf.snapshot_read(spark, table, version=4))
+
+
+def _mkwide(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("t-"), F.col("id").cast("string"))
+                    .alias("text"),
+                    F.when(F.col("id") % 3 == 0, "en")
+                    .otherwise("de").alias("lang"),
+                    (F.col("id") * 10).alias("n_chars"),
+                    F.timestamp_seconds(F.lit(1700000000)
+                                        + F.col("id") * 3600)
+                    .alias("warc_ts")))
+
+
+def test_column_filters_prune_and_stay_exact(spark, table):
+    # range-partition by n_chars -> disjoint per-file n_chars bounds
+    df = _mkwide(spark, 0, 400).repartitionByRange(8, "n_chars")
+    tf.snapshot_write(df, table, "doc_id")
+    allf = tf.manifest_files(table)
+    pruned = tf.manifest_files(table, filters={"n_chars": (0, 200)})
+    assert 0 < len(pruned) < len(allf)
+    got = tf.snapshot_read(spark, table, filters={"n_chars": (0, 200)})
+    want = tf.snapshot_read(spark, table).where(
+        (F.col("n_chars") >= 0) & (F.col("n_chars") <= 200))
+    assert {r["doc_id"] for r in got.collect()} == {
+        r["doc_id"] for r in want.collect()} != set()
+    # equality filter on a string column: lo == hi
+    en = tf.snapshot_read(spark, table, filters={"lang": ("en", "en")})
+    assert en.count() == 134 and set(
+        r["lang"] for r in en.select("lang").distinct().collect()) == {
+        "en"}
+
+
+def test_timestamp_filters_fixed_width_order(spark, table):
+    import datetime
+    df = _mkwide(spark, 0, 300).repartitionByRange(6, "warc_ts")
+    tf.snapshot_write(df, table, "doc_id")
+    cut = datetime.datetime.utcfromtimestamp(1700000000 + 100 * 3600)
+    pruned = tf.manifest_files(table, filters={"warc_ts": (cut, None)})
+    assert 0 < len(pruned) < len(tf.manifest_files(table))
+    got = tf.snapshot_read(spark, table, filters={"warc_ts": (cut, None)})
+    assert got.count() == 200  # ids 100..299
+
+
+def test_filters_follow_rename_by_field_id(spark, table):
+    df = _mkwide(spark, 0, 200).repartitionByRange(4, "n_chars")
+    tf.snapshot_write(df, table, "doc_id")
+    tf.rename_column(table, "n_chars", "doc_len")
+    pruned = tf.manifest_files(table, filters={"doc_len": (0, 500)})
+    assert 0 < len(pruned) < len(tf.manifest_files(table))
+    got = tf.snapshot_read(spark, table, filters={"doc_len": (0, 500)})
+    assert got.count() == 51
+    with pytest.raises(ValueError):
+        tf.manifest_files(table, filters={"n_chars": (0, 1)})
+
+
+def test_filters_conservative_without_stats(spark, table):
+    # a manifest written before per-column stats existed: strip them
+    import json
+    df = _mkwide(spark, 0, 100).repartitionByRange(4, "n_chars")
+    tf.snapshot_write(df, table, "doc_id")
+    mp = tf._manifest_path(table, 1)
+    m = json.load(open(mp))
+    for f in m["files"]:
+        f.pop("cols", None)
+    json.dump(m, open(mp, "w"))
+    # no bounds recorded -> nothing pruned, result still exact
+    assert len(tf.manifest_files(table, filters={"n_chars": (0, 10)})
+               ) == len(tf.manifest_files(table))
+    assert tf.snapshot_read(
+        spark, table, filters={"n_chars": (0, 10)}).count() == 2
+
+
+def test_filters_survive_merge_and_compact(spark, table):
+    df = _mkwide(spark, 0, 200).repartitionByRange(4, "n_chars")
+    tf.snapshot_write(df, table, "doc_id")
+    up = _mkwide(spark, 5, 7).withColumn("lang", F.lit("fr"))
+    tf.merge_upsert(up, table)
+    tf.compact(table, target_rows=100)
+    got = tf.snapshot_read(spark, table, filters={"lang": ("fr", "fr")})
+    assert {r["doc_id"] for r in got.collect()} == {5, 6}
