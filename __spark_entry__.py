@@ -4131,6 +4131,93 @@ _TABLE_FILTER_SCAN_SQL = (
     "WHERE n_chars BETWEEN 200 AND 900 AND lang = 'en'")
 
 
+def q_table_partition_prune(spark, sf_dir):
+    """Hidden partitioning (sources/tableformat.py partition
+    transforms): the north-rule pages table written under spec
+    ``[day(warc_ts), identity(lang)]`` — queries never mention a
+    partition column; a read filtering ``warc_ts`` to the crawl-1 day
+    and ``lang = 'en'`` prunes whole partition directories from the
+    manifest BEFORE per-file column stats are consulted (asserted),
+    then applies the exact residual filter.  The oracle is the plain
+    predicate SELECT, so the pruned read must be value-exact."""
+    import datetime
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblpp_"), "tbl")
+    pages = (pages_from_documents(_docs(spark, sf_dir))
+             .select("url", "warc_ts", "text", "lang"))
+    tf.snapshot_write(pages, table, "url",
+                      partition_spec=[("day", "warc_ts"),
+                                      ("identity", "lang")])
+    lo = datetime.datetime(2025, 1, 8)
+    hi = datetime.datetime(2025, 1, 9, 23, 59, 59)
+    flt = {"warc_ts": (lo, hi), "lang": ("en", "en")}
+    pruned = tf.manifest_files(table, filters=flt)
+    if not len(pruned) < len(tf.manifest_files(table)):
+        raise AssertionError("partition transforms pruned nothing")
+    out = tf.snapshot_read(spark, table, filters=flt)
+    return (out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("url", "ts"))
+
+
+_TABLE_PARTITION_PRUNE_SQL = (
+    "WITH p AS ({cte}) "
+    "SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, lang, "
+    "length(text) AS n_chars FROM p "
+    "WHERE warc_ts BETWEEN TIMESTAMP '2025-01-08 00:00:00' "
+    "AND TIMESTAMP '2025-01-09 23:59:59' AND lang = 'en' "
+    "ORDER BY url, ts")
+
+
+def q_table_bucket_prune(spark, sf_dir):
+    """``bucket(url, 16)`` hidden partitioning: equality reads on three
+    urls each prune the manifest to ~1/16 of the files DRIVER-side via
+    the pure-Python Murmur3 replica of ``F.hash`` (parity pinned in
+    tests/test_tableformat.py) — no job runs to transform the literal.
+    The unioned result must still be value-exact: a replica/bucket
+    mismatch would prune away matching files and fail the oracle."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblbp_"), "tbl")
+    pages = (pages_from_documents(_docs(spark, sf_dir))
+             .select("url", "warc_ts", "text", "lang"))
+    tf.snapshot_write(pages, table, "url",
+                      partition_spec=[("bucket", "url", 16)])
+    total = len(tf.manifest_files(table))
+    urls = [f"https://host{int((i % 256) ** 0.5)}.example/p/{i}"
+            for i in (1, 5, 9)]
+    parts, pruned_n = [], 0
+    for u in urls:
+        pruned_n += len(tf.manifest_files(table, filters={"url": (u, u)}))
+        parts.append(tf.snapshot_read(spark, table,
+                                      filters={"url": (u, u)}))
+    if not pruned_n < total:
+        raise AssertionError("bucket transform pruned nothing")
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("url", "ts"))
+
+
+_TABLE_BUCKET_PRUNE_SQL = (
+    "WITH p AS ({cte}) "
+    "SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "length(text) AS n_chars FROM p "
+    "WHERE url IN ('https://host1.example/p/1', "
+    "'https://host2.example/p/5', 'https://host3.example/p/9') "
+    "ORDER BY url, ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4140,6 +4227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- newest this round: snapshot table format + trained models ---
+        "table_partition_prune": q_table_partition_prune,
+        "table_bucket_prune": q_table_bucket_prune,
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
@@ -4427,6 +4516,10 @@ def oracle_sql() -> dict[str, str]:
         "table_cdc": _TABLE_CDC_SQL,
         "table_changelog": _TABLE_CHANGELOG_SQL,
         "table_filter_scan": _TABLE_FILTER_SCAN_SQL,
+        "table_partition_prune": _TABLE_PARTITION_PRUNE_SQL.format(
+            cte=oracle.pages_cte(with_ts=True)),
+        "table_bucket_prune": _TABLE_BUCKET_PRUNE_SQL.format(
+            cte=oracle.pages_cte(with_ts=True)),
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),
         "lr_quality": lrquality_mod.lr_quality_sql(),

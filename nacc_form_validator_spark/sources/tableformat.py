@@ -134,8 +134,228 @@ def _coerce_bound(v):
     return v
 
 
+# --------------------------------------------------------------------------
+# Hidden partitioning (Iceberg partition transforms).
+#
+# A partition spec is a list of TRANSFORMS over source columns —
+# ``[("day", "warc_ts"), ("bucket", "url", 16)]`` — applied at write
+# time to lay files out by derived partition values the reader never
+# sees as columns.  Each manifest file entry records its partition
+# tuple, so a read with ``filters`` on the SOURCE column prunes whole
+# partitions before any per-file column stats are consulted: the
+# query says ``warc_ts BETWEEN a AND b AND url = u`` and the scan
+# plans over only the matching day-directories' bucket — Iceberg's
+# hidden partitioning, where queries never mention partition columns.
+#
+# Transforms (validated against the source column's Spark type):
+#   identity(col)      string                  — value itself
+#   bucket(col, n)     string | int | bigint   — pmod(murmur3, n)
+#   truncate(col, w)   string                  — prefix of width w
+#   year/month/day/hour(col)  timestamp | date — calendar truncation
+#
+# Every transform's partition value is rendered as a STRING whose
+# lexicographic order matches the source order (calendar transforms
+# use fixed-width ``yyyy-MM-dd-HH`` prefixes; identity/truncate values
+# are lowercase-hex-encoded UTF-8 — order-preserving under Spark's
+# binary string collation AND free of path-unsafe characters, since
+# partition values become directory names), so range predicates prune
+# ordered transforms and equality predicates prune buckets.
+# Specs bind source columns BY FIELD ID — a rename never breaks
+# pruning; dropping a partition source column is refused.
+
+_PT = "_pt"  # partition column name prefix inside a data directory
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & 0xFFFFFFFF
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 = (h1 ^ length) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _spark_hash(v, src: str, seed: int = 42) -> int:
+    """Driver-side replica of Spark's ``F.hash`` (Murmur3 x86-32,
+    seed 42) for string/int/bigint — so bucket pruning can transform a
+    predicate literal WITHOUT launching a job.  Spark hashes strings
+    over UTF-8 bytes in 4-byte little-endian words with a one-SIGNED-
+    byte-at-a-time tail, ints as one mixed word, longs as two; parity
+    is pinned by a test against ``F.hash`` on random values."""
+    if src == "string":
+        data = v.encode("utf-8")
+        n = len(data)
+        h1 = seed
+        for i in range(0, n - n % 4, 4):
+            h1 = _mix_h1(h1, _mix_k1(int.from_bytes(
+                data[i:i + 4], "little")))
+        for i in range(n - n % 4, n):
+            b = data[i] - 256 if data[i] >= 128 else data[i]  # signed
+            h1 = _mix_h1(h1, _mix_k1(b & 0xFFFFFFFF))
+        h = _fmix(h1, n)
+    elif src in ("tinyint", "smallint", "int"):
+        h = _fmix(_mix_h1(seed, _mix_k1(int(v) & 0xFFFFFFFF)), 4)
+    elif src == "bigint":
+        u = int(v) & 0xFFFFFFFFFFFFFFFF
+        h1 = _mix_h1(seed, _mix_k1(u & 0xFFFFFFFF))
+        h1 = _mix_h1(h1, _mix_k1((u >> 32) & 0xFFFFFFFF))
+        h = _fmix(h1, 8)
+    else:
+        raise ValueError(f"bucket transform on unsupported type {src!r}")
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_TIME_FMT = {"year": ("yyyy", "%Y", 4),
+             "month": ("yyyy-MM", "%Y-%m", 7),
+             "day": ("yyyy-MM-dd", "%Y-%m-%d", 10),
+             "hour": ("yyyy-MM-dd-HH", "%Y-%m-%d-%H", 13)}
+
+
+def _normalize_spec(spec: list, fields: list, dtypes: dict) -> list:
+    """User spec tuples -> stored form with field-id binding and the
+    source type (needed to hash bucket literals identically)."""
+    by_name = {f["name"]: f["id"] for f in fields}
+    out = []
+    for entry in spec:
+        t, col = entry[0], entry[1]
+        if col not in by_name:
+            raise ValueError(f"partition source column {col!r} not in "
+                             f"table schema")
+        src = dtypes.get(col, "").split("(")[0]
+        e = {"transform": t, "fid": by_name[col], "src": src}
+        if t == "bucket":
+            n = int(entry[2])
+            if n <= 0:
+                raise ValueError("bucket n must be positive")
+            if src not in ("tinyint", "smallint", "int", "bigint",
+                           "string"):
+                raise ValueError(f"bucket({col}) needs string/int, "
+                                 f"got {src}")
+            e["n"] = n
+        elif t == "truncate":
+            w = int(entry[2])
+            if w <= 0 or src != "string":
+                raise ValueError(f"truncate({col}) needs a string "
+                                 f"column and positive width")
+            e["w"] = w
+        elif t == "identity":
+            if src != "string":
+                raise ValueError(f"identity({col}) supports string "
+                                 f"(use bucket/truncate otherwise)")
+        elif t in _TIME_FMT:
+            if src not in ("timestamp", "date"):
+                raise ValueError(f"{t}({col}) needs timestamp/date, "
+                                 f"got {src}")
+        else:
+            raise ValueError(f"unknown transform {t!r}")
+        out.append(e)
+    return out
+
+
+def _spec_cols(spec: list, fields: list) -> list:
+    """Transform expressions for the current id->name binding, aliased
+    ``_pt{i}`` — all rendered as strings (see module comment)."""
+    names = {f["id"]: f["name"] for f in fields}
+    cols = []
+    for i, sp in enumerate(spec):
+        c = F.col(names[sp["fid"]])
+        t = sp["transform"]
+        if t == "identity":
+            e = F.lower(F.hex(F.encode(c, "utf-8")))
+        elif t == "bucket":
+            e = F.pmod(F.hash(c), F.lit(sp["n"])).cast("string")
+        elif t == "truncate":
+            e = F.lower(F.hex(F.encode(F.substring(c, 1, sp["w"]),
+                                       "utf-8")))
+        else:
+            e = F.date_format(c, _TIME_FMT[t][0])
+        cols.append(e.alias(f"{_PT}{i}"))
+    return cols
+
+
+def _transform_literal(sp: dict, v) -> Optional[str]:
+    """Apply one transform to a PREDICATE literal, driver-side, in the
+    same rendering the write path stored — the pruning counterpart of
+    :func:`_spec_cols`."""
+    import datetime
+    if v is None:
+        return None
+    t = sp["transform"]
+    if t == "identity":
+        return str(v).encode("utf-8").hex()
+    if t == "bucket":
+        return str(_spark_hash(v, sp["src"]) % sp["n"])
+    if t == "truncate":
+        return str(v)[:sp["w"]].encode("utf-8").hex()
+    fmt, strf, width = _TIME_FMT[t]
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.strftime(strf)
+    return str(v)[:width]       # 'YYYY-MM-DD HH:MM:SS' prefix
+
+
+def _prune_partitions(files: list, manifest: dict,
+                      filters: Optional[dict]) -> list:
+    """Hidden-partition pruning: drop files whose partition tuple
+    cannot satisfy ``filters`` on the TRANSFORM SOURCE columns.
+    Ordered transforms (identity/truncate/calendar) prune on ranges;
+    bucket prunes on equality only (``(v, v)``).  Files without a
+    recorded tuple (written before the spec, or by a writer predating
+    it) are conservatively kept — pruning is never lossy."""
+    spec = manifest.get("partition_spec") or []
+    if not filters or not spec:
+        return files
+    names = {f["id"]: f["name"] for f in manifest["fields"]}
+    checks = []
+    for i, sp in enumerate(spec):
+        col = names.get(sp["fid"])
+        if col is None or col not in filters:
+            continue
+        lo, hi = filters[col]
+        if sp["transform"] == "bucket":
+            if lo is None or hi is None or lo != hi:
+                continue        # bucket cannot prune a range
+            b = _transform_literal(sp, lo)
+            checks.append((i, b, b))
+        else:
+            checks.append((i,
+                           _transform_literal(sp, lo),
+                           _transform_literal(sp, hi)))
+    if not checks:
+        return files
+    out = []
+    for f in files:
+        pt = f.get("pt")
+        keep = True
+        if pt is not None:
+            for i, plo, phi in checks:
+                v = pt[i]
+                if v is None:
+                    continue
+                if (plo is not None and v < plo) or (
+                        phi is not None and v > phi):
+                    keep = False
+                    break
+        if keep:
+            out.append(f)
+    return out
+
+
 def _file_stats(spark: SparkSession, data_dir: str, key: str,
-                seq: int, fields: Optional[list] = None) -> list:
+                seq: int, fields: Optional[list] = None,
+                n_pt: int = 0, read_schema: Optional[dict] = None) -> list:
     """Per-file (rows, min/max key, sequence number) for the files
     just written — one aggregate over only the new files, collected as
     O(files) metadata.  Iceberg gathers these stats at write time
@@ -148,10 +368,25 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
     proof, so :func:`snapshot_read` can prune files on any column
     predicate however the schema evolves later (Iceberg's per-column
     lower/upper bounds).  A table laid out by ``zorder_layout`` turns
-    these into multi-dimensional file skipping."""
-    df = spark.read.parquet(data_dir)
+    these into multi-dimensional file skipping.
+
+    ``n_pt`` > 0 means ``data_dir`` is laid out by ``partitionBy`` on
+    ``_pt0.._pt{n-1}`` string columns: the read supplies an explicit
+    schema (so directory values stay strings — no type inference) and
+    each file entry additionally records its partition tuple."""
+    if n_pt:
+        from pyspark.sql.types import StringType, StructField, StructType
+        base = StructType.fromJson(read_schema)
+        full = StructType(list(base.fields) + [
+            StructField(f"{_PT}{i}", StringType()) for i in range(n_pt)])
+        df = spark.read.schema(full).parquet(data_dir)
+    else:
+        df = spark.read.parquet(data_dir)
     aggs = [F.count(F.lit(1)).alias("rows"),
             F.min(key).alias("min"), F.max(key).alias("max")]
+    for i in range(n_pt):
+        # partitionBy guarantees one value per file — first() is exact
+        aggs.append(F.first(f"{_PT}{i}").alias(f"{_PT}{i}"))
     tracked = []
     if fields is not None:
         dtypes = dict(df.dtypes)
@@ -171,8 +406,35 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
         if tracked:
             e["cols"] = {fid: [r[f"_lo_{fid}"], r[f"_hi_{fid}"]]
                          for fid in tracked}
+        if n_pt:
+            e["pt"] = [r[f"{_PT}{i}"] for i in range(n_pt)]
         out.append(e)
     return sorted(out, key=lambda d: d["path"])
+
+
+def _write_data(df: DataFrame, sub: str, key: str, ver: int,
+                fields: list, spec: Optional[list],
+                schema_json: dict, n_out: Optional[int] = None) -> list:
+    """Write one snapshot's data files honoring the table's partition
+    spec and return their manifest entries.  With a spec the rows are
+    hash-distributed on the partition tuple first (Iceberg's
+    ``write.distribution-mode=hash``) so each partition is written by
+    few tasks instead of every task emitting a sliver into every
+    partition — at 1000 executors that is the difference between
+    O(partitions) and O(partitions x tasks) files per commit."""
+    spark = df.sparkSession
+    if not spec:
+        out = df if n_out is None else df.coalesce(n_out)
+        out.write.mode("error").parquet(sub)
+        return _file_stats(spark, sub, key, ver, fields=fields)
+    pts = _spec_cols(spec, fields)
+    names = [f"{_PT}{i}" for i in range(len(spec))]
+    d = df.select("*", *pts)
+    d = (d.repartition(*names) if n_out is None
+         else d.repartition(n_out, *names))
+    d.write.mode("error").partitionBy(*names).parquet(sub)
+    return _file_stats(spark, sub, key, ver, fields=fields,
+                       n_pt=len(spec), read_schema=schema_json)
 
 
 def _new_fields(schema) -> list:
@@ -188,7 +450,8 @@ def _ws_entry(manifest_or_schema, fields) -> dict:
 
 def snapshot_write(df: DataFrame, path: str, key: str,
                    mode: str = "append",
-                   token: Optional[str] = None) -> int:
+                   token: Optional[str] = None,
+                   partition_spec: Optional[list] = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``append`` adds files next to the current file set (``df`` must
@@ -196,6 +459,14 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     ``overwrite`` starts a fresh file set and resets the schema —
     either way no existing data file is touched, so every prior
     version stays time-travel readable.
+
+    ``partition_spec`` (table creation / overwrite only) lays data out
+    by hidden partition transforms — ``[("day", "warc_ts"),
+    ("bucket", "url", 16)]`` — recorded in the manifest per file, so
+    reads with ``filters`` on the SOURCE columns prune whole
+    partitions (see the module's hidden-partitioning comment).
+    Appends inherit the table's spec; passing one on append is an
+    error (spec evolution is a rewrite via ``overwrite``).
 
     ``token`` makes the commit IDEMPOTENT: if a live manifest already
     carries the token, the write is skipped and that snapshot's
@@ -219,18 +490,26 @@ def snapshot_write(df: DataFrame, path: str, key: str,
             raise ValueError(
                 f"append schema mismatch: table has {want}, "
                 f"df has {df.columns}")
-    sub = os.path.join(path, _DATA, f"s{ver}")
-    df.write.mode("error").parquet(sub)
+        if partition_spec is not None:
+            raise ValueError("partition_spec is set at table creation; "
+                             "appends inherit it")
     wfields = _new_fields(df.schema) if prev is None else prev["fields"]
-    added = _file_stats(spark, sub, key, ver, fields=wfields)
+    if prev is None:
+        spec = (_normalize_spec(partition_spec, wfields, dict(df.dtypes))
+                if partition_spec else None)
+        schema = df.schema.jsonValue()
+    else:
+        spec = prev.get("partition_spec")
+        schema = prev["schema"]
+    sub = os.path.join(path, _DATA, f"s{ver}")
+    added = _write_data(df, sub, key, ver, wfields, spec, schema)
     if prev is None:
         fields = wfields
-        schema = df.schema.jsonValue()
         files, deletes, ws = added, [], {}
         last_id = len(fields)
         tokens: dict = {}
     else:
-        fields, schema = prev["fields"], prev["schema"]
+        fields = prev["fields"]
         files = prev["files"] + added
         deletes = prev.get("deletes", [])
         ws = dict(prev["write_schemas"])
@@ -241,6 +520,7 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     ws[str(ver)] = _ws_entry(schema, fields)
     _commit(path, {"version": ver, "operation": mode, "key": key,
                    "schema": schema, "fields": fields,
+                   "partition_spec": spec,
                    "last_field_id": last_id, "write_schemas": ws,
                    "tokens": tokens,
                    "files": files, "added": added, "deletes": deletes})
@@ -296,10 +576,12 @@ def manifest_files(path: str, version: Optional[int] = None,
     """The file entries a read at ``version`` would scan, after
     min/max-stats pruning by ``key_range`` and per-column ``filters``
     — exposed so callers (and tests) can audit pruning without running
-    the scan."""
+    the scan.  Partition pruning (hidden transforms) applies first,
+    then per-file column bounds — both feed from the same ``filters``
+    on source columns."""
     manifest = load_manifest(path, version)
-    return _prune_filters(_prune(manifest["files"], key_range),
-                          manifest, filters)
+    files = _prune_partitions(manifest["files"], manifest, filters)
+    return _prune_filters(_prune(files, key_range), manifest, filters)
 
 
 def _empty(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -400,8 +682,8 @@ def snapshot_read(spark: SparkSession, path: str,
     layout (``operators/layout.py``) the per-column bounds skip files
     on EVERY interleaved dimension, not just the table key."""
     manifest = load_manifest(path, version)
-    files = _prune_filters(_prune(manifest["files"], key_range),
-                           manifest, filters)
+    files = _prune_partitions(manifest["files"], manifest, filters)
+    files = _prune_filters(_prune(files, key_range), manifest, filters)
     df = _read_with_deletes(spark, manifest, files)
     if key_range is not None:
         lo, hi = key_range
@@ -479,9 +761,10 @@ def merge_upsert(updates: DataFrame, path: str,
                        "left_anti"))
     ver = manifest["version"] + 1
     sub = os.path.join(path, _DATA, f"s{ver}")
-    survivors.unionByName(updates).write.mode("error").parquet(sub)
-    added = _file_stats(spark, sub, key, ver,
-                        fields=manifest["fields"])
+    added = _write_data(survivors.unionByName(updates), sub, key, ver,
+                        manifest["fields"],
+                        manifest.get("partition_spec"),
+                        manifest["schema"])
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     tokens = dict(manifest.get("tokens", {}))
@@ -491,6 +774,7 @@ def merge_upsert(updates: DataFrame, path: str,
                    "tokens": tokens,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
+                   "partition_spec": manifest.get("partition_spec"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -527,6 +811,7 @@ def delete_keys(keys: DataFrame, path: str,
                    "tokens": tokens,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
+                   "partition_spec": manifest.get("partition_spec"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": manifest["write_schemas"],
                    "files": manifest["files"], "added": [],
@@ -556,16 +841,17 @@ def compact(path: str, target_rows: int,
     n_out = max(1, -(-total // target_rows))
     ver = manifest["version"] + 1
     sub = os.path.join(path, _DATA, f"s{ver}")
-    (_read_with_deletes(spark, manifest, small)
-     .coalesce(n_out).write.mode("error").parquet(sub))
-    added = _file_stats(spark, sub, key, ver,
-                        fields=manifest["fields"])
+    added = _write_data(_read_with_deletes(spark, manifest, small),
+                        sub, key, ver, manifest["fields"],
+                        manifest.get("partition_spec"),
+                        manifest["schema"], n_out=n_out)
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver, "operation": "compact", "key": key,
                    "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
+                   "partition_spec": manifest.get("partition_spec"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -583,6 +869,7 @@ def _evolve(path: str, op: str, fields: list, schema: dict,
                    "key": manifest["key"], "schema": schema,
                    "tokens": manifest.get("tokens", {}),
                    "fields": fields,
+                   "partition_spec": manifest.get("partition_spec"),
                    "last_field_id": (manifest["last_field_id"]
                                      if last_id is None else last_id),
                    "write_schemas": manifest["write_schemas"],
@@ -649,6 +936,11 @@ def drop_column(path: str, name: str) -> int:
         raise ValueError("cannot drop the table key column")
     if not any(f["name"] == name for f in manifest["fields"]):
         raise ValueError(f"no column {name!r}")
+    fid = next(f["id"] for f in manifest["fields"] if f["name"] == name)
+    if any(sp["fid"] == fid
+           for sp in manifest.get("partition_spec") or []):
+        raise ValueError(f"column {name!r} is a partition transform "
+                         f"source; rewrite via overwrite first")
     fields = [f for f in manifest["fields"] if f["name"] != name]
     schema = StructType.fromJson(manifest["schema"])
     schema = StructType([f for f in schema.fields if f.name != name])
@@ -726,6 +1018,7 @@ def rollback(path: str, version: int) -> int:
     _commit(path, {"version": ver, "operation": f"rollback-to-v{version}",
                    "key": target["key"], "schema": target["schema"],
                    "fields": target["fields"],
+                   "partition_spec": target.get("partition_spec"),
                    # ids already burned stay burned: a post-rollback
                    # add_column must not reuse a rolled-back id
                    "last_field_id": latest["last_field_id"],

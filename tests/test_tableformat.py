@@ -653,3 +653,148 @@ def test_filters_survive_merge_and_compact(spark, table):
     tf.compact(table, target_rows=100)
     got = tf.snapshot_read(spark, table, filters={"lang": ("fr", "fr")})
     assert {r["doc_id"] for r in got.collect()} == {5, 6}
+
+
+# --------------------------------------------------------------------------
+# Hidden partitioning (partition transforms)
+
+def _pages_df(spark, n=200):
+    d = spark.range(n).select(
+        F.concat(F.lit("https://host"), (F.col("id") % 7),
+                 F.lit(".example/p/"), F.col("id")).alias("url"),
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+         + F.make_interval(days=(F.col("id") % 5).cast("int"),
+                           hours=(F.col("id") % 23).cast("int"))
+         ).alias("warc_ts"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"))
+    return d.repartition(4, "url")
+
+
+def test_spark_hash_parity_with_f_hash(spark):
+    # bucket pruning hashes predicate literals DRIVER-side; parity with
+    # F.hash (Murmur3 x86-32, seed 42) must be exact or a pruned read
+    # would silently drop matching files
+    strs = ["", "a", "abc", "abcd", "abcde", "héllo wörld",
+            "https://host0.example/p/123", "日本語テキスト", "x" * 97]
+    got = [r.h for r in spark.createDataFrame(
+        [(s,) for s in strs], "v string").select(
+            F.hash("v").alias("h")).collect()]
+    assert got == [tf._spark_hash(s, "string") for s in strs]
+    ints = [0, 1, -1, 2**31 - 1, -2**31, 42, 1234567]
+    got = [r.h for r in spark.createDataFrame(
+        [(i,) for i in ints], "v int").select(
+            F.hash("v").alias("h")).collect()]
+    assert got == [tf._spark_hash(i, "int") for i in ints]
+    longs = [0, -1, 2**63 - 1, -2**63, 123456789012345]
+    got = [r.h for r in spark.createDataFrame(
+        [(i,) for i in longs], "v bigint").select(
+            F.hash("v").alias("h")).collect()]
+    assert got == [tf._spark_hash(i, "bigint") for i in longs]
+
+
+def test_partition_day_prune_and_exact(spark, table):
+    import datetime
+    tf.snapshot_write(_pages_df(spark), table, "url",
+                      partition_spec=[("day", "warc_ts")])
+    total = tf.manifest_files(table)
+    assert all(f.get("pt") for f in total)
+    lo = datetime.datetime(2025, 1, 2)
+    hi = datetime.datetime(2025, 1, 3, 23, 59, 59)
+    flt = {"warc_ts": (lo, hi)}
+    pruned = tf.manifest_files(table, filters=flt)
+    assert 0 < len(pruned) < len(total)
+    got = sorted(r.url for r in
+                 tf.snapshot_read(spark, table, filters=flt).collect())
+    want = sorted(r.url for r in _pages_df(spark).where(
+        (F.col("warc_ts") >= F.lit(lo))
+        & (F.col("warc_ts") <= F.lit(hi))).collect())
+    assert got == want and got
+
+
+def test_partition_bucket_prunes_equality_only(spark, table):
+    tf.snapshot_write(_pages_df(spark), table, "url",
+                      partition_spec=[("bucket", "url", 8)])
+    total = tf.manifest_files(table)
+    u = "https://host3.example/p/10"
+    pruned = tf.manifest_files(table, filters={"url": (u, u)})
+    assert 0 < len(pruned) < len(total)
+    rows = tf.snapshot_read(spark, table,
+                            filters={"url": (u, u)}).collect()
+    assert [r.url for r in rows] == [u]
+    # a RANGE on a bucketed column cannot prune (hash is orderless);
+    # per-column min/max stats may still cut, so assert exactness only
+    rng = tf.snapshot_read(
+        spark, table, filters={"url": ("https://host3", "https://host4")})
+    want = _pages_df(spark).where(
+        (F.col("url") >= "https://host3")
+        & (F.col("url") <= "https://host4")).count()
+    assert rng.count() == want
+
+
+def test_partition_truncate_and_identity(spark, table):
+    d = _pages_df(spark).withColumn("lang", F.concat(
+        F.lit("l"), (F.length("url") % 3).cast("string")))
+    tf.snapshot_write(d, table, "url",
+                      partition_spec=[("identity", "lang"),
+                                      ("truncate", "url", 13)])
+    total = tf.manifest_files(table)
+    flt = {"lang": ("l1", "l1"), "url": ("https://host2", "https://host2~")}
+    pruned = tf.manifest_files(table, filters=flt)
+    assert 0 < len(pruned) < len(total)
+    got = tf.snapshot_read(spark, table, filters=flt)
+    want = d.where((F.col("lang") == "l1")
+                   & (F.col("url") >= "https://host2")
+                   & (F.col("url") <= "https://host2~"))
+    assert got.count() == want.count() > 0
+
+
+def test_partition_spec_survives_append_merge_compact(spark, table):
+    import datetime
+    tf.snapshot_write(_pages_df(spark, 120), table, "url",
+                      partition_spec=[("day", "warc_ts")])
+    # appends inherit the spec (passing one again is an error)
+    with pytest.raises(ValueError, match="table creation"):
+        tf.snapshot_write(_pages_df(spark, 10), table, "url",
+                          partition_spec=[("day", "warc_ts")])
+    tf.snapshot_write(_pages_df(spark, 10), table, "url")
+    upd = (_pages_df(spark, 5)
+           .withColumn("text", F.lit("patched")))
+    tf.merge_upsert(upd, table)
+    tf.compact(table, 10_000, spark=spark)
+    m = tf.load_manifest(table)
+    assert all(f.get("pt") for f in m["files"])
+    lo = datetime.datetime(2025, 1, 1)
+    flt = {"warc_ts": (lo, datetime.datetime(2025, 1, 1, 23, 59, 59))}
+    pruned = tf.manifest_files(table, filters=flt)
+    assert 0 < len(pruned) < len(m["files"])
+    got = tf.snapshot_read(spark, table, filters=flt)
+    assert got.where(F.col("text") == "patched").count() == \
+        upd.where((F.col("warc_ts") >= F.lit(lo)) & (
+            F.col("warc_ts") <= flt["warc_ts"][1])).count()
+
+
+def test_partition_source_rename_keeps_pruning_drop_refused(spark, table):
+    tf.snapshot_write(_pages_df(spark), table, "url",
+                      partition_spec=[("bucket", "text", 8)])
+    tf.rename_column(table, "text", "body")
+    v = "text-10"
+    pruned = tf.manifest_files(table, filters={"body": (v, v)})
+    assert 0 < len(pruned) < len(tf.manifest_files(table))
+    rows = tf.snapshot_read(spark, table,
+                            filters={"body": (v, v)}).collect()
+    assert [r.body for r in rows] == [v]
+    with pytest.raises(ValueError, match="partition transform source"):
+        tf.drop_column(table, "body")
+
+
+def test_partition_spec_validation(spark, table):
+    d = _pages_df(spark, 10)
+    with pytest.raises(ValueError, match="needs timestamp"):
+        tf.snapshot_write(d, table, "url",
+                          partition_spec=[("day", "url")])
+    with pytest.raises(ValueError, match="unknown transform"):
+        tf.snapshot_write(d, table, "url",
+                          partition_spec=[("weekly", "warc_ts")])
+    with pytest.raises(ValueError, match="not in"):
+        tf.snapshot_write(d, table, "url",
+                          partition_spec=[("identity", "nope")])
