@@ -4218,6 +4218,80 @@ _TABLE_BUCKET_PRUNE_SQL = (
     "ORDER BY url, ts")
 
 
+def q_table_bloom_prune(spark, sf_dir):
+    """Per-file key Bloom filters (sources/tableformat.py, Iceberg
+    puffin-style): pages written in CRAWL order — every file spans
+    nearly the full url range, so min/max bounds cannot prune a point
+    lookup — with ``bloom_bits=4096``; three ``url = u`` reads must
+    each drop most files via the manifest Bloom probe (asserted),
+    driver-side, no job.  A false NEGATIVE would drop matching rows
+    and fail the value oracle."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblbl_"), "tbl")
+    pages = (pages_from_documents(_docs(spark, sf_dir))
+             .select("url", "warc_ts", "text", "lang")
+             .repartition(8, "warc_ts"))     # crawl order: urls mixed
+    tf.snapshot_write(pages, table, "url", bloom_bits=4096)
+    total = len(tf.manifest_files(table))
+    urls = [f"https://host{int((i % 256) ** 0.5)}.example/p/{i}"
+            for i in (2, 6, 10)]
+    parts, pruned_n = [], 0
+    for u in urls:
+        pruned_n += len(tf.manifest_files(table, filters={"url": (u, u)}))
+        parts.append(tf.snapshot_read(spark, table,
+                                      filters={"url": (u, u)}))
+    if not pruned_n < 3 * total:
+        raise AssertionError("bloom filters pruned nothing")
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("url", "ts"))
+
+
+_TABLE_BLOOM_PRUNE_SQL = (
+    "WITH p AS ({cte}) "
+    "SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "length(text) AS n_chars FROM p "
+    "WHERE url IN ('https://host1.example/p/2', "
+    "'https://host2.example/p/6', 'https://host3.example/p/10') "
+    "ORDER BY url, ts")
+
+
+def q_table_metadata_count(spark, sf_dir):
+    """count(*) pushdown (sources/tableformat.py manifest_count): the
+    row count answered from manifest stats alone — no Spark job, no
+    file opened, O(files) driver work at any table size.  Returned as
+    a 1-row DataFrame so the DuckDB COUNT(*) oracle value-checks the
+    bookkeeping across an append AND a merge (whose rewrite must not
+    double-count carried-by-reference files)."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblmc_"), "tbl")
+    pages = (pages_from_documents(_docs(spark, sf_dir))
+             .select("url", "warc_ts", "text", "lang"))
+    first = pages.where(F.col("lang") == "en")
+    rest = pages.where(F.col("lang") != "en")
+    tf.snapshot_write(first, table, "url")
+    tf.snapshot_write(rest, table, "url")
+    # merge rewrites some files; row count must be conserved
+    upd = pages.limit(20).withColumn("text", F.concat(
+        F.col("text"), F.lit(" patched")))
+    tf.merge_upsert(upd, table)
+    n = tf.manifest_count(table)
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
+_TABLE_METADATA_COUNT_SQL = (
+    "WITH p AS ({cte}) SELECT COUNT(*) AS n_rows FROM p")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4229,6 +4303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest this round: snapshot table format + trained models ---
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
+        "table_bloom_prune": q_table_bloom_prune,
+        "table_metadata_count": q_table_metadata_count,
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
@@ -4519,6 +4595,10 @@ def oracle_sql() -> dict[str, str]:
         "table_partition_prune": _TABLE_PARTITION_PRUNE_SQL.format(
             cte=oracle.pages_cte(with_ts=True)),
         "table_bucket_prune": _TABLE_BUCKET_PRUNE_SQL.format(
+            cte=oracle.pages_cte(with_ts=True)),
+        "table_bloom_prune": _TABLE_BLOOM_PRUNE_SQL.format(
+            cte=oracle.pages_cte(with_ts=True)),
+        "table_metadata_count": _TABLE_METADATA_COUNT_SQL.format(
             cte=oracle.pages_cte(with_ts=True)),
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),

@@ -353,9 +353,67 @@ def _prune_partitions(files: list, manifest: dict,
     return out
 
 
+# --------------------------------------------------------------------------
+# Per-file key Bloom filters (Iceberg puffin-style secondary index).
+#
+# Min/max bounds prune point lookups only when files are key-clustered;
+# a table written in crawl order has every file spanning nearly the
+# full url range, so ``url = u`` scans everything.  A small per-file
+# Bloom filter over the key (``bloom_bits`` at table creation, default
+# k=4 probes via double hashing off two Murmur3 hashes) lets the
+# driver drop files whose filter cannot contain the literal — false
+# positives only cost an extra file scan, never a missed row.  The
+# probe reuses :func:`_spark_hash`, so no job runs to test a literal.
+
+_BLOOM_SALT = "\x01b"
+_BLOOM_K = 4
+
+
+def _bloom_positions_expr(key: str, m: int):
+    s = F.col(key).cast("string")
+    h1 = F.pmod(F.hash(s).cast("bigint"), F.lit(1 << 32))
+    h2 = F.pmod(F.hash(F.concat(s, F.lit(_BLOOM_SALT))).cast("bigint"),
+                F.lit(1 << 32))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int")
+                     for i in range(_BLOOM_K)])
+
+
+def _bloom_probe_positions(v, m: int) -> list:
+    s = str(v)
+    h1 = _spark_hash(s, "string") % (1 << 32)
+    h2 = _spark_hash(s + _BLOOM_SALT, "string") % (1 << 32)
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_bitmaps(df, key: str, m: int) -> dict:
+    """path -> hex bitmap of the key Bloom filter for the files in
+    ``df``.  One distinct-positions pass over only the NEW files of a
+    commit (a production writer folds this into the write itself);
+    per-file driver payload is bounded by m bits however many rows."""
+    rows = (df.select(F.input_file_name().alias("path"),
+                      F.explode(_bloom_positions_expr(key, m)).alias("p"))
+            .distinct()
+            .groupBy("path").agg(F.collect_set("p").alias("ps"))
+            .collect())
+    out = {}
+    for r in rows:
+        bits = bytearray(m // 8)
+        for p in r["ps"]:
+            bits[p // 8] |= 1 << (p % 8)
+        out[r["path"]] = bytes(bits).hex()
+    return out
+
+
+def _bloom_may_contain(bitmap_hex: str, v, m: int) -> bool:
+    bits = bytes.fromhex(bitmap_hex)
+    return all(bits[p // 8] & (1 << (p % 8))
+               for p in _bloom_probe_positions(v, m))
+
+
 def _file_stats(spark: SparkSession, data_dir: str, key: str,
                 seq: int, fields: Optional[list] = None,
-                n_pt: int = 0, read_schema: Optional[dict] = None) -> list:
+                n_pt: int = 0, read_schema: Optional[dict] = None,
+                bloom_bits: Optional[int] = None) -> list:
     """Per-file (rows, min/max key, sequence number) for the files
     just written — one aggregate over only the new files, collected as
     O(files) metadata.  Iceberg gathers these stats at write time
@@ -409,12 +467,18 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
         if n_pt:
             e["pt"] = [r[f"{_PT}{i}"] for i in range(n_pt)]
         out.append(e)
+    if bloom_bits:
+        blooms = _bloom_bitmaps(df, key, bloom_bits)
+        for e in out:
+            if e["path"] in blooms:
+                e["bloom"] = blooms[e["path"]]
     return sorted(out, key=lambda d: d["path"])
 
 
 def _write_data(df: DataFrame, sub: str, key: str, ver: int,
                 fields: list, spec: Optional[list],
-                schema_json: dict, n_out: Optional[int] = None) -> list:
+                schema_json: dict, n_out: Optional[int] = None,
+                bloom_bits: Optional[int] = None) -> list:
     """Write one snapshot's data files honoring the table's partition
     spec and return their manifest entries.  With a spec the rows are
     hash-distributed on the partition tuple first (Iceberg's
@@ -426,7 +490,8 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
     if not spec:
         out = df if n_out is None else df.coalesce(n_out)
         out.write.mode("error").parquet(sub)
-        return _file_stats(spark, sub, key, ver, fields=fields)
+        return _file_stats(spark, sub, key, ver, fields=fields,
+                           bloom_bits=bloom_bits)
     pts = _spec_cols(spec, fields)
     names = [f"{_PT}{i}" for i in range(len(spec))]
     d = df.select("*", *pts)
@@ -434,7 +499,8 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
          else d.repartition(n_out, *names))
     d.write.mode("error").partitionBy(*names).parquet(sub)
     return _file_stats(spark, sub, key, ver, fields=fields,
-                       n_pt=len(spec), read_schema=schema_json)
+                       n_pt=len(spec), read_schema=schema_json,
+                       bloom_bits=bloom_bits)
 
 
 def _new_fields(schema) -> list:
@@ -451,7 +517,8 @@ def _ws_entry(manifest_or_schema, fields) -> dict:
 def snapshot_write(df: DataFrame, path: str, key: str,
                    mode: str = "append",
                    token: Optional[str] = None,
-                   partition_spec: Optional[list] = None) -> int:
+                   partition_spec: Optional[list] = None,
+                   bloom_bits: Optional[int] = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``append`` adds files next to the current file set (``df`` must
@@ -467,6 +534,13 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     partitions (see the module's hidden-partitioning comment).
     Appends inherit the table's spec; passing one on append is an
     error (spec evolution is a rewrite via ``overwrite``).
+
+    ``bloom_bits`` (table creation / overwrite only; power-of-8 bit
+    count, e.g. 2048) adds a per-file Bloom filter over the key to
+    every data file's manifest entry — point lookups (``key_range=(v,
+    v)`` or ``filters={key: (v, v)}``) then prune files min/max bounds
+    cannot, e.g. a table written in crawl order where every file spans
+    the full url range.  Inherited by appends/merges/compaction.
 
     ``token`` makes the commit IDEMPOTENT: if a live manifest already
     carries the token, the write is skipped and that snapshot's
@@ -493,16 +567,26 @@ def snapshot_write(df: DataFrame, path: str, key: str,
         if partition_spec is not None:
             raise ValueError("partition_spec is set at table creation; "
                              "appends inherit it")
+        if bloom_bits is not None:
+            raise ValueError("bloom_bits is set at table creation; "
+                             "appends inherit it")
     wfields = _new_fields(df.schema) if prev is None else prev["fields"]
     if prev is None:
         spec = (_normalize_spec(partition_spec, wfields, dict(df.dtypes))
                 if partition_spec else None)
+        if bloom_bits is not None and (bloom_bits <= 0
+                                       or bloom_bits % 8):
+            raise ValueError("bloom_bits must be a positive multiple "
+                             "of 8")
+        bloom = bloom_bits
         schema = df.schema.jsonValue()
     else:
         spec = prev.get("partition_spec")
+        bloom = prev.get("bloom_bits")
         schema = prev["schema"]
     sub = os.path.join(path, _DATA, f"s{ver}")
-    added = _write_data(df, sub, key, ver, wfields, spec, schema)
+    added = _write_data(df, sub, key, ver, wfields, spec, schema,
+                        bloom_bits=bloom)
     if prev is None:
         fields = wfields
         files, deletes, ws = added, [], {}
@@ -520,7 +604,7 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     ws[str(ver)] = _ws_entry(schema, fields)
     _commit(path, {"version": ver, "operation": mode, "key": key,
                    "schema": schema, "fields": fields,
-                   "partition_spec": spec,
+                   "partition_spec": spec, "bloom_bits": bloom,
                    "last_field_id": last_id, "write_schemas": ws,
                    "tokens": tokens,
                    "files": files, "added": added, "deletes": deletes})
@@ -570,6 +654,31 @@ def _prune_filters(files: list, manifest: dict,
     return out
 
 
+def _prune_bloom(files: list, manifest: dict,
+                 key_range: Optional[Tuple],
+                 filters: Optional[dict]) -> list:
+    """Point-lookup pruning via per-file key Bloom filters: when the
+    predicate pins the table key to ONE value, drop files whose filter
+    cannot contain it.  Files without a filter (pre-bloom snapshots)
+    are conservatively kept; false positives only cost a scan."""
+    m = manifest.get("bloom_bits")
+    if not m:
+        return files
+    key = manifest["key"]
+    v = None
+    if (key_range is not None and key_range[0] is not None
+            and key_range[0] == key_range[1]):
+        v = key_range[0]
+    elif filters and key in filters:
+        lo, hi = filters[key]
+        if lo is not None and lo == hi:
+            v = lo
+    if v is None:
+        return files
+    return [f for f in files
+            if "bloom" not in f or _bloom_may_contain(f["bloom"], v, m)]
+
+
 def manifest_files(path: str, version: Optional[int] = None,
                    key_range: Optional[Tuple] = None,
                    filters: Optional[dict] = None) -> list:
@@ -581,7 +690,23 @@ def manifest_files(path: str, version: Optional[int] = None,
     on source columns."""
     manifest = load_manifest(path, version)
     files = _prune_partitions(manifest["files"], manifest, filters)
-    return _prune_filters(_prune(files, key_range), manifest, filters)
+    files = _prune_filters(_prune(files, key_range), manifest, filters)
+    return _prune_bloom(files, manifest, key_range, filters)
+
+
+def manifest_count(path: str, version: Optional[int] = None) -> int:
+    """``count(*)`` answered from manifest row stats alone — no job,
+    no file is opened, O(files) driver work at any table size
+    (Iceberg's count pushdown).  Exact only while no merge-on-read
+    delete is pending (a delete file's erased-row count is unknown
+    without a scan), so that case refuses rather than over-counts —
+    run :func:`compact` (which materializes deletes) first."""
+    m = load_manifest(path, version)
+    if m.get("deletes"):
+        raise ValueError(
+            "manifest_count is exact only without pending merge-on-read "
+            "deletes; compact first or count via snapshot_read")
+    return sum(f["rows"] for f in m["files"])
 
 
 def _empty(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -684,6 +809,7 @@ def snapshot_read(spark: SparkSession, path: str,
     manifest = load_manifest(path, version)
     files = _prune_partitions(manifest["files"], manifest, filters)
     files = _prune_filters(_prune(files, key_range), manifest, filters)
+    files = _prune_bloom(files, manifest, key_range, filters)
     df = _read_with_deletes(spark, manifest, files)
     if key_range is not None:
         lo, hi = key_range
@@ -764,7 +890,8 @@ def merge_upsert(updates: DataFrame, path: str,
     added = _write_data(survivors.unionByName(updates), sub, key, ver,
                         manifest["fields"],
                         manifest.get("partition_spec"),
-                        manifest["schema"])
+                        manifest["schema"],
+                        bloom_bits=manifest.get("bloom_bits"))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     tokens = dict(manifest.get("tokens", {}))
@@ -775,6 +902,7 @@ def merge_upsert(updates: DataFrame, path: str,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "partition_spec": manifest.get("partition_spec"),
+                   "bloom_bits": manifest.get("bloom_bits"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -812,6 +940,7 @@ def delete_keys(keys: DataFrame, path: str,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "partition_spec": manifest.get("partition_spec"),
+                   "bloom_bits": manifest.get("bloom_bits"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": manifest["write_schemas"],
                    "files": manifest["files"], "added": [],
@@ -844,18 +973,25 @@ def compact(path: str, target_rows: int,
     added = _write_data(_read_with_deletes(spark, manifest, small),
                         sub, key, ver, manifest["fields"],
                         manifest.get("partition_spec"),
-                        manifest["schema"], n_out=n_out)
+                        manifest["schema"], n_out=n_out,
+                        bloom_bits=manifest.get("bloom_bits"))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
+    # A delete entry is live only while some remaining file predates it
+    # (sequence rule); once every covered file is rewritten the entry is
+    # a no-op — drop it so e.g. manifest_count is exact again.
+    live = [d for d in manifest.get("deletes", [])
+            if any(f["seq"] < d["seq"] for f in kept + added)]
     _commit(path, {"version": ver, "operation": "compact", "key": key,
                    "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
                    "partition_spec": manifest.get("partition_spec"),
+                   "bloom_bits": manifest.get("bloom_bits"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
-                   "deletes": manifest.get("deletes", [])})
+                   "deletes": live})
     return ver
 
 
@@ -870,6 +1006,7 @@ def _evolve(path: str, op: str, fields: list, schema: dict,
                    "tokens": manifest.get("tokens", {}),
                    "fields": fields,
                    "partition_spec": manifest.get("partition_spec"),
+                   "bloom_bits": manifest.get("bloom_bits"),
                    "last_field_id": (manifest["last_field_id"]
                                      if last_id is None else last_id),
                    "write_schemas": manifest["write_schemas"],
@@ -1019,6 +1156,7 @@ def rollback(path: str, version: int) -> int:
                    "key": target["key"], "schema": target["schema"],
                    "fields": target["fields"],
                    "partition_spec": target.get("partition_spec"),
+                   "bloom_bits": target.get("bloom_bits"),
                    # ids already burned stay burned: a post-rollback
                    # add_column must not reuse a rolled-back id
                    "last_field_id": latest["last_field_id"],

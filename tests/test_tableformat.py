@@ -798,3 +798,77 @@ def test_partition_spec_validation(spark, table):
     with pytest.raises(ValueError, match="not in"):
         tf.snapshot_write(d, table, "url",
                           partition_spec=[("identity", "nope")])
+
+
+# --------------------------------------------------------------------------
+# Per-file key Bloom filters + metadata-only count
+
+def test_bloom_prunes_point_lookup_where_minmax_cannot(spark, table):
+    # urls mixed across files (crawl order): every file spans ~the full
+    # key range, so min/max alone keeps everything — bloom must cut
+    d = _pages_df(spark, 400).repartition(8, "warc_ts")
+    tf.snapshot_write(d, table, "url", bloom_bits=4096)
+    total = tf.manifest_files(table)
+    assert all("bloom" in f for f in total)
+    u = "https://host5.example/p/40"
+    stats_only = tf._prune_filters(
+        tf._prune(tf.load_manifest(table)["files"], (u, u)),
+        tf.load_manifest(table), None)
+    pruned = tf.manifest_files(table, key_range=(u, u))
+    assert len(pruned) < len(stats_only)
+    rows = tf.snapshot_read(spark, table, key_range=(u, u)).collect()
+    assert [r.url for r in rows] == [u]
+    # same via filters-equality on the key
+    assert len(tf.manifest_files(table, filters={"url": (u, u)})) \
+        == len(pruned)
+    # absent key: bloom may keep false positives but the read is empty
+    ghost = "https://host9.example/p/99999"
+    assert tf.snapshot_read(spark, table,
+                            key_range=(ghost, ghost)).count() == 0
+
+
+def test_bloom_survives_append_merge_compact(spark, table):
+    tf.snapshot_write(_pages_df(spark, 100), table, "url",
+                      bloom_bits=2048)
+    with pytest.raises(ValueError, match="table creation"):
+        tf.snapshot_write(_pages_df(spark, 10), table, "url",
+                          bloom_bits=2048)
+    tf.snapshot_write(_pages_df(spark, 10), table, "url")
+    upd = _pages_df(spark, 5).withColumn("text", F.lit("patched"))
+    tf.merge_upsert(upd, table)
+    tf.compact(table, 10_000, spark=spark)
+    m = tf.load_manifest(table)
+    assert m["bloom_bits"] == 2048
+    assert all("bloom" in f for f in m["files"])
+    u = "https://host2.example/p/2"
+    rows = tf.snapshot_read(spark, table,
+                            filters={"url": (u, u)}).collect()
+    assert [(r.url, r.text) for r in rows] == [(u, "patched")]
+
+
+def test_bloom_bits_validation(spark, table):
+    with pytest.raises(ValueError, match="multiple of 8"):
+        tf.snapshot_write(_pages_df(spark, 10), table, "url",
+                          bloom_bits=100)
+
+
+def test_manifest_count_exact_and_refuses_pending_deletes(spark, table):
+    tf.snapshot_write(_pages_df(spark, 100), table, "url")
+    tf.snapshot_write(_pages_df(spark, 40), table, "url")
+    # append + merge conserve the count without a scan
+    upd = _pages_df(spark, 5).withColumn("text", F.lit("x"))
+    tf.merge_upsert(upd, table)
+    assert tf.manifest_count(table) == \
+        tf.snapshot_read(spark, table).count()
+    # historical versions count at their own state
+    assert tf.manifest_count(table, version=1) == 100
+    # pending merge-on-read delete -> refuse (count would over-report)
+    ks = spark.createDataFrame(
+        [("https://host1.example/p/1",)], "url string")
+    tf.delete_keys(ks, table)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        tf.manifest_count(table)
+    # compaction materializes the delete; count is exact again
+    tf.compact(table, 10_000, spark=spark)
+    assert tf.manifest_count(table) == \
+        tf.snapshot_read(spark, table).count()
