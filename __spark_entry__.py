@@ -4292,6 +4292,47 @@ _TABLE_METADATA_COUNT_SQL = (
     "WITH p AS ({cte}) SELECT COUNT(*) AS n_rows FROM p")
 
 
+def q_table_cluster_rewrite(spark, sf_dir):
+    """Key-clustered rewrite (sources/tableformat.py
+    rewrite_clustered, Iceberg's sort-order rewrite_data_files):
+    pages land in CRAWL order — every file spans ~the full url range,
+    so a key-RANGE read scans everything (Bloom filters only help
+    equality) — then ONE range-distributed sorted rewrite gives files
+    disjoint key ranges; the same range read afterwards must prune
+    files (asserted, driver-side).  Layout-only: the value oracle
+    pins that the row multiset inside the range is unchanged."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblcl_"), "tbl")
+    pages = (pages_from_documents(_docs(spark, sf_dir))
+             .select("url", "warc_ts", "text", "lang")
+             .repartition(8, "warc_ts"))     # crawl order: urls mixed
+    tf.snapshot_write(pages, table, "url")
+    lo, hi = "https://host3.example/p/1", "https://host3.example/p/3"
+    n_before = len(tf.manifest_files(table, key_range=(lo, hi)))
+    tf.rewrite_clustered(table, 80, spark=spark)
+    n_after = len(tf.manifest_files(table, key_range=(lo, hi)))
+    if not n_after < n_before:
+        raise AssertionError("clustered rewrite pruned nothing")
+    out = tf.snapshot_read(spark, table, key_range=(lo, hi))
+    return (out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("url", "ts"))
+
+
+_TABLE_CLUSTER_REWRITE_SQL = (
+    "WITH p AS ({cte}) "
+    "SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "length(text) AS n_chars FROM p "
+    "WHERE url >= 'https://host3.example/p/1' "
+    "AND url <= 'https://host3.example/p/3' "
+    "ORDER BY url, ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4305,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
         "table_metadata_count": q_table_metadata_count,
+        "table_cluster_rewrite": q_table_cluster_rewrite,
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
@@ -4599,6 +4641,8 @@ def oracle_sql() -> dict[str, str]:
         "table_bloom_prune": _TABLE_BLOOM_PRUNE_SQL.format(
             cte=oracle.pages_cte(with_ts=True)),
         "table_metadata_count": _TABLE_METADATA_COUNT_SQL.format(
+            cte=oracle.pages_cte(with_ts=True)),
+        "table_cluster_rewrite": _TABLE_CLUSTER_REWRITE_SQL.format(
             cte=oracle.pages_cte(with_ts=True)),
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),

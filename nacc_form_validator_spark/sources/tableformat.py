@@ -995,6 +995,61 @@ def compact(path: str, target_rows: int,
     return ver
 
 
+def rewrite_clustered(path: str, target_rows: int,
+                      spark: Optional[SparkSession] = None) -> int:
+    """Key-clustered full rewrite (Iceberg's sort-order
+    ``rewrite_data_files``): every data file is rewritten range-
+    distributed and sorted on the table key, so files carry DISJOINT
+    key ranges and min/max bounds prune point AND range lookups that a
+    crawl-ordered layout defeats — the complementary fix to the
+    per-file Bloom index, which accelerates equality probes only.
+    Pending merge-on-read deletes are materialized, and since no old
+    file survives, every delete entry is dropped (sequence rule:
+    nothing predates them any more) — :func:`manifest_count` is exact
+    again afterwards.  Layout-only: the row multiset is unchanged and
+    :func:`table_changelog` across the rewrite reports no changes
+    (both laws pinned by tests).
+
+    Partition-spec'd tables are refused: hidden partitioning already
+    prunes whole directories on the partition source columns, and a
+    global range distribution would fight the spec's layout.
+
+    Scale: ``repartitionByRange`` samples the key (one lightweight
+    pass), then ONE total-order shuffle rewrites the table — the same
+    cost Iceberg's sort rewrite pays, amortized across every
+    subsequent pruned read.  Returns the new version."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    manifest = load_manifest(path)
+    if manifest.get("partition_spec"):
+        raise ValueError("rewrite_clustered applies to unpartitioned "
+                         "tables; partitioned tables already prune by "
+                         "their spec")
+    key = manifest["key"]
+    total = sum(f["rows"] for f in manifest["files"])
+    n_out = max(1, -(-total // target_rows))
+    ver = manifest["version"] + 1
+    sub = os.path.join(path, _DATA, f"s{ver}")
+    df = _read_with_deletes(spark, manifest, manifest["files"])
+    (df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+       .write.mode("error").parquet(sub))
+    added = _file_stats(spark, sub, key, ver,
+                        fields=manifest["fields"],
+                        bloom_bits=manifest.get("bloom_bits"))
+    ws = dict(manifest["write_schemas"])
+    ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
+    _commit(path, {"version": ver, "operation": "cluster", "key": key,
+                   "tokens": manifest.get("tokens", {}),
+                   "schema": manifest["schema"],
+                   "fields": manifest["fields"],
+                   "partition_spec": None,
+                   "bloom_bits": manifest.get("bloom_bits"),
+                   "last_field_id": manifest["last_field_id"],
+                   "write_schemas": ws,
+                   "files": added, "added": added, "deletes": []})
+    return ver
+
+
 def _evolve(path: str, op: str, fields: list, schema: dict,
             last_id: Optional[int] = None) -> int:
     """Metadata-only schema commit: same files, same deletes, new

@@ -872,3 +872,56 @@ def test_manifest_count_exact_and_refuses_pending_deletes(spark, table):
     tf.compact(table, 10_000, spark=spark)
     assert tf.manifest_count(table) == \
         tf.snapshot_read(spark, table).count()
+
+
+# --------------------------------------------------------------------------
+# Key-clustered rewrite (Iceberg sort-order rewrite_data_files)
+
+def test_rewrite_clustered_disjoint_ranges_and_pruning(spark, table):
+    # crawl order: every file spans ~the full key range, bounds keep
+    # (nearly) everything on a point lookup
+    d = _pages_df(spark, 400).repartition(8, "warc_ts")
+    tf.snapshot_write(d, table, "url")
+    u = "https://host5.example/p/40"
+    assert len(tf.manifest_files(table, key_range=(u, u))) > 1
+    before = sorted((r.url, r.text)
+                    for r in tf.snapshot_read(spark, table).collect())
+    v = tf.rewrite_clustered(table, 60, spark=spark)
+    m = tf.load_manifest(table)
+    assert len(m["files"]) >= 6
+    # disjoint key ranges across files (unique keys -> strict order)
+    fs = sorted(m["files"], key=lambda f: f["min"])
+    for a, b in zip(fs, fs[1:]):
+        assert a["max"] <= b["min"]
+    # point lookup now prunes to exactly one file
+    assert len(tf.manifest_files(table, key_range=(u, u))) == 1
+    # layout-only: the row multiset is unchanged...
+    after = sorted((r.url, r.text)
+                   for r in tf.snapshot_read(spark, table).collect())
+    assert after == before
+    # ...and the changelog across the rewrite reports no changes
+    assert tf.table_changelog(spark, table, v - 1, v).count() == 0
+
+
+def test_rewrite_clustered_materializes_deletes_inherits_bloom(spark, table):
+    tf.snapshot_write(_pages_df(spark, 100), table, "url",
+                      bloom_bits=2048)
+    ks = spark.createDataFrame(
+        [("https://host1.example/p/1",)], "url string")
+    tf.delete_keys(ks, table)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        tf.manifest_count(table)
+    tf.rewrite_clustered(table, 40, spark=spark)
+    m = tf.load_manifest(table)
+    assert m["deletes"] == []
+    assert all("bloom" in f for f in m["files"])
+    assert tf.manifest_count(table) == 99
+    assert tf.snapshot_read(spark, table).where(
+        F.col("url") == "https://host1.example/p/1").count() == 0
+
+
+def test_rewrite_clustered_refuses_partition_spec(spark, table):
+    tf.snapshot_write(_pages_df(spark, 50), table, "url",
+                      partition_spec=[("bucket", "url", 4)])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tf.rewrite_clustered(table, 10, spark=spark)
