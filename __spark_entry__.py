@@ -4333,6 +4333,51 @@ _TABLE_CLUSTER_REWRITE_SQL = (
     "ORDER BY url, ts")
 
 
+def q_table_wap(spark, sf_dir):
+    """Write-audit-publish (sources/tableformat.py create_branch /
+    snapshot_write(ref=) / publish_branch — Iceberg's WAP pattern,
+    THE production shape for quality-gated ingestion): the en pages
+    are live on main; the candidate non-en crawl batch is committed to
+    an 'audit' BRANCH, so main readers cannot see it (asserted via
+    manifest_count, no job) while the audit gate (no empty text)
+    validates the branch head; publish then fast-forwards main with
+    one atomic pointer flip — the audited files were already in place,
+    zero data movement.  Output = the post-publish main read; the
+    value oracle pins it equals the full union."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblwap_"), "tbl")
+    pages = (pages_from_documents(_docs(spark, sf_dir))
+             .select("url", "warc_ts", "text", "lang"))
+    tf.snapshot_write(pages.where(F.col("lang") == "en"), table, "url")
+    n_published = tf.manifest_count(table)
+    tf.create_branch(table, "audit")
+    tf.snapshot_write(pages.where(F.col("lang") != "en"), table, "url",
+                      ref="audit")
+    if tf.manifest_count(table) != n_published:
+        raise AssertionError("branch write leaked into main")
+    head = tf.ref_version(table, "audit")
+    candidate = tf.snapshot_read(spark, table, version=head)
+    if candidate.where(F.length("text") <= 0).count() > 0:
+        raise AssertionError("audit gate failed")
+    tf.publish_branch(table, "audit")
+    out = tf.snapshot_read(spark, table)
+    return (out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("url", "ts"))
+
+
+_TABLE_WAP_SQL = (
+    "WITH p AS ({cte}) "
+    "SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, "
+    "length(text) AS n_chars FROM p "
+    "ORDER BY url, ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness harness checks the
     # FIRST 50 entries.  Queries that have never had a driver-run green row
@@ -4347,6 +4392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_bloom_prune": q_table_bloom_prune,
         "table_metadata_count": q_table_metadata_count,
         "table_cluster_rewrite": q_table_cluster_rewrite,
+        "table_wap": q_table_wap,
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
@@ -4643,6 +4689,8 @@ def oracle_sql() -> dict[str, str]:
         "table_metadata_count": _TABLE_METADATA_COUNT_SQL.format(
             cte=oracle.pages_cte(with_ts=True)),
         "table_cluster_rewrite": _TABLE_CLUSTER_REWRITE_SQL.format(
+            cte=oracle.pages_cte(with_ts=True)),
+        "table_wap": _TABLE_WAP_SQL.format(
             cte=oracle.pages_cte(with_ts=True)),
         "sb_trigram": perplexity_mod.sb_trigram_sql(),
         "sb_trigram_pretrained": perplexity_mod.sb_trigram_sql(),

@@ -87,3 +87,48 @@ def run_checkpointed(pipeline, pages: DataFrame, target: str,
     sink = (spark.table(target) if _iceberg_available(spark, target)
             else spark.read.parquet(target))
     return sink.filter(F.col("part_bucket").isin(new)).count()
+
+
+def gated_publish(batch: DataFrame, path: str, key: str, qc,
+                  min_pass_rate: float = 1.0,
+                  branch: str = "audit",
+                  cast: bool = False) -> dict:
+    """Write-audit-publish ingestion (Iceberg's WAP pattern wired to
+    the compiled rule gate): commit ``batch`` to a branch of the
+    snapshot table at ``path``, validate ONLY the branch delta with
+    ``qc`` (a :class:`SparkQualityCheck`), and fast-forward main iff
+    the pass rate clears ``min_pass_rate``.  Main readers never see an
+    unaudited row: the branch write moves data files into place but
+    the ``current`` pointer — the only thing a default read resolves —
+    flips atomically at publish.
+
+    On a failed audit the branch is LEFT IN PLACE for forensics (read
+    it with ``snapshot_read(..., ref=branch)``); drop it before
+    retrying the ingest.  On success the branch pointer is dropped
+    (its head IS main now).
+
+    Returns ``{"published": bool, "pass_rate": float, "version": int}``
+    where ``version`` is the published main head or the quarantined
+    branch head.
+
+    Scale shape: the audit validates the DELTA, not the table — one
+    pass over the new files (rule gate is a pure projection +
+    whatever windows the spec compiles to), one 1-row aggregate for
+    the rate; publish itself is a pointer flip, zero data movement."""
+    from . import tableformat as tf
+    spark = batch.sparkSession
+    tf.create_branch(path, branch)
+    tf.snapshot_write(batch, path, key, ref=branch)
+    delta = tf.branch_delta(spark, path, branch)
+    validated = qc.validate(delta, cast=cast)
+    row = validated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("ok")
+    ).collect()[0]
+    rate = (row["ok"] / row["n"]) if row["n"] else 1.0
+    if rate >= min_pass_rate:
+        ver = tf.publish_branch(path, branch)
+        tf.drop_branch(path, branch)
+        return {"published": True, "pass_rate": rate, "version": ver}
+    return {"published": False, "pass_rate": rate,
+            "version": tf.ref_version(path, branch)}

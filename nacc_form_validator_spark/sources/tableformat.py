@@ -90,19 +90,156 @@ def load_manifest(path: str, version: Optional[int] = None) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, manifest: dict) -> None:
-    """Write the manifest, then atomically flip the current pointer.
-    A crash before the replace leaves the table at the old version
+def _commit(path: str, manifest: dict, ref: Optional[str] = None) -> None:
+    """Write the manifest, then atomically flip a pointer — the main
+    ``current`` pointer by default, or a branch ref file when ``ref``
+    is given (the write-audit-publish path: main readers never see the
+    branch head until :func:`publish_branch` flips ``current``).  A
+    crash before the replace leaves the pointer at the old version
     with an orphan manifest — never a torn read."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     mp = _manifest_path(path, manifest["version"])
     with open(mp + ".tmp", "w") as f:
         json.dump(manifest, f)
     os.replace(mp + ".tmp", mp)
-    ptr = os.path.join(_meta_dir(path), "current")
+    ptr = (os.path.join(_meta_dir(path), "current") if ref is None
+           else _ref_path(path, ref))
     with open(ptr + ".tmp", "w") as f:
         f.write(str(manifest["version"]))
     os.replace(ptr + ".tmp", ptr)
+
+
+def _next_version(path: str) -> int:
+    """Next unallocated version number: 1 + the highest manifest on
+    disk.  Versions are allocated globally across main AND branches
+    (like Iceberg snapshot ids), so histories never collide; version
+    numbers on any single ref are increasing but need not be dense."""
+    meta = _meta_dir(path)
+    if not os.path.isdir(meta):
+        return 1
+    vs = [int(f[1:-5]) for f in os.listdir(meta)
+          if f.startswith("v") and f.endswith(".json")]
+    return max(vs) + 1 if vs else 1
+
+
+# --------------------------------------------------------------------------
+# Branch refs — Iceberg's write-audit-publish (WAP) primitive.
+#
+# A branch is a named pointer into the same manifest store.  Commits
+# to the branch advance only its ref file; ``current`` (what every
+# default read resolves) is untouched, so unvalidated data is
+# invisible to consumers.  After the audit passes, publish_branch
+# fast-forwards ``current`` to the branch head — metadata-only, the
+# candidate files are already in place.
+
+def _ref_path(path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith(".") or name == "main":
+        raise ValueError(f"invalid branch name {name!r}")
+    return os.path.join(_meta_dir(path), f"ref-{name}")
+
+
+def create_branch(path: str, name: str,
+                  at_version: Optional[int] = None) -> int:
+    """Create branch ``name`` at ``at_version`` (default: current
+    main head).  Metadata-only: one pointer file."""
+    rp = _ref_path(path, name)
+    if os.path.exists(rp):
+        raise ValueError(f"branch {name!r} already exists")
+    ver = current_version(path) if at_version is None else at_version
+    load_manifest(path, ver)          # must point at a live snapshot
+    with open(rp + ".tmp", "w") as f:
+        f.write(str(ver))
+    os.replace(rp + ".tmp", rp)
+    return ver
+
+
+def ref_version(path: str, name: str) -> int:
+    """Resolve a ref to its version ('main' resolves the current
+    pointer).  Feed this to ``snapshot_read(..., version=...)`` /
+    ``load_manifest`` to read a branch head."""
+    if name == "main":
+        return current_version(path)
+    rp = _ref_path(path, name)
+    if not os.path.exists(rp):
+        raise ValueError(f"no branch {name!r}")
+    with open(rp) as f:
+        return int(f.read().strip())
+
+
+def list_refs(path: str) -> dict:
+    """name -> version for main + every branch."""
+    out = {"main": current_version(path)}
+    meta = _meta_dir(path)
+    if os.path.isdir(meta):
+        for f in sorted(os.listdir(meta)):
+            if f.startswith("ref-"):
+                out[f[4:]] = ref_version(path, f[4:])
+    return out
+
+
+def drop_branch(path: str, name: str) -> None:
+    os.remove(_ref_path(path, name))
+
+
+def _parent_of(path: str, version: int) -> int:
+    m = load_manifest(path, version)
+    # legacy manifests predate the parent field; history was linear
+    return m.get("parent", version - 1)
+
+
+def branch_delta(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Rows in files ADDED by the branch's commits since it forked
+    from main — exactly the candidate data a write-audit-publish gate
+    must validate (the published rows were already audited).  Walks
+    the branch head's parent chain until it meets main's chain, so
+    main advancing after the fork never leaks its rows into the
+    audit.  Deletes pending at the branch head apply (sequence
+    rule)."""
+    head = ref_version(path, name)
+    main_chain = set()
+    v = current_version(path)
+    while v > 0:
+        main_chain.add(v)
+        if not os.path.exists(_manifest_path(path, v)):
+            break                 # expired below here
+        v = _parent_of(path, v)
+    mhead = load_manifest(path, head)
+    files: list = []
+    v = head
+    while v > 0 and v not in main_chain:
+        m = load_manifest(path, v)
+        files.extend(m["added"])
+        v = m.get("parent", v - 1)
+    return _read_with_deletes(spark, mhead, files)
+
+
+def publish_branch(path: str, name: str) -> int:
+    """Fast-forward main to the branch head (Iceberg's
+    ``fast_forward('main', branch)``) — the PUBLISH step of
+    write-audit-publish.  Metadata-only: the branch's data files were
+    committed when written; this flips one pointer, so the audited
+    state appears to every main reader atomically.
+
+    Requires main's head to be an ANCESTOR of the branch head (walked
+    over the manifests' parent chain).  If main advanced since the
+    branch was cut, the histories diverged and a fast-forward would
+    silently drop main's commits — refused; rebuild the branch from
+    the new head instead."""
+    head = ref_version(path, name)
+    main = current_version(path)
+    v = head
+    while v > main:
+        v = _parent_of(path, v)
+    if v != main:
+        raise ValueError(
+            f"main (v{main}) is not an ancestor of branch {name!r} "
+            f"(v{head}); histories diverged — recreate the branch "
+            "from the current head")
+    ptr = os.path.join(_meta_dir(path), "current")
+    with open(ptr + ".tmp", "w") as f:
+        f.write(str(head))
+    os.replace(ptr + ".tmp", ptr)
+    return head
 
 
 #: fixed-width timestamp rendering — lexicographic order IS
@@ -518,7 +655,8 @@ def snapshot_write(df: DataFrame, path: str, key: str,
                    mode: str = "append",
                    token: Optional[str] = None,
                    partition_spec: Optional[list] = None,
-                   bloom_bits: Optional[int] = None) -> int:
+                   bloom_bits: Optional[int] = None,
+                   ref: str = "main") -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``append`` adds files next to the current file set (``df`` must
@@ -547,13 +685,26 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     version is returned — the exactly-once handshake a streaming
     ``foreachBatch`` sink needs when a micro-batch is replayed after a
     crash (the batch reached the table, the source checkpoint did
-    not)."""
+    not).
+
+    ``ref`` commits to a branch created by :func:`create_branch`
+    instead of main — the WRITE step of write-audit-publish: the
+    candidate data lands in the table store but main readers cannot
+    see it until :func:`publish_branch`.  A branch write bases itself
+    on the BRANCH head (not main) and advances only the branch
+    pointer."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
-    ver = current_version(path) + 1
-    fresh = mode == "overwrite" or ver == 1
-    prev = None if fresh else load_manifest(path)
+    base_ver = (current_version(path) if ref == "main"
+                else ref_version(path, ref))
+    ver = _next_version(path)
+    fresh = mode == "overwrite" or base_ver == 0
+    prev = None if fresh else load_manifest(path, base_ver)
+    if prev is None and ref != "main":
+        # a fresh file set on a branch is legal (overwrite candidate),
+        # but the TABLE must exist — branches fork from a table
+        load_manifest(path)
     if token is not None and prev is not None:
         seen = prev.get("tokens", {})
         if token in seen:
@@ -602,12 +753,14 @@ def snapshot_write(df: DataFrame, path: str, key: str,
     if token is not None:
         tokens[token] = ver
     ws[str(ver)] = _ws_entry(schema, fields)
-    _commit(path, {"version": ver, "operation": mode, "key": key,
+    _commit(path, {"version": ver, "parent": base_ver,
+                   "operation": mode, "key": key,
                    "schema": schema, "fields": fields,
                    "partition_spec": spec, "bloom_bits": bloom,
                    "last_field_id": last_id, "write_schemas": ws,
                    "tokens": tokens,
-                   "files": files, "added": added, "deletes": deletes})
+                   "files": files, "added": added, "deletes": deletes},
+            ref=None if ref == "main" else ref)
     return ver
 
 
@@ -796,7 +949,8 @@ def _read_with_deletes(spark: SparkSession, manifest: dict,
 def snapshot_read(spark: SparkSession, path: str,
                   version: Optional[int] = None,
                   key_range: Optional[Tuple] = None,
-                  filters: Optional[dict] = None) -> DataFrame:
+                  filters: Optional[dict] = None,
+                  ref: Optional[str] = None) -> DataFrame:
     """Read the table as of ``version`` (default: current).
     ``key_range=(lo, hi)`` prunes data files by manifest key stats and
     ``filters`` ({column: (lo, hi)}) by the per-column bounds BEFORE
@@ -805,7 +959,13 @@ def snapshot_read(spark: SparkSession, path: str,
     ``filters={col: (v, v)}``).  Pending merge-on-read deletes are
     applied (see :func:`delete_keys`).  Combined with a Z-ordered
     layout (``operators/layout.py``) the per-column bounds skip files
-    on EVERY interleaved dimension, not just the table key."""
+    on EVERY interleaved dimension, not just the table key.
+    ``ref`` reads a branch head (the AUDIT step of
+    write-audit-publish); mutually exclusive with ``version``."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        version = ref_version(path, ref)
     manifest = load_manifest(path, version)
     files = _prune_partitions(manifest["files"], manifest, filters)
     files = _prune_filters(_prune(files, key_range), manifest, filters)
@@ -885,7 +1045,7 @@ def merge_upsert(updates: DataFrame, path: str,
     survivors = (_read_with_deletes(spark, manifest, touched)
                  .join(F.broadcast(updates.select(key)), key,
                        "left_anti"))
-    ver = manifest["version"] + 1
+    ver = _next_version(path)
     sub = os.path.join(path, _DATA, f"s{ver}")
     added = _write_data(survivors.unionByName(updates), sub, key, ver,
                         manifest["fields"],
@@ -897,7 +1057,8 @@ def merge_upsert(updates: DataFrame, path: str,
     tokens = dict(manifest.get("tokens", {}))
     if token is not None:
         tokens[token] = ver
-    _commit(path, {"version": ver, "operation": "merge", "key": key,
+    _commit(path, {"version": ver,
+                   "parent": manifest["version"], "operation": "merge", "key": key,
                    "tokens": tokens,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
@@ -925,7 +1086,7 @@ def delete_keys(keys: DataFrame, path: str,
     if token is not None and token in manifest.get("tokens", {}):
         return manifest["tokens"][token]
     key = manifest["key"]
-    ver = manifest["version"] + 1
+    ver = _next_version(path)
     sub = os.path.join(path, _DATA, f"d{ver}")
     dk = keys.select(key).distinct()
     dk.coalesce(1).write.mode("error").parquet(sub)
@@ -935,7 +1096,8 @@ def delete_keys(keys: DataFrame, path: str,
     tokens = dict(manifest.get("tokens", {}))
     if token is not None:
         tokens[token] = ver
-    _commit(path, {"version": ver, "operation": "delete", "key": key,
+    _commit(path, {"version": ver,
+                   "parent": manifest["version"], "operation": "delete", "key": key,
                    "tokens": tokens,
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
@@ -968,7 +1130,7 @@ def compact(path: str, target_rows: int,
     kept = [f for f in manifest["files"] if f["rows"] >= target_rows]
     total = sum(f["rows"] for f in small)
     n_out = max(1, -(-total // target_rows))
-    ver = manifest["version"] + 1
+    ver = _next_version(path)
     sub = os.path.join(path, _DATA, f"s{ver}")
     added = _write_data(_read_with_deletes(spark, manifest, small),
                         sub, key, ver, manifest["fields"],
@@ -982,7 +1144,8 @@ def compact(path: str, target_rows: int,
     # a no-op — drop it so e.g. manifest_count is exact again.
     live = [d for d in manifest.get("deletes", [])
             if any(f["seq"] < d["seq"] for f in kept + added)]
-    _commit(path, {"version": ver, "operation": "compact", "key": key,
+    _commit(path, {"version": ver,
+                   "parent": manifest["version"], "operation": "compact", "key": key,
                    "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
@@ -1028,7 +1191,7 @@ def rewrite_clustered(path: str, target_rows: int,
     key = manifest["key"]
     total = sum(f["rows"] for f in manifest["files"])
     n_out = max(1, -(-total // target_rows))
-    ver = manifest["version"] + 1
+    ver = _next_version(path)
     sub = os.path.join(path, _DATA, f"s{ver}")
     df = _read_with_deletes(spark, manifest, manifest["files"])
     (df.repartitionByRange(n_out, key).sortWithinPartitions(key)
@@ -1038,7 +1201,8 @@ def rewrite_clustered(path: str, target_rows: int,
                         bloom_bits=manifest.get("bloom_bits"))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
-    _commit(path, {"version": ver, "operation": "cluster", "key": key,
+    _commit(path, {"version": ver,
+                   "parent": manifest["version"], "operation": "cluster", "key": key,
                    "tokens": manifest.get("tokens", {}),
                    "schema": manifest["schema"],
                    "fields": manifest["fields"],
@@ -1055,8 +1219,9 @@ def _evolve(path: str, op: str, fields: list, schema: dict,
     """Metadata-only schema commit: same files, same deletes, new
     current schema — O(1) however large the table."""
     manifest = load_manifest(path)
-    ver = manifest["version"] + 1
-    _commit(path, {"version": ver, "operation": op,
+    ver = _next_version(path)
+    _commit(path, {"version": ver,
+                   "parent": manifest["version"], "operation": op,
                    "key": manifest["key"], "schema": schema,
                    "tokens": manifest.get("tokens", {}),
                    "fields": fields,
@@ -1145,19 +1310,20 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     delete-file keys.  ``n_rows`` counts PHYSICAL rows (manifest
     stats); merge-on-read deletes subtract at read time, so a 'delete'
     snapshot leaves n_rows unchanged until a compact/merge
-    materializes it — exactly Iceberg's bookkeeping."""
+    materializes it — exactly Iceberg's bookkeeping.  Walks MAIN's
+    parent chain, so unpublished branch commits never appear."""
     rows = []
-    for v in range(1, current_version(path) + 1):
-        try:
-            m = load_manifest(path, v)
-        except FileNotFoundError:
-            continue              # expired
+    v = current_version(path)
+    while v > 0 and os.path.exists(_manifest_path(path, v)):
+        m = load_manifest(path, v)
         rows.append((m["version"], m["operation"],
                      len(m["files"]),
                      sum(f["rows"] for f in m["files"]),
                      len(m["added"]),
                      sum(f["rows"] for f in m["added"]),
                      sum(d["rows"] for d in m.get("deletes", []))))
+        v = _parent_of(path, v)
+    rows.reverse()
     return spark.createDataFrame(
         rows, "version int, operation string, n_files int, "
               "n_rows bigint, n_added_files int, n_added_rows bigint, "
@@ -1165,20 +1331,34 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
-    """Drop manifests older than the newest ``keep_last`` and delete
-    data files no remaining manifest references.  Metadata-only
-    bookkeeping plus targeted deletes — never a table scan."""
-    cur = current_version(path)
-    cutoff = cur - keep_last + 1
+    """Drop every manifest outside main's newest ``keep_last``
+    parent-chain entries and delete data files no kept manifest
+    references.  Metadata-only bookkeeping plus targeted deletes —
+    never a table scan.  Also garbage-collects manifests/files left by
+    DROPPED branches (they are off main's chain).  Refuses while live
+    branches exist: their referenced files are invisible from main's
+    chain and would be swept — publish or drop them first."""
+    if len(list_refs(path)) > 1:
+        raise ValueError("live branches exist; publish_branch or "
+                         "drop_branch before expire_snapshots")
+    kept: set = set()
+    v = current_version(path)
+    while (v > 0 and len(kept) < keep_last
+           and os.path.exists(_manifest_path(path, v))):
+        kept.add(v)
+        v = _parent_of(path, v)
     live: set = set()
-    for v in range(cutoff, cur + 1):
+    for v in kept:
         m = load_manifest(path, v)
         live.update(f["path"] for f in m["files"])
         live.update(d["path"] for d in m.get("deletes", []))
     dropped_manifests = dropped_files = 0
-    for v in range(1, cutoff):
-        mp = _manifest_path(path, v)
-        if not os.path.exists(mp):
+    meta = _meta_dir(path)
+    for fn in sorted(os.listdir(meta)):
+        if not (fn.startswith("v") and fn.endswith(".json")):
+            continue
+        v = int(fn[1:-5])
+        if v in kept:
             continue
         m = load_manifest(path, v)
         for f in m["files"] + m.get("deletes", []):
@@ -1188,7 +1368,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
                     os.remove(local)
                     dropped_files += 1
                 live.add(f["path"])   # count each orphan once
-        os.remove(mp)
+        os.remove(_manifest_path(path, v))
         dropped_manifests += 1
     return {"dropped_manifests": dropped_manifests,
             "dropped_files": dropped_files}
@@ -1206,8 +1386,9 @@ def rollback(path: str, version: int) -> int:
         raise ValueError(f"no snapshot v{version} (current is v{cur})")
     target = load_manifest(path, version)
     latest = load_manifest(path, cur)
-    ver = cur + 1
-    _commit(path, {"version": ver, "operation": f"rollback-to-v{version}",
+    ver = _next_version(path)
+    _commit(path, {"version": ver, "parent": cur,
+                   "operation": f"rollback-to-v{version}",
                    "key": target["key"], "schema": target["schema"],
                    "fields": target["fields"],
                    "partition_spec": target.get("partition_spec"),

@@ -925,3 +925,133 @@ def test_rewrite_clustered_refuses_partition_spec(spark, table):
                       partition_spec=[("bucket", "url", 4)])
     with pytest.raises(ValueError, match="unpartitioned"):
         tf.rewrite_clustered(table, 10, spark=spark)
+
+
+# --------------------------------------------------------------------------
+# Branches + write-audit-publish
+
+def test_branch_write_invisible_until_publish(spark, table):
+    tf.snapshot_write(_pages_df(spark, 100), table, "url")
+    tf.create_branch(table, "audit")
+    tf.snapshot_write(_pages_df(spark, 40), table, "url", ref="audit")
+    # main readers see only the published state
+    assert tf.snapshot_read(spark, table).count() == 100
+    assert tf.ref_version(table, "audit") > tf.ref_version(table, "main")
+    # branch readers see the candidate state
+    head = tf.ref_version(table, "audit")
+    assert tf.snapshot_read(spark, table, version=head).count() == 140
+    # publish = fast-forward main; metadata-only, atomic
+    tf.publish_branch(table, "audit")
+    assert tf.snapshot_read(spark, table).count() == 140
+    # history walks main's chain and now includes the branch commit
+    hist = tf.table_history(spark, table).collect()
+    assert [r.version for r in hist] == [1, 2]
+
+
+def test_branch_commits_stack_and_base_on_branch_head(spark, table):
+    tf.snapshot_write(_pages_df(spark, 50), table, "url")
+    tf.create_branch(table, "audit")
+    tf.snapshot_write(_pages_df(spark, 10), table, "url", ref="audit")
+    tf.snapshot_write(_pages_df(spark, 20), table, "url", ref="audit")
+    head = tf.ref_version(table, "audit")
+    assert tf.snapshot_read(spark, table, version=head).count() == 80
+    assert tf.snapshot_read(spark, table).count() == 50
+    refs = tf.list_refs(table)
+    assert refs["main"] == 1 and refs["audit"] == head
+
+
+def test_publish_refuses_diverged_main(spark, table):
+    tf.snapshot_write(_pages_df(spark, 50), table, "url")
+    tf.create_branch(table, "audit")
+    tf.snapshot_write(_pages_df(spark, 10), table, "url", ref="audit")
+    # main advances independently -> histories diverged
+    tf.snapshot_write(_pages_df(spark, 5), table, "url")
+    with pytest.raises(ValueError, match="diverged"):
+        tf.publish_branch(table, "audit")
+    # dropping the branch clears the way; expire GCs its orphan files
+    tf.drop_branch(table, "audit")
+    assert "audit" not in tf.list_refs(table)
+    res = tf.expire_snapshots(table, keep_last=2)
+    assert res["dropped_manifests"] >= 1
+    assert tf.snapshot_read(spark, table).count() == 55
+
+
+def test_expire_refuses_live_branches(spark, table):
+    tf.snapshot_write(_pages_df(spark, 30), table, "url")
+    tf.snapshot_write(_pages_df(spark, 10), table, "url")
+    tf.create_branch(table, "wip")
+    with pytest.raises(ValueError, match="live branches"):
+        tf.expire_snapshots(table)
+    tf.drop_branch(table, "wip")
+    tf.expire_snapshots(table)
+    assert tf.snapshot_read(spark, table).count() == 40
+
+
+def test_branch_validation(spark, table):
+    tf.snapshot_write(_pages_df(spark, 10), table, "url")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        tf.create_branch(table, "main")
+    tf.create_branch(table, "a")
+    with pytest.raises(ValueError, match="already exists"):
+        tf.create_branch(table, "a")
+    with pytest.raises(ValueError, match="no branch"):
+        tf.snapshot_write(_pages_df(spark, 5), table, "url", ref="nope")
+
+
+def test_branch_token_idempotent_and_bloom_inherited(spark, table):
+    tf.snapshot_write(_pages_df(spark, 60), table, "url",
+                      bloom_bits=2048)
+    tf.create_branch(table, "audit")
+    v1 = tf.snapshot_write(_pages_df(spark, 10), table, "url",
+                           ref="audit", token="batch-7")
+    v2 = tf.snapshot_write(_pages_df(spark, 10), table, "url",
+                           ref="audit", token="batch-7")
+    assert v1 == v2                       # replay no-ops on the branch
+    m = tf.load_manifest(table, tf.ref_version(table, "audit"))
+    assert all("bloom" in f for f in m["files"])
+
+
+# --------------------------------------------------------------------------
+# gated_publish: WAP wired to the compiled rule gate
+
+def test_gated_publish_publishes_clean_batch(spark, table):
+    from nacc_form_validator_spark import SparkQualityCheck
+    from nacc_form_validator_spark.sources.sinks import gated_publish
+    tf.snapshot_write(_pages_df(spark, 50), table, "url")
+    qc = SparkQualityCheck(pk_field="url", schema={
+        "text": {"type": "string", "required": True, "nullable": False}})
+    batch = _pages_df(spark, 20)
+    res = gated_publish(batch, table, "url", qc)
+    assert res["published"] is True and res["pass_rate"] == 1.0
+    assert tf.snapshot_read(spark, table).count() == 70
+    assert "audit" not in tf.list_refs(table)
+
+
+def test_gated_publish_quarantines_failing_batch(spark, table):
+    from nacc_form_validator_spark import SparkQualityCheck
+    from nacc_form_validator_spark.sources.sinks import gated_publish
+    tf.snapshot_write(_pages_df(spark, 50), table, "url")
+    qc = SparkQualityCheck(pk_field="url", schema={
+        "text": {"type": "string", "regex": "text-.*"}})
+    bad = _pages_df(spark, 20).withColumn(
+        "text", F.when(F.col("url").endswith("1"), F.lit("JUNK"))
+                 .otherwise(F.col("text")))
+    res = gated_publish(bad, table, "url", qc, min_pass_rate=0.99)
+    assert res["published"] is False and res["pass_rate"] < 0.99
+    # main untouched; the quarantined branch holds the candidate state
+    assert tf.snapshot_read(spark, table).count() == 50
+    assert tf.snapshot_read(spark, table, ref="audit").count() == 70
+    # the audit validated ONLY the delta, which is recoverable as such
+    delta = tf.branch_delta(spark, table, "audit")
+    assert delta.count() == 20
+    tf.drop_branch(table, "audit")
+
+
+def test_branch_delta_excludes_post_fork_main_commits(spark, table):
+    tf.snapshot_write(_pages_df(spark, 30), table, "url")
+    tf.create_branch(table, "b")
+    tf.snapshot_write(_pages_df(spark, 10), table, "url", ref="b")
+    # main advances AFTER the fork; its rows must not leak into the audit
+    tf.snapshot_write(_pages_df(spark, 100), table, "url")
+    assert tf.branch_delta(spark, table, "b").count() == 10
+    tf.drop_branch(table, "b")
