@@ -2071,6 +2071,28 @@ def _warc_source_sql():
     return warc_roundtrip_sql()
 
 
+def q_warc_gz_source(spark, sf_dir):
+    """gzip-member WARC ingest (sources/warc.py read_warc_gz): the
+    SAME records as warc_source but framed the way Common Crawl ships
+    them — one gzip member per record, members concatenated per file —
+    split with zlib's unused_data walk inside one Arrow-batched
+    mapInPandas over binaryFile rows (file = split unit; the CDX
+    offsets table is the range-read scale path).  Same roundtrip
+    oracle as the plain reader: expected parse reconstructed from the
+    source table, so the reader never checks itself."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources.warc import (
+        read_warc_gz, write_warc_gz_fixture)
+    path = tempfile.mkdtemp(prefix="qf_warcgz_") + "/w"
+    write_warc_gz_fixture(_docs(spark, sf_dir), path)
+    return (read_warc_gz(spark, path)
+            .select("url", "warc_ts",
+                    F.octet_length("html").alias("n_bytes"),
+                    F.decode("html", "utf-8").alias("body_text"))
+            .orderBy("url"))
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join (sources/bucketing.py): both sides
     written catalog-bucketed on doc_id once, then joined with ZERO
@@ -4393,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_metadata_count": q_table_metadata_count,
         "table_cluster_rewrite": q_table_cluster_rewrite,
         "table_wap": q_table_wap,
+        "warc_gz_source": q_warc_gz_source,
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
@@ -4810,6 +4833,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_sql(),
         "sessionize_stream": _sessionize_sql(),
         "warc_source": _warc_source_sql(),
+        "warc_gz_source": _warc_source_sql(),
         "bucketed_join": _bucketed_join_sql(),
         "quality_ensemble": _quality_ensemble_sql(),
         "nb_quality": oracle.nb_quality_sql(),

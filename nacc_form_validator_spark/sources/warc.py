@@ -43,12 +43,10 @@ _BODY_RE = r"(?s)\r\n\r\n(.*?)(?:\r\n)*$"
 _DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """(url, warc_ts, html) from every WARC *response* record under
-    ``path``.  html is the raw payload bytes; warc_ts parses the
-    WARC-Date header (ISO-8601 Z)."""
-    raw = (spark.read.option("lineSep", WARC_DELIM).text(path)
-           .where(F.col("value") != ""))
+def _parse_records(raw: DataFrame) -> DataFrame:
+    """(url, warc_ts, html) from a ``value: string`` frame of record
+    texts (version line stripped) — pure Column regexes, zero Python,
+    shared by the plain and gzip readers."""
     rtype = F.regexp_extract(F.col("value"), _TYPE_RE, 1)
     body = F.regexp_extract(F.col("value"), _BODY_RE, 1)
     return (raw.where(rtype == "response")
@@ -58,6 +56,62 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     F.regexp_extract(F.col("value"), _DATE_RE, 1),
                     F.lit(_DATE_FMT)).alias("warc_ts"),
                 F.encode(body, "utf-8").alias("html")))
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, html) from every WARC *response* record under
+    ``path``.  html is the raw payload bytes; warc_ts parses the
+    WARC-Date header (ISO-8601 Z)."""
+    raw = (spark.read.option("lineSep", WARC_DELIM).text(path)
+           .where(F.col("value") != ""))
+    return _parse_records(raw)
+
+
+def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, html) from gzip-framed WARC files — the format
+    Common Crawl actually publishes: ONE GZIP MEMBER PER RECORD,
+    members concatenated into each ``.warc.gz`` (ISO 28500 annex;
+    member boundaries are what make the file seekable given the CDX
+    offset index).
+
+    Scale shape: gzip members are not byte-splittable without that
+    offset index, so the split unit here is the FILE —
+    ``binaryFile`` rows fan out across executors (CC ships a crawl
+    as ~64k files of ~1 GB, ample file-level parallelism), and each
+    task walks its file's members with zlib's ``unused_data``
+    hand-off inside ONE Arrow-batched ``mapInPandas`` (no per-record
+    Python call overhead; the stdlib inflate is C).  With a CDX
+    offsets table you would range-read members directly instead —
+    that composes with the ``cdx_index`` operator, which produces
+    exactly (filename, offset, length).  Header/payload parsing then
+    reuses the same pure-Column regexes as the plain reader."""
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def split_members(batches):
+        import zlib
+        for pdf in batches:
+            vals = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                pos = 0
+                while pos < len(data):
+                    d = zlib.decompressobj(wbits=31)
+                    member = d.decompress(data[pos:]) + d.flush()
+                    text = member.decode("utf-8", "replace")
+                    if text.startswith(WARC_DELIM):
+                        text = text[len(WARC_DELIM):]
+                    vals.append(text)
+                    consumed = len(data) - pos - len(d.unused_data)
+                    if consumed <= 0:
+                        break             # corrupt tail: stop the walk
+                    pos += consumed
+            yield pd.DataFrame({"value": vals})
+
+    recs = raw.select("content").mapInPandas(split_members,
+                                             "value string")
+    return _parse_records(recs)
 
 
 def write_warc_fixture(docs: DataFrame, path: str,
@@ -70,6 +124,13 @@ def write_warc_fixture(docs: DataFrame, path: str,
     delimiter-based reader tolerates (trailing-\\n stripping is part
     of the payload regex).  Every third doc becomes a *request*
     record so the type filter is exercised by real bytes."""
+    docs.select(_record_col(id_col, text_col).alias("value")) \
+        .coalesce(1).write.mode("overwrite").text(path)
+
+
+def _record_col(id_col: str, text_col: str):
+    """The deterministic spec-shaped record string both fixture
+    writers emit (every third doc a *request* record)."""
     ts = F.date_format(
         F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
         F.make_interval(mins=F.col(id_col).cast("int")),
@@ -78,7 +139,7 @@ def write_warc_fixture(docs: DataFrame, path: str,
         .otherwise(F.lit("response"))
     body = F.concat(F.lit("<html><body>"), F.col(text_col),
                     F.lit("</body></html>"))
-    rec = F.concat(
+    return F.concat(
         F.lit(WARC_DELIM),
         F.lit("WARC-Type: "), rtype, F.lit("\r\n"),
         F.lit("WARC-Target-URI: https://w.example/p/"),
@@ -86,8 +147,38 @@ def write_warc_fixture(docs: DataFrame, path: str,
         F.lit("WARC-Date: "), ts, F.lit("\r\n"),
         F.lit("Content-Length: "), F.octet_length(body).cast("string"),
         F.lit("\r\n\r\n"), body, F.lit("\r\n"))
-    docs.select(rec.alias("value")).coalesce(1) \
-        .write.mode("overwrite").text(path)
+
+
+def write_warc_gz_fixture(docs: DataFrame, path: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n_files: int = 4) -> None:
+    """Same records as :func:`write_warc_fixture`, but framed the way
+    Common Crawl ships them: one gzip member per record (``mtime=0``
+    for byte determinism), members concatenated, ``n_files`` files.
+    Written via ``foreachPartition`` with the stdlib gzip — a local
+    stand-in for a Hadoop-FS record writer; the READER under test is
+    the distributed piece."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    recs = docs.select(_record_col(id_col, text_col).alias("value")) \
+               .repartition(n_files)
+
+    def write_part(rows):
+        import gzip
+
+        from pyspark import TaskContext
+        buf = b"".join(
+            gzip.compress(r["value"].encode("utf-8"), mtime=0)
+            for r in rows)
+        if buf:
+            pid = TaskContext.get().partitionId()
+            with open(os.path.join(path, f"part-{pid:04d}.warc.gz"),
+                      "wb") as f:
+                f.write(buf)
+
+    recs.foreachPartition(write_part)
 
 
 def warc_roundtrip_sql(table: str = "documents") -> str:
