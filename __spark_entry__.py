@@ -2093,6 +2093,28 @@ def q_warc_gz_source(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_warc_ranged_source(spark, sf_dir):
+    """CDX range-read ingest (sources/warc.py read_warc_gz_ranged):
+    members fetched by (filename, offset, length) seeks — how Common
+    Crawl is actually accessed at scale: touching the index's byte
+    ranges instead of whole files, so pulling 1k records out of a
+    100 TB crawl costs kilobytes per record.  The offsets come from
+    the fixture's CDX-style member index; the oracle is the same
+    source-table roundtrip as the other WARC readers."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources.warc import (
+        read_cdx_offsets, read_warc_gz_ranged, write_warc_gz_fixture)
+    path = tempfile.mkdtemp(prefix="qf_warcrg_") + "/w"
+    write_warc_gz_fixture(_docs(spark, sf_dir), path)
+    offsets = read_cdx_offsets(spark, path).repartition(8, "filename")
+    return (read_warc_gz_ranged(spark, offsets)
+            .select("url", "warc_ts",
+                    F.octet_length("html").alias("n_bytes"),
+                    F.decode("html", "utf-8").alias("body_text"))
+            .orderBy("url"))
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join (sources/bucketing.py): both sides
     written catalog-bucketed on doc_id once, then joined with ZERO
@@ -4416,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cluster_rewrite": q_table_cluster_rewrite,
         "table_wap": q_table_wap,
         "warc_gz_source": q_warc_gz_source,
+        "warc_ranged_source": q_warc_ranged_source,
         "table_format": q_table_format,
         "table_time_travel": q_table_time_travel,
         "table_incremental": q_table_incremental,
@@ -4834,6 +4857,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_stream": _sessionize_sql(),
         "warc_source": _warc_source_sql(),
         "warc_gz_source": _warc_source_sql(),
+        "warc_ranged_source": _warc_source_sql(),
         "bucketed_join": _bucketed_join_sql(),
         "quality_ensemble": _quality_ensemble_sql(),
         "nb_quality": oracle.nb_quality_sql(),

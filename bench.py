@@ -203,7 +203,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "crawl_priority", "importance_sample",
                  "meta_robots_gate", "sessionize", "asof_join",
                  "char_entropy", "sample_k_per_group",
-                 "dedup_keep_best", "warc_source", "warc_gz_source", "quality_ensemble",
+                 "dedup_keep_best", "warc_source", "warc_gz_source", "warc_ranged_source", "quality_ensemble",
                  "minhash_verified", "chunk_overlap", "corpus_shuffle",
                  "recrawl_delta", "sq8_topk", "budget_select",
                  "weighted_sample", "hll_overlap", "jsonl_source",

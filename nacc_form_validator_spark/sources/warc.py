@@ -87,7 +87,8 @@ def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
     reuses the same pure-Column regexes as the plain reader."""
     import pandas as pd
 
-    raw = spark.read.format("binaryFile").load(path)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.warc.gz").load(path))
 
     def split_members(batches):
         import zlib
@@ -98,7 +99,10 @@ def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
                 pos = 0
                 while pos < len(data):
                     d = zlib.decompressobj(wbits=31)
-                    member = d.decompress(data[pos:]) + d.flush()
+                    try:
+                        member = d.decompress(data[pos:]) + d.flush()
+                    except zlib.error:
+                        break         # corrupt member: stop the walk
                     text = member.decode("utf-8", "replace")
                     if text.startswith(WARC_DELIM):
                         text = text[len(WARC_DELIM):]
@@ -166,19 +170,76 @@ def write_warc_gz_fixture(docs: DataFrame, path: str,
                .repartition(n_files)
 
     def write_part(rows):
+        import csv
         import gzip
 
         from pyspark import TaskContext
-        buf = b"".join(
-            gzip.compress(r["value"].encode("utf-8"), mtime=0)
-            for r in rows)
-        if buf:
-            pid = TaskContext.get().partitionId()
-            with open(os.path.join(path, f"part-{pid:04d}.warc.gz"),
-                      "wb") as f:
-                f.write(buf)
+        members = [gzip.compress(r["value"].encode("utf-8"), mtime=0)
+                   for r in rows]
+        if not members:
+            return
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:04d}.warc.gz")
+        with open(fname, "wb") as f:
+            f.write(b"".join(members))
+        # CDX-style member index: (filename, offset, length) — what
+        # Common Crawl's cdx index provides for range reads
+        with open(fname + ".cdx.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            off = 0
+            for m in members:
+                w.writerow([fname, off, len(m)])
+                off += len(m)
 
     recs.foreachPartition(write_part)
+
+
+def read_warc_gz_ranged(spark: SparkSession, offsets: DataFrame) -> DataFrame:
+    """(url, warc_ts, html) by RANGE-READING individual gzip members —
+    the way Common Crawl is actually accessed at scale: the CDX index
+    gives (filename, offset, length) per record, each task seeks to
+    its members and inflates exactly those bytes, so reading 1k
+    records out of a 100 TB crawl touches kilobytes per record
+    instead of whole files.  ``offsets`` must carry
+    (filename string, offset long, length long); parallelism follows
+    the offsets table's partitioning (repartition it by filename to
+    batch seeks per file handle).  Parsing reuses the shared
+    pure-Column record regexes."""
+    import pandas as pd
+
+    def fetch(batches):
+        import gzip
+
+        for pdf in batches:
+            vals = []
+            # group by file so each file opens once per batch
+            for fname, grp in pdf.groupby("filename"):
+                with open(fname, "rb") as f:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        f.seek(int(off))
+                        text = gzip.decompress(
+                            f.read(int(ln))).decode("utf-8", "replace")
+                        if text.startswith(WARC_DELIM):
+                            text = text[len(WARC_DELIM):]
+                        vals.append(text)
+            yield pd.DataFrame({"value": vals})
+
+    recs = (offsets.select("filename", "offset", "length")
+            .mapInPandas(fetch, "value string"))
+    return _parse_records(recs)
+
+
+def read_cdx_offsets(spark: SparkSession, path: str) -> DataFrame:
+    """The (filename, offset, length) member index the gz fixture
+    writer emits beside each file — a stand-in for querying the real
+    CDX index."""
+    import os
+
+    return (spark.read.csv(os.path.join(path, "*.cdx.csv"))
+            .toDF("filename", "offset", "length")
+            .select("filename",
+                    F.col("offset").cast("long").alias("offset"),
+                    F.col("length").cast("long").alias("length")))
 
 
 def warc_roundtrip_sql(table: str = "documents") -> str:

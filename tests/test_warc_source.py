@@ -104,3 +104,39 @@ def test_warc_gz_tolerates_corrupt_tail(spark):
     if rows is not None:
         assert {r.url for r in rows} == {"https://w.example/p/1",
                                          "https://w.example/p/2"}
+
+
+def test_warc_gz_ranged_read_matches_full_parse(spark):
+    from nacc_form_validator_spark.sources.warc import (
+        read_cdx_offsets, read_warc_gz, read_warc_gz_ranged,
+        write_warc_gz_fixture)
+    docs = spark.createDataFrame(
+        [(i, f"ranged body {i}") for i in range(15)],
+        "doc_id long, text string")
+    path = tempfile.mkdtemp(prefix="warc_rg_t_") + "/w"
+    write_warc_gz_fixture(docs, path, n_files=3)
+    offsets = read_cdx_offsets(spark, path)
+    assert offsets.count() == 15          # one index row per member
+    full = read_warc_gz(spark, path)
+    ranged = read_warc_gz_ranged(spark, offsets)
+    a = sorted((r.url, str(r.warc_ts), bytes(r.html))
+               for r in ranged.collect())
+    b = sorted((r.url, str(r.warc_ts), bytes(r.html))
+               for r in full.collect())
+    assert a == b and len(a) == 10
+
+
+def test_warc_gz_ranged_reads_only_selected_members(spark):
+    from nacc_form_validator_spark.sources.warc import (
+        read_cdx_offsets, read_warc_gz_ranged, write_warc_gz_fixture)
+    docs = spark.createDataFrame(
+        [(i, f"pick {i}") for i in range(10)],
+        "doc_id long, text string")
+    path = tempfile.mkdtemp(prefix="warc_rg2_t_") + "/w"
+    write_warc_gz_fixture(docs, path, n_files=2)
+    offsets = read_cdx_offsets(spark, path)
+    # CC-style point access: fetch a 2-member subset by index position
+    some = offsets.orderBy("filename", "offset").limit(2)
+    out = read_warc_gz_ranged(spark, some)
+    # 2 members -> at most 2 records survive the response filter
+    assert 0 <= out.count() <= 2
