@@ -517,7 +517,7 @@ def streaming_bloom_dedup(pages_stream: DataFrame,
 
 def stream_to_table(stream_df: DataFrame, path: str, key: str,
                     checkpoint: str, job: str = "stream",
-                    available_now: bool = True):
+                    available_now: bool = True, ref: str = "main"):
     """Exactly-once streaming sink into the snapshot table format
     (sources/tableformat.py): each micro-batch commits as ONE table
     snapshot via ``foreachBatch``, carrying the idempotence token
@@ -534,12 +534,19 @@ def stream_to_table(stream_df: DataFrame, path: str, key: str,
     Downstream consumers chain ``tableformat.incremental_read`` on the
     committed versions — the streaming-in / incremental-out loop the
     north rule's resumable recrawl pipeline runs on.  Reference
-    analogue: none (the reference validator keeps no table state)."""
+    analogue: none (the reference validator keeps no table state).
+
+    ``ref`` lands the micro-batches on a branch (streaming
+    write-audit-publish): the stream ingests continuously into an
+    audit branch invisible to main readers, and a periodic audit job
+    validates ``tableformat.branch_delta`` and calls
+    ``publish_branch`` — exactly-once semantics carry over unchanged
+    because the token check reads the BRANCH head's manifest."""
     from nacc_form_validator_spark.sources import tableformat as tf
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         tf.snapshot_write(batch_df, path, key,
-                          token=f"{job}:{batch_id}")
+                          token=f"{job}:{batch_id}", ref=ref)
 
     writer = (stream_df.writeStream.foreachBatch(_commit)
               .option("checkpointLocation", checkpoint)

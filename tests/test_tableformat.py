@@ -1055,3 +1055,33 @@ def test_branch_delta_excludes_post_fork_main_commits(spark, table):
     tf.snapshot_write(_pages_df(spark, 100), table, "url")
     assert tf.branch_delta(spark, table, "b").count() == 10
     tf.drop_branch(table, "b")
+
+
+def test_stream_to_branch_then_publish(spark, table, tmp_path):
+    """Streaming WAP: micro-batches land on an audit branch invisible
+    to main; publish fast-forwards; replaying the stream with a wiped
+    checkpoint no-ops at the table (token on the branch head)."""
+    from nacc_form_validator_spark.streaming.pipeline import stream_to_table
+    import shutil
+    tf.snapshot_write(_pages_df(spark, 30), table, "url")
+    tf.create_branch(table, "ingest")
+    src = str(tmp_path / "src")
+    _pages_df(spark, 12).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_table(stream, table, "url", ckpt, job="wapjob",
+                        ref="ingest")
+    q.awaitTermination(120)
+    assert tf.snapshot_read(spark, table).count() == 30      # main clean
+    assert tf.snapshot_read(spark, table, ref="ingest").count() == 42
+    # crash-replay: wipe the checkpoint, rerun -> token no-ops
+    shutil.rmtree(ckpt)
+    stream2 = (spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src))
+    q2 = stream_to_table(stream2, table, "url", str(tmp_path / "ckpt"),
+                         job="wapjob", ref="ingest")
+    q2.awaitTermination(120)
+    assert tf.snapshot_read(spark, table, ref="ingest").count() == 42
+    tf.publish_branch(table, "ingest")
+    assert tf.snapshot_read(spark, table).count() == 42
