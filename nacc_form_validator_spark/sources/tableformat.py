@@ -1006,7 +1006,8 @@ def incremental_read(spark: SparkSession, path: str, since: int,
 
 
 def merge_upsert(updates: DataFrame, path: str,
-                 token: Optional[str] = None) -> int:
+                 token: Optional[str] = None,
+                 ref: str = "main") -> int:
     """Copy-on-write MERGE: replace current rows whose key appears in
     ``updates`` (insert the rest).  Only data files whose min/max key
     stats overlap an update key are rewritten; every other file is
@@ -1020,7 +1021,8 @@ def merge_upsert(updates: DataFrame, path: str,
     import bisect
 
     spark = updates.sparkSession
-    manifest = load_manifest(path)
+    manifest = load_manifest(path, None if ref == "main"
+                             else ref_version(path, ref))
     if token is not None and token in manifest.get("tokens", {}):
         return manifest["tokens"][token]
     key = manifest["key"]
@@ -1067,12 +1069,14 @@ def merge_upsert(updates: DataFrame, path: str,
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
-                   "deletes": manifest.get("deletes", [])})
+                   "deletes": manifest.get("deletes", [])},
+            ref=None if ref == "main" else ref)
     return ver
 
 
 def delete_keys(keys: DataFrame, path: str,
-                token: Optional[str] = None) -> int:
+                token: Optional[str] = None,
+                ref: str = "main") -> int:
     """Merge-on-read DELETE: commit the keys in ``keys`` as a delete
     file — NO data file is read or rewritten (the takedown/GDPR path:
     at 100 TB honoring a removal list by rewrite is not an option).
@@ -1082,7 +1086,8 @@ def delete_keys(keys: DataFrame, path: str,
     Physical removal happens when :func:`compact` (or a merge) next
     rewrites the affected files."""
     spark = keys.sparkSession
-    manifest = load_manifest(path)
+    manifest = load_manifest(path, None if ref == "main"
+                             else ref_version(path, ref))
     if token is not None and token in manifest.get("tokens", {}):
         return manifest["tokens"][token]
     key = manifest["key"]
@@ -1106,7 +1111,8 @@ def delete_keys(keys: DataFrame, path: str,
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": manifest["write_schemas"],
                    "files": manifest["files"], "added": [],
-                   "deletes": manifest.get("deletes", []) + entry})
+                   "deletes": manifest.get("deletes", []) + entry},
+            ref=None if ref == "main" else ref)
     return ver
 
 
@@ -1404,7 +1410,8 @@ def rollback(path: str, version: int) -> int:
 
 
 def apply_changes(changes: DataFrame, path: str, op_col: str = "op",
-                  token: Optional[str] = None) -> int:
+                  token: Optional[str] = None,
+                  ref: str = "main") -> int:
     """Apply one changelog batch (CDC): rows carry the table columns
     plus ``op_col`` in {'upsert', 'delete'} (a delete row only needs
     its key).  Upserts go through the copy-on-write merge, deletes
@@ -1415,8 +1422,12 @@ def apply_changes(changes: DataFrame, path: str, op_col: str = "op",
     just-rewritten row); order changes across batches to express the
     opposite.  ``token`` idempotence covers BOTH commits separately
     (suffixes ':u' / ':d'), so a crash between them replays exactly
-    the missing half.  Returns the final version."""
-    manifest = load_manifest(path)
+    the missing half.  ``ref`` applies the batch to a BRANCH (CDC
+    write-audit-publish: the changelog lands invisibly, the audit
+    validates, publish_branch flips main).  Returns the final
+    version."""
+    manifest = load_manifest(path, None if ref == "main"
+                             else ref_version(path, ref))
     key = manifest["key"]
     cols = [f["name"] for f in manifest["fields"]]
     ops = changes.select(op_col).distinct()
@@ -1428,11 +1439,13 @@ def apply_changes(changes: DataFrame, path: str, op_col: str = "op",
     ups = changes.where(F.col(op_col) == "upsert").select(*cols)
     if ups.limit(1).count():
         ver = merge_upsert(ups, path,
-                           token=None if token is None else token + ":u")
+                           token=None if token is None else token + ":u",
+                           ref=ref)
     dels = changes.where(F.col(op_col) == "delete").select(key)
     if dels.limit(1).count():
         ver = delete_keys(dels, path,
-                          token=None if token is None else token + ":d")
+                          token=None if token is None else token + ":d",
+                          ref=ref)
     return ver
 
 

@@ -1085,3 +1085,33 @@ def test_stream_to_branch_then_publish(spark, table, tmp_path):
     assert tf.snapshot_read(spark, table, ref="ingest").count() == 42
     tf.publish_branch(table, "ingest")
     assert tf.snapshot_read(spark, table).count() == 42
+
+
+def test_apply_changes_on_branch_then_publish(spark, table):
+    """CDC WAP: a changelog batch (upsert + delete) applies to a
+    branch; main is untouched until publish."""
+    tf.snapshot_write(_pages_df(spark, 40), table, "url")
+    tf.create_branch(table, "cdc")
+    ch = spark.createDataFrame(
+        [("https://host1.example/p/1",
+          "2025-01-01 01:00:00", "patched", "upsert"),
+         ("https://host2.example/p/2", None, None, "delete")],
+        "url string, warc_ts string, text string, op string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    tf.apply_changes(ch, table, ref="cdc", token="b1")
+    # main untouched
+    main = tf.snapshot_read(spark, table)
+    assert main.count() == 40
+    assert main.where(F.col("text") == "patched").count() == 0
+    # branch carries the applied changelog
+    br = tf.snapshot_read(spark, table, ref="cdc")
+    assert br.count() == 39
+    assert br.where(F.col("url") == "https://host2.example/p/2") \
+             .count() == 0
+    assert br.where(F.col("text") == "patched").count() == 1
+    # idempotent replay on the branch (both halves)
+    v = tf.ref_version(table, "cdc")
+    tf.apply_changes(ch, table, ref="cdc", token="b1")
+    assert tf.ref_version(table, "cdc") == v
+    tf.publish_branch(table, "cdc")
+    assert tf.snapshot_read(spark, table).count() == 39
