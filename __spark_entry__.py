@@ -1053,6 +1053,18 @@ def _fim_sql():
     return fim_transform_sql()
 
 
+def _image_dhash_sql():
+    from nacc_form_validator_spark.operators.phash import (
+        dhash_signatures_sql)
+    return dhash_signatures_sql()
+
+
+def _image_dedup_dhash_sql():
+    from nacc_form_validator_spark.operators.phash import (
+        dhash_near_dups_sql)
+    return dhash_near_dups_sql()
+
+
 def _ppl_kn_sql():
     from nacc_form_validator_spark.functions.perplexity import (
         ppl_kn_bigram_sql)
@@ -2782,6 +2794,32 @@ def q_multimodal_real_decode_jpeg(spark, sf_dir):
           for i in range(8)]).orderBy("url")
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual dHash signature per REAL decoded image
+    (operators/phash.py): a deterministic 9x8 BMP per doc (md5 digest
+    tiled into RGB, three near-dup variants per group) round-trips
+    through the real BMP codec, and the 64-bit gradient hash — integer
+    luma, nearest-neighbor thumbnail, MSB-first row bytes — must match
+    DuckDB's md5-arithmetic reconstruction bit-for-bit."""
+    from nacc_form_validator_spark.operators.phash import (
+        deterministic_dhash_images, dhash_signatures)
+    imgs = deterministic_dhash_images(_docs(spark, sf_dir))
+    return dhash_signatures(imgs).orderBy("url")
+
+
+def q_image_dedup_dhash(spark, sf_dir):
+    """Image NEAR-DUP pairs via banded dHash LSH (operators/phash.py):
+    signatures band into 4x16-bit keys, co-banded candidates verify
+    exact Hamming <= 4 with per-byte xor/bit_count Column arithmetic —
+    the multimodal analogue of simhash_pairs, under the same banding
+    in the oracle."""
+    from nacc_form_validator_spark.operators.phash import (
+        deterministic_dhash_images, dhash_near_dups, dhash_signatures)
+    sigs = dhash_signatures(deterministic_dhash_images(
+        _docs(spark, sf_dir)))
+    return dhash_near_dups(sigs)
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing (operators/multimodal.py): fake body =
     deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
@@ -4431,6 +4469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- newest this round: snapshot table format + trained models ---
+        "image_dhash": q_image_dhash,
+        "image_dedup_dhash": q_image_dedup_dhash,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -4880,6 +4920,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_decode": oracle.multimodal_real_decode_sql(),
         "multimodal_real_decode_jpeg":
             oracle.multimodal_real_decode_jpeg_sql(),
+        "image_dhash": _image_dhash_sql(),
+        "image_dedup_dhash": _image_dedup_dhash_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),

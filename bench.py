@@ -238,7 +238,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "table_bucket_prune", "table_bloom_prune",
                  "table_metadata_count", "table_cluster_rewrite",
                  "table_wap",
-                 "sb_trigram", "lr_quality", "bitext_mine"]:
+                 "sb_trigram", "lr_quality", "bitext_mine",
+                 "image_dhash", "image_dedup_dhash"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
