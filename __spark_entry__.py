@@ -1096,6 +1096,12 @@ def _host_pagerank_sql():
     return host_pagerank_sql(_linked_pages_sql())
 
 
+def _host_harmonic_sql():
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_harmonic_sql)
+    return host_harmonic_sql(_linked_pages_sql())
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-smoothed mixture resampling (T=2 flattens the
     src0/src1/src2 = 0.5/0.3/0.2 target toward uniform — the
@@ -1315,6 +1321,18 @@ def q_host_pagerank(spark, sf_dir):
     from nacc_form_validator_spark.operators.linkgraph import (
         host_pagerank)
     return host_pagerank(_linked_pages(spark, sf_dir))
+
+
+def q_host_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality (operators/linkgraph.py) — the
+    Common Crawl host-rank algorithm: per-host HLL in-ball counters
+    (same md5 register arithmetic as hll_distinct) grown over 3 edge
+    radii with localCheckpoint lineage truncation; H(v) accumulates
+    the per-radius ball growth / t.  Every per-radius estimate is
+    value-exact vs the unrolled DuckDB oracle."""
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_harmonic)
+    return host_harmonic(_linked_pages(spark, sf_dir))
 
 
 #: hand-vetted seed hosts for the trustrank query — the two hub hosts
@@ -4471,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest this round: snapshot table format + trained models ---
         "image_dhash": q_image_dhash,
         "image_dedup_dhash": q_image_dedup_dhash,
+        "host_harmonic": q_host_harmonic,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -4871,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        "host_harmonic": _host_harmonic_sql(),
         "semdedup": oracle.semdedup_sql(threshold=0.40),
         "dedup_incremental_bloom": oracle.incremental_exact_bloom_sql(),
         "mixture_temperature": oracle.mixture_resample_sql(

@@ -313,3 +313,134 @@ def anchor_topk_sql(pages_sql: str, k: int = 3) -> str:
         f"FROM counts) "
         f"SELECT host, token, n, rank FROM ranked WHERE rank <= {k} "
         f"ORDER BY host, rank")
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi & Vigna 2013) — the algorithm
+# behind Common Crawl's published host ranks.  Harmonic centrality
+# H(v) = sum over u != v of 1 / d(u, v) needs all-pairs distances;
+# HyperBall replaces each node's in-ball B_t(v) = {u : d(u -> v) <= t}
+# with an HLL counter (operators/sketches.py registers), so one
+# iteration is one (state |V|*m rows) x edges join + register-max
+# aggregate, and H(v) accumulates (|B_t| - |B_{t-1}|) / t from the
+# per-radius estimates.  Exact all-pairs BFS is infeasible at 10^8
+# hosts; HyperBall is linear in edges per radius with m-bounded state.
+#
+# Determinism: the SAME md5 register arithmetic as hll_distinct (exact
+# power-of-two harmonic sums, round-4 estimates), so the unrolled
+# DuckDB oracle reproduces every per-radius estimate value-for-value.
+# ---------------------------------------------------------------------------
+
+def hyperball_harmonic(edges: DataFrame, iters: int = 3,
+                       m: int = 16) -> DataFrame:
+    """(node, harmonic, ball_est): HyperBall harmonic-centrality
+    estimate from balls of radius ``iters`` over the reversed edge
+    relation (in-balls: who reaches v), plus the final ball-size
+    estimate (v's estimated reach).
+
+    State is (node, bucket, reg) — at most |V| * m rows; each radius
+    ships state keyed by src once and max-merges registers (map-side
+    combinable).  ``localCheckpoint`` truncates iteration lineage
+    (BENCH.md: iterative operators must truncate, not just persist);
+    the edge DISTINCT's shuffle is computed once and reused as skipped
+    stages across radius jobs.  Negative per-radius increments (HLL
+    estimate jitter after rounding) clamp to 0, as in the paper's
+    monotone counters."""
+    from nacc_form_validator_spark.operators.sketches import (
+        _est_expr, hll_registers)
+
+    e = edges.select("src", "dst").distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    # c_0(v) = HLL{v}: exactly one filled register per node
+    state = hll_registers(nodes, F.col("node"), ["node"], m)
+
+    def est(s: DataFrame) -> DataFrame:
+        agg = (s.groupBy("node")
+               .agg(F.count("*").alias("n_filled"),
+                    F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s")))
+        return agg.select("node", F.round(_est_expr(m), 4).alias("est"))
+
+    ests = [est(state)]
+    for _ in range(iters):
+        nbr = (state.join(e, state["node"] == e["src"])
+               .select(F.col("dst").alias("node"), "bucket", "reg"))
+        state = (state.unionByName(nbr)
+                 .groupBy("node", "bucket")
+                 .agg(F.max("reg").alias("reg"))
+                 .localCheckpoint(eager=True))
+        ests.append(est(state))
+
+    out = nodes
+    for t, es in enumerate(ests):
+        out = out.join(es.withColumnRenamed("est", f"__e{t}"), "node")
+    harm = None
+    for t in range(1, iters + 1):
+        inc = (F.greatest(F.lit(0.0),
+                          F.col(f"__e{t}") - F.col(f"__e{t - 1}"))
+               / F.lit(float(t)))
+        harm = inc if harm is None else harm + inc
+    return (out.select("node", F.round(harm, 4).alias("harmonic"),
+                       F.col(f"__e{iters}").alias("ball_est"))
+            .orderBy("node"))
+
+
+def host_harmonic(pages: DataFrame, iters: int = 3,
+                  m: int = 16) -> DataFrame:
+    """Composed extraction + HyperBall over a pages table."""
+    return hyperball_harmonic(extract_host_edges(pages), iters, m)
+
+
+def host_harmonic_sql(pages_sql: str, iters: int = 3,
+                      m: int = 16) -> str:
+    """DuckDB mirror of :func:`host_harmonic` over ``pages_sql`` (a
+    subquery yielding (url, html_str)): same edge extraction, same
+    register arithmetic, same unrolled per-radius estimates."""
+    from nacc_form_validator_spark.operators.sketches import _alpha
+
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    src = url_host_sql("url")
+    dsth = url_host_sql("link")
+    b16 = "CAST(concat('0x', substr(md5(node), 1, 4)) AS BIGINT)"
+    v32 = "CAST(concat('0x', substr(md5(node), 5, 8)) AS BIGINT)"
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"hrefs AS (SELECT {src} AS src, unnest(regexp_extract_all("
+        f"html_str, '(?i)href=\"([^\"]+)\"', 1)) AS link FROM pages)",
+        f"e AS (SELECT DISTINCT src, {dsth} AS dst FROM hrefs "
+        f"WHERE src <> '' AND {dsth} <> '' AND src <> {dsth})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+        "FROM e UNION SELECT dst FROM e))",
+        f"s0 AS (SELECT node, {b16} % {m} AS bucket, "
+        f"CASE WHEN {v32} = 0 THEN 33 ELSE 32 - length(bin({v32})) + 1 "
+        f"END AS reg FROM nodes)",
+    ]
+
+    def est_cte(k: int) -> str:
+        z = f"CAST({m} - n_filled AS DOUBLE)"
+        raw = f"{amm} / (s + {z})"
+        return (f"est{k} AS (SELECT node, round(CASE WHEN {raw} <= "
+                f"2.5 * {m} AND {z} > 0 THEN CAST({m} AS DOUBLE) * "
+                f"ln({m} / {z}) ELSE {raw} END, 4) AS est FROM "
+                f"(SELECT node, count(*) AS n_filled, "
+                f"sum(pow(2.0, -reg)) AS s FROM s{k} GROUP BY node))")
+
+    ctes.append(est_cte(0))
+    for k in range(iters):
+        ctes.append(
+            f"s{k + 1} AS (SELECT node, bucket, max(reg) AS reg FROM "
+            f"(SELECT node, bucket, reg FROM s{k} UNION ALL "
+            f"SELECT e.dst AS node, s{k}.bucket, s{k}.reg FROM s{k} "
+            f"JOIN e ON s{k}.node = e.src) GROUP BY node, bucket)")
+        ctes.append(est_cte(k + 1))
+    harm = " + ".join(
+        f"greatest(0.0, est{t}.est - est{t - 1}.est) / "
+        f"CAST({t} AS DOUBLE)" for t in range(1, iters + 1))
+    joins = " ".join(
+        f"JOIN est{t} ON nodes.node = est{t}.node"
+        for t in range(iters + 1))
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT nodes.node, round({harm}, 4) AS harmonic, "
+            f"est{iters}.est AS ball_est FROM nodes {joins} "
+            f"ORDER BY nodes.node")

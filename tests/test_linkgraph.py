@@ -119,3 +119,96 @@ def test_trustrank_mass_bounded(spark):
     out = trustrank(edges, seeds=["s"], iters=3).collect()
     total = sum(r["trust"] for r in out)
     assert 0.5 < total <= 1.000001      # no mass created
+
+
+# ------------------------------------------------- HyperBall harmonic
+def _hand_hyperball(edges, iters=3, m=16):
+    """Exact mirror of hyperball_harmonic's register arithmetic."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round4(x):
+        # Spark's round(): HALF_UP on the shortest decimal repr of the
+        # double (BigDecimal.valueOf) — Python's round() is HALF_EVEN
+        # and disagrees on exact .00005 tails
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    e = sorted(set(edges))
+
+    def reg_of(node):
+        hx = hashlib.md5(node.encode()).hexdigest()
+        bucket = int(hx[:4], 16) % m
+        v = int(hx[4:12], 16)
+        rho = 33 if v == 0 else 32 - v.bit_length() + 1
+        return bucket, rho
+
+    def est(regs):
+        n_filled, s = len(regs), sum(2.0 ** -r for r in regs.values())
+        zeros = float(m - n_filled)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * m * m / (s + zeros)
+        if raw <= 2.5 * m and zeros > 0:
+            return round4(m * math.log(m / zeros))
+        return round4(raw)
+
+    state = {}
+    for v in nodes:
+        b, r = reg_of(v)
+        state[v] = {b: r}
+    ests = [{v: est(state[v]) for v in nodes}]
+    for _ in range(iters):
+        new = {v: dict(state[v]) for v in nodes}
+        for a, b in e:
+            for bk, r in state[a].items():
+                new[b][bk] = max(new[b].get(bk, 0), r)
+        state = new
+        ests.append({v: est(state[v]) for v in nodes})
+    out = {}
+    for v in nodes:
+        h = sum(max(0.0, ests[t][v] - ests[t - 1][v]) / float(t)
+                for t in range(1, iters + 1))
+        out[v] = (round4(h), ests[iters][v])
+    return out
+
+
+def test_hyperball_matches_hand_mirror(spark):
+    from nacc_form_validator_spark.operators.linkgraph import (
+        hyperball_harmonic)
+    pairs = [("a.x", "b.x"), ("b.x", "c.x"), ("d.x", "c.x"),
+             ("c.x", "e.x"), ("a.x", "e.x")]
+    got = {r["node"]: (r["harmonic"], r["ball_est"])
+           for r in hyperball_harmonic(_edges(spark, pairs)).collect()}
+    assert got == _hand_hyperball(pairs)
+
+
+def test_hyperball_source_has_zero_harmonic(spark):
+    from nacc_form_validator_spark.operators.linkgraph import (
+        hyperball_harmonic)
+    # a chain: nothing reaches the head, everything reaches the tail
+    pairs = [("a.x", "b.x"), ("b.x", "c.x"), ("c.x", "d.x")]
+    got = {r["node"]: r["harmonic"]
+           for r in hyperball_harmonic(_edges(spark, pairs)).collect()}
+    assert got["a.x"] == 0.0
+    assert got["d.x"] > got["b.x"] > got["a.x"]
+
+
+def test_hyperball_duckdb_parity(spark):
+    import duckdb
+
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_harmonic, host_harmonic_sql)
+    rows = [(f"https://h{i}.x/p",
+             f'<a href="https://h{(i * 3 + 1) % 7}.x/a">l</a>'
+             f'<a href="https://h{(i + 1) % 7}.x/b">r</a>')
+            for i in range(7)]
+    got = [(r["node"], r["harmonic"], r["ball_est"])
+           for r in host_harmonic(_pages(spark, rows)).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (url VARCHAR, html_str VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+    want = con.execute(
+        host_harmonic_sql("SELECT url, html_str FROM p")).fetchall()
+    assert got == want
