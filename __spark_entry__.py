@@ -1053,6 +1053,12 @@ def _fim_sql():
     return fim_transform_sql()
 
 
+def _audio_features_sql():
+    from nacc_form_validator_spark.operators.audiocodec import (
+        audio_features_sql)
+    return audio_features_sql()
+
+
 def _image_dhash_sql():
     from nacc_form_validator_spark.operators.phash import (
         dhash_signatures_sql)
@@ -2838,6 +2844,20 @@ def q_image_dedup_dhash(spark, sf_dir):
     return dhash_near_dups(sigs)
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode under the value oracle
+    (operators/audiocodec.py): per doc, a 64-sample PCM16 WAV clip
+    (md5 digest tiled into little-endian samples) round-trips through
+    the real RIFF chunk-walk decoder, and duration/RMS/peak/
+    zero-crossing-rate must match DuckDB's md5-arithmetic
+    reconstruction — sample squares are integer-valued doubles, so
+    the RMS sum is order-independent and exact across engines."""
+    from nacc_form_validator_spark.operators.audiocodec import (
+        decode_audio_batch, deterministic_wav_clips)
+    clips = deterministic_wav_clips(_docs(spark, sf_dir))
+    return decode_audio_batch(clips).orderBy("url")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing (operators/multimodal.py): fake body =
     deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
@@ -4490,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_dedup_dhash": q_image_dedup_dhash,
         "host_harmonic": q_host_harmonic,
+        "audio_features": q_audio_features,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -4942,6 +4963,7 @@ def oracle_sql() -> dict[str, str]:
             oracle.multimodal_real_decode_jpeg_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_dedup_dhash": _image_dedup_dhash_sql(),
+        "audio_features": _audio_features_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),

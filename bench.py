@@ -239,7 +239,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "table_metadata_count", "table_cluster_rewrite",
                  "table_wap",
                  "sb_trigram", "lr_quality", "bitext_mine",
-                 "image_dhash", "image_dedup_dhash", "host_harmonic"]:
+                 "image_dhash", "image_dedup_dhash", "host_harmonic",
+                 "audio_features"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 
