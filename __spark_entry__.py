@@ -1053,6 +1053,12 @@ def _fim_sql():
     return fim_transform_sql()
 
 
+def _video_meta_sql():
+    from nacc_form_validator_spark.operators.videometa import (
+        video_meta_sql)
+    return video_meta_sql()
+
+
 def _audio_features_sql():
     from nacc_form_validator_spark.operators.audiocodec import (
         audio_features_sql)
@@ -2858,6 +2864,20 @@ def q_audio_features(spark, sf_dir):
     return decode_audio_batch(clips).orderBy("url")
 
 
+def q_video_meta(spark, sf_dir):
+    """REAL ISO-BMFF metadata parse under the value oracle
+    (operators/videometa.py): per doc, a minimal spec-shaped MP4
+    (ftyp + moov/mvhd/trak/tkhd, md5-derived fields) walks through
+    the real box parser; brand/duration/tracks/dimensions must match
+    DuckDB's md5-arithmetic reconstruction.  Frame decode stays an
+    honest stub (needs ffmpeg); the box structure is what a corpus
+    pipeline indexes."""
+    from nacc_form_validator_spark.operators.videometa import (
+        deterministic_mp4_clips, video_meta_batch)
+    clips = deterministic_mp4_clips(_docs(spark, sf_dir))
+    return video_meta_batch(clips).orderBy("url")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing (operators/multimodal.py): fake body =
     deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
@@ -4511,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_dhash": q_image_dedup_dhash,
         "host_harmonic": q_host_harmonic,
         "audio_features": q_audio_features,
+        "video_meta": q_video_meta,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -4964,6 +4985,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _image_dhash_sql(),
         "image_dedup_dhash": _image_dedup_dhash_sql(),
         "audio_features": _audio_features_sql(),
+        "video_meta": _video_meta_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),
