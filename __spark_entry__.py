@@ -2878,6 +2878,49 @@ def q_video_meta(spark, sf_dir):
     return video_meta_batch(clips).orderBy("url")
 
 
+def q_multimodal_real_decode_gif(spark, sf_dir):
+    """REAL GIF decode under the value oracle (operators/imagecodec.py
+    decode_gif: LSB-first variable-width LZW with table growth and
+    clears, GCT palette map).  Per doc, a 4x4 GIF whose pixel indices
+    are the md5 digest bytes and whose palette is the gray identity is
+    REALLY LZW-compressed, decoded back, and the channel moments must
+    equal the digest moments (DuckDB md5 arithmetic)."""
+    from pyspark.sql import types as T
+
+    gen_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("img", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from nacc_form_validator_spark.operators.imagecodec import (
+            encode_gif)
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            urls, payloads = [], []
+            for did in pdf["doc_id"]:
+                key = f"gif{int(did)}"
+                dig = hashlib.md5(key.encode()).digest()
+                idx = np.frombuffer(dig, dtype=np.uint8).reshape(4, 4)
+                urls.append(key)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"url": urls, "img": payloads})
+
+    imgs = (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(gen, gen_schema))
+    feats = decode_image_batch(imgs, bin_col="img",
+                               deterministic_fake=False)
+    return feats.select(
+        "url",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(8)]).orderBy("url")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing (operators/multimodal.py): fake body =
     deterministic byte-slice to the target cap (8x8x3 = 192 bytes, small
@@ -4532,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_harmonic": q_host_harmonic,
         "audio_features": q_audio_features,
         "video_meta": q_video_meta,
+        "multimodal_real_decode_gif": q_multimodal_real_decode_gif,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -4986,6 +5030,8 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_dhash": _image_dedup_dhash_sql(),
         "audio_features": _audio_features_sql(),
         "video_meta": _video_meta_sql(),
+        "multimodal_real_decode_gif":
+            oracle.multimodal_real_decode_gif_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "tpch_q1": oracle.tpch_q1_sql(),

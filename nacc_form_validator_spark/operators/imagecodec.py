@@ -211,6 +211,8 @@ def sniff_mime(data: bytes) -> str:
         return "image/x-portable-pixmap"
     if data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -227,8 +229,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from nacc_form_validator_spark.operators.jpegcodec import (
             decode_jpeg)
         return decode_jpeg(data)
+    if mime == "image/gif":
+        return decode_gif(data)
     raise NotImplementedError(
-        f"{mime}: only PNG/BMP/PPM/baseline-JPEG decode in this "
+        f"{mime}: only PNG/BMP/PPM/GIF/baseline-JPEG decode in this "
         f"environment (progressive JPEG, WebP and video need "
         f"PIL/ffmpeg)")
 
@@ -254,3 +258,212 @@ def image_feature(arr: np.ndarray) -> list:
             std[0] / 255.0, std[1] / 255.0,
             (std[2] / 255.0)]
     return [round(float(x), 6) for x in feat]
+
+
+# -------------------------------------------------------------- GIF --
+# GIF87a/89a (the web's third image format): logical screen
+# descriptor, global/local color tables, extension-block skipping,
+# variable-width LSB-first LZW with table growth to 12 bits and
+# mid-stream clears, 4-pass interlace.  First frame only (animation
+# frames compose with the frame_sample plan upstream).
+
+def _lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-flavor LZW: codes are LSB-first, width mcs+1..12, table
+    resets on CLEAR; returns exactly ``n_pixels`` index bytes."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    out = bytearray()
+    bitpos, total = 0, len(data) * 8
+
+    def init():
+        return [bytes([i]) for i in range(clear)] + [None, None]
+
+    table, prev = init(), None
+    while len(out) < n_pixels:
+        if bitpos + width > total:
+            raise ImageDecodeError("truncated LZW stream")
+        bi, bo = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[bi:bi + 3], "little")
+        code = (chunk >> bo) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width, prev = init(), mcs + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ImageDecodeError("bad first LZW code")
+            entry = table[code]
+        else:
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):     # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageDecodeError("bad LZW code")
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    if len(out) < n_pixels:
+        raise ImageDecodeError("LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(mcs: int, seq: bytes) -> bytes:
+    """Real LZW compressor emitting a stream the decoder above (and
+    any spec decoder) accepts: the encoder SIMULATES the decoder's
+    table length to keep code widths in sync, and emits CLEAR when
+    the 12-bit table fills."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bits = bytearray()
+    acc = nacc = 0
+    width = mcs + 1
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    dec_len, first = clear + 2, True     # decoder's table length
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    w = b""
+    for k in bytes(seq):
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if first:                 # decoder's first-after-clear: no append
+            first = False
+        else:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+        table[wk] = next_code
+        next_code += 1
+        w = bytes([k])
+        if next_code > 4096:      # table full: reset both sides
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            dec_len, first, width = clear + 2, True, mcs + 1
+    if w:
+        emit(table[w])
+        if not first:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+    emit(end)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF -> (h, w, 3) uint8 RGB (first image frame).  Truncated
+    files raise ImageDecodeError, never a bare IndexError/ValueError
+    (real crawl payloads are frequently cut short)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF")
+    try:
+        return _decode_gif_body(data)
+    except (IndexError, struct.error) as ex:
+        raise ImageDecodeError(f"truncated GIF: {ex}") from ex
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 7))
+        if pos + n > len(data):
+            raise ImageDecodeError("truncated global color table")
+        gct = np.frombuffer(data[pos:pos + n],
+                            dtype=np.uint8).reshape(-1, 3)
+        pos += n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                      # trailer
+            break
+        if b == 0x21:                      # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:                    # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10])
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 7))
+                if pos + n > len(data):
+                    raise ImageDecodeError("truncated local color table")
+                pal = np.frombuffer(data[pos:pos + n],
+                                    dtype=np.uint8).reshape(-1, 3)
+                pos += n
+            if pal is None:
+                raise ImageDecodeError("GIF image without color table")
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos]:
+                n = data[pos]
+                stream += data[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(mcs, bytes(stream), iw * ih),
+                dtype=np.uint8)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ImageDecodeError("palette index out of range")
+            img = pal[idx].reshape(ih, iw, 3)
+            if ipacked & 0x40:             # 4-pass interlace
+                out = np.empty_like(img)
+                rows = (list(range(0, ih, 8)) + list(range(4, ih, 8)) +
+                        list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                out[rows] = img
+                img = out
+            return img.copy()
+        else:
+            raise ImageDecodeError(f"unknown GIF block 0x{b:02x}")
+    raise ImageDecodeError("GIF has no image frame")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
+    """(h, w) uint8 index array + (n, 3) palette -> GIF89a bytes with
+    a 256-entry global color table and a REAL LZW-compressed stream."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    h, w = indices.shape
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)   # GCT 256
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    if interlace:
+        rows = (list(range(0, h, 8)) + list(range(4, h, 8)) +
+                list(range(2, h, 4)) + list(range(1, h, 2)))
+        seq = indices[rows].tobytes()
+    else:
+        seq = indices.tobytes()
+    out += bytes([8])                                    # min code size
+    stream = _lzw_encode(8, seq)
+    for i in range(0, len(stream), 255):
+        part = stream[i:i + 255]
+        out += bytes([len(part)]) + part
+    out += b"\x00\x3B"
+    return bytes(out)

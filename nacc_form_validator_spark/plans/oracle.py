@@ -1433,6 +1433,31 @@ def multimodal_real_decode_sql() -> str:
         "FROM s ORDER BY url")
 
 
+def multimodal_real_decode_gif_sql() -> str:
+    """Oracle for the REAL GIF path (operators/imagecodec.py LZW
+    decode): the Spark side encodes a 4x4 GIF per doc whose pixel
+    INDICES are the md5 digest bytes and whose palette is the gray
+    identity (palette[i] = (i,i,i)), so after a real LZW roundtrip the
+    channel moments equal the digest-byte moments — pure md5
+    arithmetic.  n_bytes is dropped (it depends on the LZW stream
+    length, not SQL-expressible)."""
+    f01 = "round(ln(5.0), 6)"  # log1p(width=4) == log1p(height=4)
+    return (
+        "WITH d AS (SELECT 'gif' || CAST(doc_id AS VARCHAR) AS url, "
+        "md5('gif' || CAST(doc_id AS VARCHAR)) AS hx FROM documents), "
+        "b AS (SELECT url, list_transform(range(0, 16), i -> "
+        "CAST(concat('0x', substr(hx, 1 + 2*i, 2)) AS INTEGER)) AS bs "
+        "FROM d), "
+        "m AS (SELECT url, bs, list_avg(bs) AS mu FROM b), "
+        "s AS (SELECT url, mu, sqrt(list_avg(list_transform(bs, "
+        "x -> (x - mu) * (x - mu)))) AS sd FROM m) "
+        f"SELECT url, {f01} AS f0, {f01} AS f1, "
+        "round(mu / 255.0, 6) AS f2, round(mu / 255.0, 6) AS f3, "
+        "round(mu / 255.0, 6) AS f4, round(sd / 255.0, 6) AS f5, "
+        "round(sd / 255.0, 6) AS f6, round(sd / 255.0, 6) AS f7 "
+        "FROM s ORDER BY url")
+
+
 def multimodal_real_decode_jpeg_sql() -> str:
     """Oracle for the REAL baseline-JPEG path (operators/jpegcodec.py):
     the Spark side encodes a 16x16 grayscale JPEG per doc — four flat

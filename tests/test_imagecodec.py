@@ -294,3 +294,67 @@ def test_jpeg_truncated_payload_no_crash():
             assert out.shape == (16, 16, 3)
         except ImageDecodeError:
             pass
+
+
+# ---------------------------------------------------------------- GIF
+def test_gif_roundtrip_arbitrary_palette():
+    import numpy as np
+
+    from nacc_form_validator_spark.operators.imagecodec import (
+        decode_image, encode_gif, sniff_mime)
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 256, (37, 23)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    g = encode_gif(idx, pal)
+    assert sniff_mime(g) == "image/gif"
+    assert np.array_equal(decode_image(g), pal[idx])
+
+
+def test_gif_interlace_and_runs():
+    """4-pass interlace plus a run-heavy image (deep LZW table growth
+    with mid-stream clears — > 4096 table entries)."""
+    import numpy as np
+
+    from nacc_form_validator_spark.operators.imagecodec import (
+        decode_gif, encode_gif)
+    rng = np.random.RandomState(9)
+    idx = np.repeat(rng.randint(0, 256, (64, 8)).astype(np.uint8),
+                    16, axis=1)           # 64x128, long runs
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    assert np.array_equal(
+        decode_gif(encode_gif(idx, pal, interlace=True)), pal[idx])
+
+
+def test_gif_small_palette_and_extensions():
+    """A 2-bit-palette GIF with a graphic-control extension spliced in
+    front of the image block — the shape real 89a encoders emit."""
+    import struct
+
+    import numpy as np
+
+    from nacc_form_validator_spark.operators.imagecodec import (
+        decode_gif, encode_gif)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    g = bytearray(encode_gif(idx, pal))
+    # splice a GCE (0x21 0xF9, one 4-byte sub-block) before the image
+    img_at = g.index(0x2C, 13)
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(g[:img_at]) + gce + bytes(g[img_at:])
+    assert np.array_equal(decode_gif(spliced), pal[idx])
+
+
+def test_gif_rejects_truncation_and_garbage():
+    import numpy as np
+    import pytest
+
+    from nacc_form_validator_spark.operators.imagecodec import (
+        ImageDecodeError, decode_gif, encode_gif)
+    with pytest.raises(ImageDecodeError):
+        decode_gif(b"NOTAGIF")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    g = encode_gif(np.zeros((8, 8), dtype=np.uint8), pal)
+    with pytest.raises(ImageDecodeError):
+        decode_gif(g[:20])
