@@ -2108,6 +2108,33 @@ def q_warc_source(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_warc_http_source(spark, sf_dir):
+    """WARC + HTTP layer roundtrip (sources/warc.py read_warc_http):
+    response payloads carry the FULL HTTP exchange the way Common
+    Crawl publishes them — status line, headers, blank line, body —
+    split by pure Column regexes into status / content_type / charset
+    / body.  Status 404 records still parse (gating is caller
+    policy); the oracle reconstructs expectations from the SOURCE
+    table, a write-parse roundtrip."""
+    import tempfile
+
+    from nacc_form_validator_spark.sources.warc import (
+        read_warc_http, write_warc_http_fixture)
+    path = tempfile.mkdtemp(prefix="qf_warch_") + "/w"
+    write_warc_http_fixture(_docs(spark, sf_dir), path)
+    return (read_warc_http(spark, path)
+            .select("url", "warc_ts", "status", "content_type",
+                    "charset",
+                    F.decode("html", "utf-8").alias("body_text"))
+            .orderBy("url"))
+
+
+def _warc_http_source_sql():
+    from nacc_form_validator_spark.sources.warc import (
+        warc_http_roundtrip_sql)
+    return warc_http_roundtrip_sql()
+
+
 def _warc_source_sql():
     from nacc_form_validator_spark.sources.warc import warc_roundtrip_sql
     return warc_roundtrip_sql()
@@ -4576,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_meta": q_video_meta,
         "multimodal_real_decode_gif": q_multimodal_real_decode_gif,
+        "warc_http_source": q_warc_http_source,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -5030,6 +5058,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_dhash": _image_dedup_dhash_sql(),
         "audio_features": _audio_features_sql(),
         "video_meta": _video_meta_sql(),
+        "warc_http_source": _warc_http_source_sql(),
         "multimodal_real_decode_gif":
             oracle.multimodal_real_decode_gif_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),

@@ -256,3 +256,103 @@ def warc_roundtrip_sql(table: str = "documents") -> str:
         f"'</body></html>')) AS n_bytes, "
         f"'<html><body>' || text || '</body></html>' AS body_text "
         f"FROM {table} WHERE doc_id % 3 <> 0 ORDER BY url")
+
+
+# ------------------------------------------------- HTTP response layer --
+# Common Crawl's WARC *response* records carry the FULL HTTP exchange:
+# status line, response headers, blank line, body.  Treating the whole
+# payload as html (the bare-payload readers above) is only right for
+# pre-stripped corpora; real CC ingest must split the HTTP layer —
+# status gates (keep 200s), Content-Type routing, and charset come
+# from here.  Pure Column regexes: zero Python, one projection.
+
+_STATUS_RE = r"^HTTP/[0-9.]+ (\d{3})"
+#: headers end at the first blank line; body is everything after
+_HTTP_BODY_RE = r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n(.*)$"
+_CTYPE_RE = r"(?im)^Content-Type:\s*([^;\r\n]+)"
+_CHARSET_RE = r"(?im)^Content-Type:[^\r\n]*;\s*charset=([A-Za-z0-9_-]+)"
+
+
+def parse_http_response(payload):
+    """Column struct (status int, content_type, charset, body) from an
+    HTTP response payload string.  Non-HTTP payloads (no status line)
+    yield status NULL and the whole payload as body — the permissive
+    read real crawls need (some servers speak bare content)."""
+    from pyspark.sql import functions as F
+
+    status = F.nullif(F.regexp_extract(payload, _STATUS_RE, 1),
+                      F.lit("")).cast("int")
+    body = F.when(status.isNotNull(),
+                  F.regexp_extract(payload, _HTTP_BODY_RE, 1)) \
+        .otherwise(payload)
+    ctype = F.nullif(F.lower(F.trim(
+        F.regexp_extract(payload, _CTYPE_RE, 1))), F.lit(""))
+    charset = F.nullif(F.lower(
+        F.regexp_extract(payload, _CHARSET_RE, 1)), F.lit(""))
+    return F.struct(status.alias("status"),
+                    ctype.alias("content_type"),
+                    charset.alias("charset"),
+                    body.alias("body"))
+
+
+def read_warc_http(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, status, content_type, charset, html) from WARC
+    response records whose payload is a full HTTP exchange — the shape
+    Common Crawl actually publishes.  html holds the HTTP BODY bytes;
+    the status/Content-Type/charset columns are the route-and-gate
+    inputs (keep status 200, route text/html vs image/*, decode by
+    charset)."""
+    raw = (spark.read.option("lineSep", WARC_DELIM).text(path)
+           .where(F.col("value") != ""))
+    rec = _parse_records(raw)
+    http = parse_http_response(F.decode(F.col("html"), "utf-8"))
+    return rec.select(
+        "url", "warc_ts", http["status"].alias("status"),
+        http["content_type"].alias("content_type"),
+        http["charset"].alias("charset"),
+        F.encode(http["body"], "utf-8").alias("html"))
+
+
+def write_warc_http_fixture(docs: DataFrame, path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> None:
+    """Response records whose payload is a FULL HTTP exchange:
+    status rotates 200/200/404 by doc id (404 bodies still parse —
+    gating is the caller's policy), Content-Type carries a charset
+    parameter, body is the html-wrapped doc text."""
+    status = F.when(F.col(id_col) % 3 == 2, F.lit("404 Not Found")) \
+        .otherwise(F.lit("200 OK"))
+    body = F.concat(F.lit("<html><body>"), F.col(text_col),
+                    F.lit("</body></html>"))
+    payload = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit("\r\n"),
+        F.lit("Content-Type: text/html; charset=UTF-8\r\n"),
+        F.lit("Server: fixture\r\n\r\n"), body)
+    ts = F.date_format(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+        F.make_interval(mins=F.col(id_col).cast("int")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rec = F.concat(
+        F.lit(WARC_DELIM),
+        F.lit("WARC-Type: response\r\n"),
+        F.lit("WARC-Target-URI: https://w.example/p/"),
+        F.col(id_col).cast("string"), F.lit("\r\n"),
+        F.lit("WARC-Date: "), ts, F.lit("\r\n"),
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n"))
+    docs.select(rec.alias("value")).coalesce(1) \
+        .write.mode("overwrite").text(path)
+
+
+def warc_http_roundtrip_sql(table: str = "documents") -> str:
+    """Expected parse of write_warc_http_fixture's bytes from the
+    SOURCE table: status by id rotation, constant type/charset, body
+    reconstruction."""
+    return (
+        f"SELECT 'https://w.example/p/' || doc_id AS url, "
+        f"TIMESTAMP '2024-01-01 00:00:00' + "
+        f"to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts, "
+        f"CASE WHEN doc_id % 3 = 2 THEN 404 ELSE 200 END AS status, "
+        f"'text/html' AS content_type, 'utf-8' AS charset, "
+        f"'<html><body>' || text || '</body></html>' AS body_text "
+        f"FROM {table} ORDER BY url")

@@ -140,3 +140,65 @@ def test_warc_gz_ranged_reads_only_selected_members(spark):
     out = read_warc_gz_ranged(spark, some)
     # 2 members -> at most 2 records survive the response filter
     assert 0 <= out.count() <= 2
+
+
+# ------------------------------------------------------ HTTP layer
+def test_http_response_split(spark, tmp_path):
+    """Full HTTP exchanges split into status/type/charset/body; 404
+    bodies still parse (gating is caller policy)."""
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.sources.warc import (
+        read_warc_http, write_warc_http_fixture)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    path = str(tmp_path / "w")
+    write_warc_http_fixture(docs, path)
+    out = {r["url"]: r for r in
+           read_warc_http(spark, path)
+           .withColumn("body", F.decode("html", "utf-8")).collect()}
+    assert len(out) == 6
+    r0 = out["https://w.example/p/0"]
+    assert r0["status"] == 200 and r0["content_type"] == "text/html"
+    assert r0["charset"] == "utf-8"
+    assert r0["body"] == "<html><body>doc 0</body></html>"
+    assert out["https://w.example/p/2"]["status"] == 404
+    assert out["https://w.example/p/5"]["status"] == 404
+
+
+def test_http_parse_permissive_on_bare_content(spark):
+    """A payload with no status line is NOT http: status NULL, whole
+    payload kept as body — crawls contain bare-content servers."""
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.sources.warc import (
+        parse_http_response)
+    df = spark.createDataFrame(
+        [("<html>bare</html>",),
+         ("HTTP/1.0 301 Moved\r\nLocation: /x\r\n\r\n",),
+         ("HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNGDATA",)],
+        "p string")
+    rows = df.select(parse_http_response(F.col("p")).alias("h")) \
+        .select("h.*").collect()
+    assert rows[0]["status"] is None
+    assert rows[0]["body"] == "<html>bare</html>"
+    assert rows[1]["status"] == 301 and rows[1]["body"] == ""
+    assert rows[2]["status"] == 200
+    assert rows[2]["content_type"] == "image/png"
+    assert rows[2]["charset"] is None
+    assert rows[2]["body"] == "PNGDATA"
+
+
+def test_http_body_may_contain_blank_lines(spark):
+    """The header/body split anchors on the FIRST blank line only —
+    bodies with their own \\r\\n\\r\\n must survive intact."""
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.sources.warc import (
+        parse_http_response)
+    body = "part1\r\n\r\npart2"
+    df = spark.createDataFrame(
+        [(f"HTTP/1.1 200 OK\r\nX: y\r\n\r\n{body}",)], "p string")
+    row = df.select(parse_http_response(F.col("p")).alias("h")) \
+        .select("h.*").collect()[0]
+    assert row["body"] == body
