@@ -2129,6 +2129,26 @@ def q_warc_http_source(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_transcode(spark, sf_dir):
+    """Charset transcoding (functions/transcode.py): page bytes decoded
+    BY the row's declared charset in one Arrow mapInPandas pass —
+    latin-1/cp1252 pages, garbage labels (utf-8 fallback), and NULL
+    labels all reproduce the source text exactly; used_charset records
+    the applied codec.  The oracle derives expectations from the
+    SOURCE table (decode(encode(x)) identity), a write-parse
+    roundtrip."""
+    from nacc_form_validator_spark.functions.transcode import (
+        deterministic_charset_pages, transcode_to_utf8)
+    pages = deterministic_charset_pages(_docs(spark, sf_dir))
+    return transcode_to_utf8(pages).orderBy("url")
+
+
+def _transcode_sql():
+    from nacc_form_validator_spark.functions.transcode import (
+        transcode_roundtrip_sql)
+    return transcode_roundtrip_sql()
+
+
 def _warc_http_source_sql():
     from nacc_form_validator_spark.sources.warc import (
         warc_http_roundtrip_sql)
@@ -4604,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "multimodal_real_decode_gif": q_multimodal_real_decode_gif,
         "warc_http_source": q_warc_http_source,
+        "transcode": q_transcode,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -5059,6 +5080,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_features_sql(),
         "video_meta": _video_meta_sql(),
         "warc_http_source": _warc_http_source_sql(),
+        "transcode": _transcode_sql(),
         "multimodal_real_decode_gif":
             oracle.multimodal_real_decode_gif_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),
