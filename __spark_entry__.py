@@ -2143,6 +2143,44 @@ def q_transcode(spark, sf_dir):
     return transcode_to_utf8(pages).orderBy("url")
 
 
+def q_qf_ingest_pipeline(spark, sf_dir):
+    """The REAL-INGEST composition, one plan end-to-end: WARC bytes ->
+    HTTP layer split -> status-200 gate -> charset transcode (Arrow
+    stage) -> html->text extraction -> document stats.  This is the
+    front half a production run bolts onto qf_full_corpus: everything
+    from raw crawl bytes to scored text, with the oracle deriving
+    expectations from the SOURCE table through the whole chain."""
+    import tempfile
+
+    from nacc_form_validator_spark.functions.extract import (
+        extract_text_str)
+    from nacc_form_validator_spark.functions.transcode import (
+        transcode_to_utf8)
+    from nacc_form_validator_spark.sources.warc import (
+        read_warc_http, write_warc_http_fixture)
+    path = tempfile.mkdtemp(prefix="qf_ingest_") + "/w"
+    write_warc_http_fixture(_docs(spark, sf_dir), path)
+    pages = read_warc_http(spark, path).where(F.col("status") == 200)
+    txt = transcode_to_utf8(pages)
+    body = extract_text_str(F.col("text"))
+    words = F.filter(F.split(body, " "), lambda w: w != "")
+    return (txt.select(
+        "url", "used_charset",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(body).cast("long").alias("n_chars"))
+        .orderBy("url"))
+
+
+def _qf_ingest_sql():
+    return (
+        "SELECT 'https://w.example/p/' || doc_id AS url, "
+        "'utf-8' AS used_charset, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        "w -> w <> '')) AS BIGINT) AS n_words, "
+        "CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents WHERE doc_id % 3 <> 2 ORDER BY url")
+
+
 def _transcode_sql():
     from nacc_form_validator_spark.functions.transcode import (
         transcode_roundtrip_sql)
@@ -4625,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode_gif": q_multimodal_real_decode_gif,
         "warc_http_source": q_warc_http_source,
         "transcode": q_transcode,
+        "qf_ingest_pipeline": q_qf_ingest_pipeline,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -5081,6 +5120,7 @@ def oracle_sql() -> dict[str, str]:
         "video_meta": _video_meta_sql(),
         "warc_http_source": _warc_http_source_sql(),
         "transcode": _transcode_sql(),
+        "qf_ingest_pipeline": _qf_ingest_sql(),
         "multimodal_real_decode_gif":
             oracle.multimodal_real_decode_gif_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),

@@ -35,14 +35,19 @@ _COMMENT = r"(?s)<!--.*?-->"
 _TAG = r"(?s)<[^>]*>"
 
 
-def extract_text(html: Column) -> Column:
-    """Extracted text from a utf-8 html ``binary`` column."""
-    s = F.decode(html, "UTF-8")
+def extract_text_str(s: Column) -> Column:
+    """Extracted text from an html STRING column (the post-transcode
+    shape) — same subtree/tag/entity pipeline as :func:`extract_text`."""
     for pat in (_SCRIPT, _STYLE, _COMMENT, _TAG):
         s = F.regexp_replace(s, pat, "")
     for ent, ch in ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return s
+
+
+def extract_text(html: Column) -> Column:
+    """Extracted text from a utf-8 html ``binary`` column."""
+    return extract_text_str(F.decode(html, "UTF-8"))
 
 
 def with_extracted_text(df: DataFrame, html_col: str = "html",

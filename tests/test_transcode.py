@@ -63,3 +63,32 @@ def test_transcode_fixture_roundtrip_matches_duckdb(spark):
                 "'word' || range || ' text' AS text FROM range(10)")
     want = con.execute(transcode_roundtrip_sql()).fetchall()
     assert got == want
+
+
+def test_ingest_pipeline_composition(spark, tmp_path):
+    """WARC bytes -> HTTP gate -> transcode -> extract -> stats in one
+    plan: 404s drop, word/char stats equal the source text's."""
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.functions.extract import (
+        extract_text_str)
+    from nacc_form_validator_spark.functions.transcode import (
+        transcode_to_utf8)
+    from nacc_form_validator_spark.sources.warc import (
+        read_warc_http, write_warc_http_fixture)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(6)],
+        "doc_id long, text string")
+    path = str(tmp_path / "w")
+    write_warc_http_fixture(docs, path)
+    pages = read_warc_http(spark, path).where(F.col("status") == 200)
+    txt = transcode_to_utf8(pages)
+    body = extract_text_str(F.col("text"))
+    out = {r["url"]: r for r in txt.select(
+        "url", F.size(F.filter(F.split(body, " "),
+                               lambda w: w != "")).alias("n_words"),
+        F.length(body).alias("n_chars")).collect()}
+    # ids 2 and 5 are 404s -> gated out
+    assert set(out) == {f"https://w.example/p/{i}" for i in (0, 1, 3, 4)}
+    r = out["https://w.example/p/0"]
+    assert r["n_words"] == 3 and r["n_chars"] == len("alpha beta w0")
