@@ -2171,6 +2171,73 @@ def q_qf_ingest_pipeline(spark, sf_dir):
         .orderBy("url"))
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap parsing (sources/sitemap.py): urlset XML built per host
+    bucket from the documents table, parsed back by pure Column
+    regexes — <url> blocks explode in-row, loc whitespace trims,
+    every-4th entry omits <lastmod> (optional per spec, NULL out).
+    Write-parse roundtrip against the source-derived oracle."""
+    from nacc_form_validator_spark.sources.sitemap import (
+        deterministic_sitemaps, sitemap_entries)
+    maps = deterministic_sitemaps(_docs(spark, sf_dir))
+    return sitemap_entries(maps).orderBy("loc")
+
+
+def _sitemap_sql():
+    from nacc_form_validator_spark.sources.sitemap import (
+        sitemap_roundtrip_sql)
+    return sitemap_roundtrip_sql()
+
+
+#: the in-document charset declarations the charset_detect fixture
+#: rotates through (both spec forms), shared by query and oracle
+_META_TAGS = ['<meta charset="ISO-8859-1">',
+              '<meta http-equiv="Content-Type" '
+              'content="text/html; charset=GBK">']
+
+
+def q_charset_detect(spark, sf_dir):
+    """Charset detection cascade (functions/transcode.py
+    html_meta_charset): effective charset = coalesce(HTTP header
+    charset, in-document meta charset — both spec forms — , utf-8).
+    Pure Column regex; the fixture rotates header-present /
+    meta-charset / http-equiv / neither so every branch of the
+    cascade is exercised."""
+    from nacc_form_validator_spark.functions.transcode import (
+        html_meta_charset)
+    d = _docs(spark, sf_dir)
+    meta = (F.when(F.col("doc_id") % 4 == 0, F.lit(_META_TAGS[0]))
+            .when(F.col("doc_id") % 4 == 1, F.lit(_META_TAGS[1]))
+            .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body>x</body></html>"))
+    http = (F.when(F.col("doc_id") % 2 == 0, F.lit("utf-8"))
+            .otherwise(F.lit(None).cast("string")))
+    mc = html_meta_charset(html)
+    return (d.select(
+        F.concat(F.lit("cd"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        http.alias("http_charset"), mc.alias("meta_charset"),
+        F.coalesce(http, mc, F.lit("utf-8")).alias("effective"))
+        .orderBy("url"))
+
+
+def _charset_detect_sql():
+    from nacc_form_validator_spark.functions.transcode import (
+        html_meta_charset_sql)
+    t0 = _META_TAGS[0].replace("'", "''")
+    t1 = _META_TAGS[1].replace("'", "''")
+    meta = (f"CASE doc_id % 4 WHEN 0 THEN '{t0}' WHEN 1 THEN '{t1}' "
+            f"ELSE '' END")
+    html = f"'<html><head>' || {meta} || '</head><body>x</body></html>'"
+    http = "CASE WHEN doc_id % 2 = 0 THEN 'utf-8' END"
+    mc = html_meta_charset_sql(html)
+    return (f"SELECT 'cd' || CAST(doc_id AS VARCHAR) AS url, "
+            f"{http} AS http_charset, {mc} AS meta_charset, "
+            f"coalesce({http}, {mc}, 'utf-8') AS effective "
+            f"FROM documents ORDER BY url")
+
+
 def _qf_ingest_sql():
     return (
         "SELECT 'https://w.example/p/' || doc_id AS url, "
@@ -4664,6 +4731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_http_source": q_warc_http_source,
         "transcode": q_transcode,
         "qf_ingest_pipeline": q_qf_ingest_pipeline,
+        "sitemap_urls": q_sitemap_urls,
+        "charset_detect": q_charset_detect,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
         "table_bloom_prune": q_table_bloom_prune,
@@ -5121,6 +5190,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_http_source": _warc_http_source_sql(),
         "transcode": _transcode_sql(),
         "qf_ingest_pipeline": _qf_ingest_sql(),
+        "sitemap_urls": _sitemap_sql(),
+        "charset_detect": _charset_detect_sql(),
         "multimodal_real_decode_gif":
             oracle.multimodal_real_decode_gif_sql(),
         "multimodal_resize": oracle.multimodal_resize_sql(),

@@ -242,7 +242,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "image_dhash", "image_dedup_dhash", "host_harmonic",
                  "audio_features", "video_meta",
                  "multimodal_real_decode_gif", "warc_http_source",
-                 "transcode", "qf_ingest_pipeline"]:
+                 "transcode", "qf_ingest_pipeline",
+                 "sitemap_urls", "charset_detect"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

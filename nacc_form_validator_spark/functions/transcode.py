@@ -129,3 +129,26 @@ def transcode_roundtrip_sql(table: str = "documents",
             f"'café résumé à ' || text AS text, "
             f"{used} AS used_charset "
             f"FROM {table} ORDER BY url")
+
+
+# ------------------------------------------------- charset detection --
+#: catches both <meta charset="x"> and the http-equiv form's
+#: content="text/html; charset=x" — both carry 'charset='; RE2-safe
+_META_CHARSET_RE = r"""(?i)<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_-]+)"""
+
+
+def html_meta_charset(html_str):
+    """Declared in-document charset from an html STRING column (the
+    fallback when the HTTP header carries none), lowercased, NULL when
+    absent.  Effective charset for :func:`transcode_to_utf8` is
+    ``coalesce(http_charset, html_meta_charset(...), 'utf-8')``."""
+    from pyspark.sql import functions as F
+    return F.nullif(F.lower(
+        F.regexp_extract(html_str, _META_CHARSET_RE, 1)), F.lit(""))
+
+
+def html_meta_charset_sql(html_expr: str) -> str:
+    """DuckDB mirror of :func:`html_meta_charset`."""
+    esc = _META_CHARSET_RE.replace("'", "''")
+    return (f"nullif(lower(regexp_extract({html_expr}, '{esc}', 1)), "
+            f"'')")
