@@ -2183,6 +2183,34 @@ def q_sitemap_urls(spark, sf_dir):
     return sitemap_entries(maps).orderBy("loc")
 
 
+def q_http_body_decompress(spark, sf_dir):
+    """HTTP body decompression (sources/warc.py decompress_bodies):
+    gzip / zlib-deflate / RAW-deflate-under-the-deflate-label (the
+    classic server quirk) all inflate back to the source text;
+    identity passes through; an un-inflatable coding (br, no brotli
+    in container) keeps raw bytes flagged decompressed=false — no
+    payload lost to a bad label.  Oracle derives the whole table from
+    the SOURCE text."""
+    from nacc_form_validator_spark.sources.warc import (
+        decompress_bodies, deterministic_encoded_bodies)
+    pages = deterministic_encoded_bodies(_docs(spark, sf_dir))
+    out = decompress_bodies(pages)
+    enc = pages.select("url", "content_encoding")
+    return (out.join(enc, "url")
+            .select("url", "decompressed",
+                    F.when(F.col("decompressed") |
+                           F.col("content_encoding").isNull(),
+                           F.decode("html", "utf-8"))
+                    .alias("body_text"))
+            .orderBy("url"))
+
+
+def _http_decompress_sql():
+    from nacc_form_validator_spark.sources.warc import (
+        decompress_roundtrip_sql)
+    return decompress_roundtrip_sql()
+
+
 def _sitemap_sql():
     from nacc_form_validator_spark.sources.sitemap import (
         sitemap_roundtrip_sql)
@@ -4732,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcode": q_transcode,
         "qf_ingest_pipeline": q_qf_ingest_pipeline,
         "sitemap_urls": q_sitemap_urls,
+        "http_body_decompress": q_http_body_decompress,
         "charset_detect": q_charset_detect,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
@@ -5191,6 +5220,7 @@ def oracle_sql() -> dict[str, str]:
         "transcode": _transcode_sql(),
         "qf_ingest_pipeline": _qf_ingest_sql(),
         "sitemap_urls": _sitemap_sql(),
+        "http_body_decompress": _http_decompress_sql(),
         "charset_detect": _charset_detect_sql(),
         "multimodal_real_decode_gif":
             oracle.multimodal_real_decode_gif_sql(),

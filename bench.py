@@ -243,7 +243,8 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "audio_features", "video_meta",
                  "multimodal_real_decode_gif", "warc_http_source",
                  "transcode", "qf_ingest_pipeline",
-                 "sitemap_urls", "charset_detect"]:
+                 "sitemap_urls", "charset_detect",
+                 "http_body_decompress"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

@@ -270,6 +270,7 @@ _STATUS_RE = r"^HTTP/[0-9.]+ (\d{3})"
 #: headers end at the first blank line; body is everything after
 _HTTP_BODY_RE = r"(?s)^HTTP/[^\r\n]*\r\n.*?\r\n\r\n(.*)$"
 _CTYPE_RE = r"(?im)^Content-Type:\s*([^;\r\n]+)"
+_CENC_RE = r"(?im)^Content-Encoding:\s*([A-Za-z0-9-]+)"
 _CHARSET_RE = r"(?im)^Content-Type:[^\r\n]*;\s*charset=([A-Za-z0-9_-]+)"
 
 
@@ -289,9 +290,12 @@ def parse_http_response(payload):
         F.regexp_extract(payload, _CTYPE_RE, 1))), F.lit(""))
     charset = F.nullif(F.lower(
         F.regexp_extract(payload, _CHARSET_RE, 1)), F.lit(""))
+    cenc = F.nullif(F.lower(
+        F.regexp_extract(payload, _CENC_RE, 1)), F.lit(""))
     return F.struct(status.alias("status"),
                     ctype.alias("content_type"),
                     charset.alias("charset"),
+                    cenc.alias("content_encoding"),
                     body.alias("body"))
 
 
@@ -310,6 +314,7 @@ def read_warc_http(spark: SparkSession, path: str) -> DataFrame:
         "url", "warc_ts", http["status"].alias("status"),
         http["content_type"].alias("content_type"),
         http["charset"].alias("charset"),
+        http["content_encoding"].alias("content_encoding"),
         F.encode(http["body"], "utf-8").alias("html"))
 
 
@@ -355,4 +360,128 @@ def warc_http_roundtrip_sql(table: str = "documents") -> str:
         f"CASE WHEN doc_id % 3 = 2 THEN 404 ELSE 200 END AS status, "
         f"'text/html' AS content_type, 'utf-8' AS charset, "
         f"'<html><body>' || text || '</body></html>' AS body_text "
+        f"FROM {table} ORDER BY url")
+
+
+def decompress_bodies(df: DataFrame, bin_col: str = "html",
+                      encoding_col: str = "content_encoding",
+                      url_col: str = "url") -> DataFrame:
+    """(url, html, decompressed): bodies inflated per the row's
+    Content-Encoding — the layer between the HTTP split and charset
+    transcode (real servers gzip most text responses).
+
+    Semantics for crawl reality: ``gzip``/``x-gzip`` inflate with a
+    gzip header, ``deflate`` tries zlib-wrapped THEN raw-deflate (the
+    classic server quirk — many emit raw streams under the zlib
+    label); unknown codings (``br`` without a brotli lib) and corrupt
+    streams keep the RAW bytes with ``decompressed`` false, so no
+    payload is lost to a bad label.  One Arrow ``mapInPandas`` pass
+    (zlib inflate is C), same documented Python exception as the gzip
+    member walk above."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField(bin_col, T.BinaryType()),
+        T.StructField("decompressed", T.BooleanType()),
+    ])
+
+    def run(batches):
+        import zlib
+        for pdf in batches:
+            blobs, flags = [], []
+            for enc, payload in zip(pdf[encoding_col], pdf[bin_col]):
+                raw = bytes(payload)
+                label = (str(enc).strip().lower()
+                         if enc is not None and not pd.isna(enc)
+                         else "identity")
+                out, ok = raw, False
+                try:
+                    if label in ("gzip", "x-gzip"):
+                        out, ok = zlib.decompress(raw, wbits=31), True
+                    elif label == "deflate":
+                        try:
+                            out, ok = zlib.decompress(raw, wbits=15), \
+                                True
+                        except zlib.error:
+                            out, ok = zlib.decompress(raw, wbits=-15), \
+                                True
+                except zlib.error:
+                    out, ok = raw, False
+                blobs.append(out)
+                flags.append(ok)
+            yield pd.DataFrame({"url": pdf[url_col], bin_col: blobs,
+                                "decompressed": flags})
+
+    return (df.select(url_col, bin_col, encoding_col)
+            .mapInPandas(run, schema))
+
+
+#: encoding rotation for the decompress fixture: the two inflatable
+#: codings, the raw-deflate server quirk, untouched, and a coding this
+#: container cannot inflate (kept raw, flagged)
+_ENCODINGS = ["gzip", "deflate", "deflate-raw", "identity", "br"]
+
+
+def deterministic_encoded_bodies(docs: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """(url, html, content_encoding): source text wrapped in html and
+    compressed per the rotation (the 'deflate-raw' slot DECLARES
+    deflate but carries a raw stream — the quirk path; 'br' carries
+    gzip bytes under the br label — must stay raw + flagged)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("content_encoding", T.StringType()),
+    ])
+
+    def gen(batches):
+        import zlib
+        for pdf in batches:
+            urls, blobs, encs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                body = f"<html><body>{text}</body></html>".encode()
+                slot = _ENCODINGS[int(did) % len(_ENCODINGS)]
+                if slot == "gzip":
+                    blob, label = zlib.compress(body, 6, wbits=31), \
+                        "gzip"
+                elif slot == "deflate":
+                    blob, label = zlib.compress(body, 6, wbits=15), \
+                        "deflate"
+                elif slot == "deflate-raw":
+                    blob, label = zlib.compress(body, 6, wbits=-15), \
+                        "deflate"
+                elif slot == "br":
+                    blob, label = zlib.compress(body, 6, wbits=31), \
+                        "br"
+                else:
+                    blob, label = body, None
+                urls.append(f"enc{int(did)}")
+                blobs.append(blob)
+                encs.append(label)
+            yield pd.DataFrame({"url": urls, "html": blobs,
+                                "content_encoding": encs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def decompress_roundtrip_sql(table: str = "documents",
+                             id_sql: str = "doc_id") -> str:
+    """Expected decompress of the fixture from the SOURCE table:
+    gzip/deflate/raw-deflate rows inflate back to the html wrap,
+    identity passes through decoded=false, br stays raw (opaque) with
+    body_text NULL."""
+    n = len(_ENCODINGS)
+    wrapped = "'<html><body>' || text || '</body></html>'"
+    return (
+        f"SELECT 'enc' || CAST({id_sql} AS VARCHAR) AS url, "
+        f"CASE WHEN {id_sql} % {n} IN (0, 1, 2) THEN TRUE "
+        f"ELSE FALSE END AS decompressed, "
+        f"CASE WHEN {id_sql} % {n} = 4 THEN NULL "
+        f"ELSE {wrapped} END AS body_text "
         f"FROM {table} ORDER BY url")

@@ -202,3 +202,51 @@ def test_http_body_may_contain_blank_lines(spark):
     row = df.select(parse_http_response(F.col("p")).alias("h")) \
         .select("h.*").collect()[0]
     assert row["body"] == body
+
+
+# ---------------------------------------------------- body decompress
+def test_decompress_bodies_codings(spark):
+    """gzip, zlib-deflate, and RAW deflate under the deflate label all
+    inflate; identity passes; br and corrupt streams keep raw bytes
+    flagged false."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.sources.warc import (
+        decompress_bodies)
+    body = b"<html>hello</html>"
+    rows = [
+        ("g", zlib.compress(body, 6, wbits=31), "gzip"),
+        ("xg", zlib.compress(body, 6, wbits=31), "x-gzip"),
+        ("d", zlib.compress(body, 6, wbits=15), "deflate"),
+        ("draw", zlib.compress(body, 6, wbits=-15), "deflate"),  # quirk
+        ("id", body, None),
+        ("br", b"\x8b\x02\x80brotli-ish", "br"),
+        ("bad", b"\x1f\x8b garbage", "gzip"),
+    ]
+    out = {r["url"]: r for r in decompress_bodies(
+        spark.createDataFrame(
+            rows, "url string, html binary, content_encoding string")
+    ).collect()}
+    for u in ("g", "xg", "d", "draw"):
+        assert out[u]["decompressed"] and bytes(out[u]["html"]) == body
+    assert not out["id"]["decompressed"]
+    assert bytes(out["id"]["html"]) == body          # passthrough
+    assert not out["br"]["decompressed"]
+    assert bytes(out["br"]["html"]) == rows[5][1]    # raw kept
+    assert not out["bad"]["decompressed"]
+    assert bytes(out["bad"]["html"]) == rows[6][1]   # corrupt kept
+
+
+def test_http_parse_extracts_content_encoding(spark):
+    from pyspark.sql import functions as F
+
+    from nacc_form_validator_spark.sources.warc import (
+        parse_http_response)
+    df = spark.createDataFrame(
+        [("HTTP/1.1 200 OK\r\nContent-Encoding: GZIP\r\n\r\nx",),
+         ("HTTP/1.1 200 OK\r\nX: y\r\n\r\nx",)], "p string")
+    rows = df.select(parse_http_response(F.col("p")).alias("h")) \
+        .select("h.content_encoding").collect()
+    assert rows[0][0] == "gzip" and rows[1][0] is None
