@@ -2205,6 +2205,30 @@ def q_http_body_decompress(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_host_eb_rate(spark, sf_dir):
+    """Empirical-Bayes host keep-rate shrinkage
+    (operators/reputation.py host_keep_rate_eb): per-host quality
+    rates shrunk toward the corpus rate by a beta-binomial posterior
+    with a method-of-moments prior — low-volume hosts stop reading as
+    extreme.  One corpus aggregate + a broadcast 1-row prior; pure
+    projection after."""
+    from nacc_form_validator_spark.operators.reputation import (
+        host_keep_rate_eb)
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 16).cast("string"))
+        .alias("host"),
+        (F.length("text") % 7 != 0).alias("passed"))
+    return host_keep_rate_eb(d)
+
+
+def _host_eb_sql():
+    from nacc_form_validator_spark.operators.reputation import (
+        host_keep_rate_eb_sql)
+    return host_keep_rate_eb_sql(
+        "SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) AS host, "
+        "length(text) % 7 <> 0 AS passed FROM documents")
+
+
 def _http_decompress_sql():
     from nacc_form_validator_spark.sources.warc import (
         decompress_roundtrip_sql)
@@ -4761,6 +4785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qf_ingest_pipeline": q_qf_ingest_pipeline,
         "sitemap_urls": q_sitemap_urls,
         "http_body_decompress": q_http_body_decompress,
+        "host_eb_rate": q_host_eb_rate,
         "charset_detect": q_charset_detect,
         "table_partition_prune": q_table_partition_prune,
         "table_bucket_prune": q_table_bucket_prune,
@@ -5221,6 +5246,7 @@ def oracle_sql() -> dict[str, str]:
         "qf_ingest_pipeline": _qf_ingest_sql(),
         "sitemap_urls": _sitemap_sql(),
         "http_body_decompress": _http_decompress_sql(),
+        "host_eb_rate": _host_eb_sql(),
         "charset_detect": _charset_detect_sql(),
         "multimodal_real_decode_gif":
             oracle.multimodal_real_decode_gif_sql(),

@@ -244,7 +244,7 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "multimodal_real_decode_gif", "warc_http_source",
                  "transcode", "qf_ingest_pipeline",
                  "sitemap_urls", "charset_detect",
-                 "http_body_decompress"]:
+                 "http_body_decompress", "host_eb_rate"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

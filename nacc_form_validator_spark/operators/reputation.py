@@ -75,3 +75,69 @@ def host_reputation_sql(pages_sql: str, keep_sql: str,
         f"round(coalesce(pr.rank, 0.0) * ph.keep_rate, 12) "
         f"AS reputation FROM ph LEFT JOIN pr ON ph.host = pr.node "
         f"ORDER BY ph.host")
+
+
+# ------------------------------------- empirical-Bayes keep-rate shrinkage
+def host_keep_rate_eb(df: DataFrame, host_col: str = "host",
+                      passed_col: str = "passed") -> DataFrame:
+    """(host, n, k, raw_rate, eb_rate): per-host keep rates SHRUNK
+    toward the corpus rate by an empirical-Bayes beta-binomial
+    posterior — the fix for the raw-rate pathology where a 2-page host
+    with one bad page reads as 50% junk while a 10^5-page host needs
+    thousands of failures to move at all.
+
+    Method-of-moments prior from the host-rate distribution itself
+    (m = mean rate, v = variance): alpha+beta = m(1-m)/v - 1,
+    alpha = m*(alpha+beta); posterior mean = (k + alpha) /
+    (n + alpha + beta).  Degenerate corpora (v = 0 or a prior moment
+    outside (0,1)) fall back to the raw rate — shrinkage needs a real
+    rate spread to estimate a prior from.
+
+    Scale shape: ONE corpus-sized aggregate (count/sum by host,
+    map-side combinable); the prior is a 1-row aggregate over the
+    hosts table broadcast back; posterior arithmetic is a pure
+    projection.  Round-6 on the emitted rates keeps the oracle
+    value-exact."""
+    per = (df.groupBy(F.col(host_col).alias("host"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(passed_col).cast("long")).alias("k")))
+    per = per.withColumn("raw_rate",
+                         F.col("k") / F.col("n"))
+    mom = F.broadcast(per.agg(
+        F.avg("raw_rate").alias("m"),
+        F.var_samp("raw_rate").alias("v")))
+    ab = (F.col("m") * (1 - F.col("m")) / F.col("v")) - 1
+    alpha = F.col("m") * ab
+    beta = (1 - F.col("m")) * ab
+    usable = (F.col("v").isNotNull() & (F.col("v") > 0) & (ab > 0))
+    eb = F.when(usable,
+                (F.col("k") + alpha) / (F.col("n") + ab)) \
+        .otherwise(F.col("raw_rate"))
+    return (per.crossJoin(mom)
+            .select("host", "n", "k",
+                    F.round("raw_rate", 6).alias("raw_rate"),
+                    F.round(eb, 6).alias("eb_rate"))
+            .orderBy("host"))
+
+
+def host_keep_rate_eb_sql(src_sql: str, host_sql: str = "host",
+                          passed_sql: str = "passed") -> str:
+    """DuckDB mirror of :func:`host_keep_rate_eb` over ``src_sql``
+    (a subquery yielding the host and boolean passed columns)."""
+    ab = "(m * (1 - m) / v) - 1"
+    usable = f"(v IS NOT NULL AND v > 0 AND ({ab}) > 0)"
+    return (
+        f"WITH src AS ({src_sql}), "
+        f"per AS (SELECT {host_sql} AS host, count(*) AS n, "
+        f"sum(CASE WHEN {passed_sql} THEN 1 ELSE 0 END) AS k "
+        f"FROM src GROUP BY 1), "
+        f"rates AS (SELECT host, n, k, "
+        f"CAST(k AS DOUBLE) / n AS raw_rate FROM per), "
+        f"mom AS (SELECT avg(raw_rate) AS m, var_samp(raw_rate) AS v "
+        f"FROM rates) "
+        f"SELECT host, n, CAST(k AS BIGINT) AS k, "
+        f"round(raw_rate, 6) AS raw_rate, "
+        f"round(CASE WHEN {usable} THEN "
+        f"(k + m * ({ab})) / (n + ({ab})) "
+        f"ELSE raw_rate END, 6) AS eb_rate "
+        f"FROM rates, mom ORDER BY host")
