@@ -2581,6 +2581,57 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_logweights(docs, target)
 
 
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup reweighting (operators/dedup.py soft_dedup_weights):
+    near-duplicate clusters (MinHash-LSH pairs -> connected
+    components) down-weight members at 1/cluster_size instead of
+    dropping them — the soft alternative to dedup_clusters; one extra
+    count + clusters-sized join over that query's plan."""
+    from nacc_form_validator_spark.operators.dedup import (
+        soft_dedup_weights)
+    return soft_dedup_weights(_docs(spark, sf_dir))
+
+
+def q_robots_rfc9309(spark, sf_dir):
+    """FULL RFC 9309 robots.txt allow gate (functions/robots.py) —
+    upgrades the Disallow-prefix subset gate (robots_gate,
+    functions/urlfilter.py) with Allow rules, '*' wildcards, '$'
+    anchors, longest-match precedence, and named-agent group
+    selection: parse
+    the deterministic per-host robots fixture (groups, comments,
+    wildcard + '$' patterns, empty Disallow), select the governing
+    group by longest agent substring match, and decide every distinct
+    url by longest-pattern / allow-wins-ties precedence encoded as
+    ONE integer aggregate (2*plen + is_allow)."""
+    from nacc_form_validator_spark.functions.robots import (
+        FIXTURE_AGENT, ROBOTS_FIXTURE, robots_gate)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    robots = spark.createDataFrame(
+        ROBOTS_FIXTURE, "host string, robots_txt string")
+    return robots_gate(pages, robots, agent=FIXTURE_AGENT).orderBy("url")
+
+
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece tokenizer training (operators/wordpiece.py): first 4
+    merge rules under the likelihood-ratio criterion
+    pc/(ca*cb) (Schuster & Nakajima 2012) — same corpus-once /
+    vocab-table-iteration shape as BPE, argmax bit-exact vs the
+    oracle because IEEE * and / are correctly rounded."""
+    from nacc_form_validator_spark.operators.wordpiece import (
+        train_wordpiece_merges)
+    return train_wordpiece_merges(_docs(spark, sf_dir), merges=4)
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece train-then-tokenize round trip
+    (operators/wordpiece.py wordpiece_token_counts): per-doc subword
+    token counts under the corpus-trained 4-merge likelihood-ratio
+    vocab; encoding joins the distinct-word table by key."""
+    from nacc_form_validator_spark.operators.wordpiece import (
+        wordpiece_token_counts)
+    return wordpiece_token_counts(_docs(spark, sf_dir), merges=4)
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): first 6
     merge rules from corpus word counts — corpus touched once, every
@@ -4774,6 +4825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window — their r02-r04 green rows stand as evidence.
     return {
         # --- newest this round: snapshot table format + trained models ---
+        "wordpiece_train": q_wordpiece_train,
+        "wordpiece_encode": q_wordpiece_encode,
+        "robots_rfc9309": q_robots_rfc9309,
+        "soft_dedup": q_soft_dedup,
         "image_dhash": q_image_dhash,
         "image_dedup_dhash": q_image_dedup_dhash,
         "host_harmonic": q_host_harmonic,
@@ -5225,6 +5280,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring": oracle.exact_substring_sql(),
         "bpe_train": oracle.bpe_train_sql(),
         "bpe_encode": oracle.bpe_encode_sql(),
+        "wordpiece_train": oracle.wordpiece_train_sql(4),
+        "wordpiece_encode": oracle.wordpiece_encode_sql(4),
+        "robots_rfc9309": oracle.robots_rfc9309_sql(),
+        "soft_dedup": oracle.soft_dedup_sql(),
         "decontaminate": oracle.decontaminate_sql(),
         "qf_full_corpus": oracle.full_corpus_sql(),
         "simhash_signatures": oracle.simhash_sql(),

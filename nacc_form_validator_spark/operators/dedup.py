@@ -1116,3 +1116,39 @@ def substring_dedup_text(df: DataFrame, text_col: str = "text",
            .orderBy("id"))
     out._persisted_intermediates = [pos]
     return out
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8,
+                       bands: int = 4, n: int = 3,
+                       pairs: DataFrame = None) -> DataFrame:
+    """(doc_id, cluster_id, csize, weight): SoftDeDup (He et al. 2024,
+    "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    Language Model Pre-training") — DOWN-WEIGHT near-duplicate
+    documents instead of dropping them: every member of a fuzzy-dup
+    cluster receives sampling weight 1/csize, so each distinct content
+    unit contributes ~1 document of expected training mass while high-
+    commonness text still appears (with proportionally lower odds).
+    Singletons keep weight 1.0.  The soft alternative to
+    :func:`dedup_components`' hard keep/drop; feed the weights to
+    ``importance_sample`` (operators/sampling.py) to realize the
+    subsample, or to a loss-weighting data loader.
+
+    Reference analogue: none (recast corpus surface; the hard-dedup
+    reference analogue is the pk first-record-wins check).
+
+    Scale shape: composes :func:`dedup_components`' shuffle story
+    (band self-join + large-star/small-star), then adds ONE
+    map-side-combinable count keyed by cluster_id and a clusters-sized
+    join back to the (id, cluster) table — text never moves.  The
+    weight is a single IEEE division of exact longs (correctly rounded
+    by spec in every engine), so the DuckDB oracle hash-matches with
+    no rounding."""
+    comp = dedup_components(df, text_col, id_col, k=k, bands=bands,
+                            n=n, pairs=pairs)
+    sizes = (comp.groupBy("cluster_id")
+             .agg(F.count("*").alias("csize")))
+    return (comp.join(sizes, "cluster_id")
+            .select(F.col(id_col), "cluster_id", "csize",
+                    (F.lit(1.0) / F.col("csize")).alias("weight"))
+            .orderBy(id_col))

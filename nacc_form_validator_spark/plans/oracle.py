@@ -254,6 +254,29 @@ def dedup_components_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
         f"min(lab) = u AS keep FROM reach GROUP BY u ORDER BY doc_id")
 
 
+def soft_dedup_sql(k: int = 8, bands: int = 4, n: int = 3) -> str:
+    """Oracle for dedup.soft_dedup_weights: the dedup_components
+    transitive closure, a per-cluster count, and the 1.0/csize weight
+    (one IEEE division — exact, no rounding)."""
+    ctes, pair_select = _minhash_ctes(k, bands, n)
+    return (
+        f"WITH RECURSIVE {ctes}, "
+        f"pairs AS ({pair_select}), "
+        f"edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        f"UNION SELECT id_b, id_a FROM pairs), "
+        f"reach(u, lab) AS ("
+        f"SELECT doc_id, doc_id FROM documents "
+        f"UNION "
+        f"SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u), "
+        f"comp AS (SELECT u AS doc_id, min(lab) AS cluster_id "
+        f"FROM reach GROUP BY u), "
+        f"sz AS (SELECT cluster_id, count(*) AS csize FROM comp "
+        f"GROUP BY cluster_id) "
+        f"SELECT doc_id, comp.cluster_id, csize, "
+        f"CAST(1.0 AS DOUBLE) / csize AS weight "
+        f"FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id")
+
+
 def dedup_keep_best_sql(score_sql: str, k: int = 8, bands: int = 4,
                         n: int = 3) -> str:
     """Oracle for dedup_keep_best: same transitive closure as
@@ -1887,6 +1910,144 @@ def bpe_encode_sql(merges: int = 6) -> str:
             "BIGINT) AS n_words, CAST(coalesce(n_tokens, 0) AS BIGINT) "
             "AS n_tokens FROM documents d LEFT JOIN per "
             "ON d.doc_id = per.id ORDER BY id")
+
+
+def _wordpiece_ctes(merges: int) -> list:
+    """Shared CTE chain for the WordPiece oracles: the BPE chain with
+    the argmax criterion swapped for the likelihood-ratio score
+    pc / (ca * cb) (Schuster & Nakajima 2012).  The score is one IEEE
+    double product + division of exact integer counts — correctly
+    rounded by the 754 spec in BOTH engines, so no rounding is needed
+    for the argmax (or the emitted score) to hash-match."""
+    parts = [
+        f"toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents)",
+        "s0 AS (SELECT w, list_transform(range(1, len(w) + 1), "
+        "i -> w[i:i]) AS s, count(*) AS c FROM toks GROUP BY w)",
+    ]
+    for k in range(merges):
+        nxt = k + 1
+        parts += [
+            f"p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, sum(c) AS pc "
+            f"FROM s{k}, unnest(range(1, len(s))) AS t(i) "
+            f"GROUP BY 1, 2)",
+            f"u{k} AS (SELECT sym, sum(c) AS sc "
+            f"FROM s{k}, unnest(s) AS t(sym) GROUP BY 1)",
+            f"t{k} AS (SELECT a, b, pc, CAST(pc AS DOUBLE) / "
+            f"(CAST(ca.sc AS DOUBLE) * CAST(cb.sc AS DOUBLE)) AS score "
+            f"FROM p{k} JOIN u{k} ca ON p{k}.a = ca.sym "
+            f"JOIN u{k} cb ON p{k}.b = cb.sym "
+            f"ORDER BY score DESC, a ASC, b ASC LIMIT 1)",
+            # LEFT JOIN ON TRUE: empty pair table -> no-op merge step
+            # (matches the Spark side's early break; see _bpe_ctes)
+            f"mt{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
+            f"FROM s{k} LEFT JOIN t{k} ON TRUE)",
+            f"mg{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> mt[i] AND ((i - coalesce(list_max("
+            f"list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) "
+            f"AS mg FROM mt{k})",
+            f"s{nxt} AS (SELECT w, flatten(list_transform(range(1, "
+            f"len(s) + 1), i -> CASE WHEN i < len(s) AND mg[i] "
+            f"THEN [s[i] || s[i + 1]] WHEN i > 1 AND mg[i - 1] "
+            f"THEN []::VARCHAR[] ELSE [s[i]] END)) AS s, c "
+            f"FROM mg{k})",
+        ]
+    return parts
+
+
+def wordpiece_train_sql(merges: int = 6) -> str:
+    """Oracle for operators/wordpiece.py train_wordpiece_merges:
+    ``merges`` unrolled likelihood-ratio argmax + run-parity greedy
+    merge steps (tie-break score desc, a asc, b asc)."""
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged, "
+        f"CAST(pc AS BIGINT) AS pair_count, score FROM t{k}"
+        for k in range(merges))
+    return ("WITH " + ", ".join(_wordpiece_ctes(merges)) +
+            f" SELECT * FROM ({finals}) ORDER BY step")
+
+
+def wordpiece_encode_sql(merges: int = 6) -> str:
+    """Oracle for operators/wordpiece.py wordpiece_token_counts:
+    encode via the final symbol table of the same unrolled chain (the
+    encoding join is criterion-agnostic, shared with BPE)."""
+    parts = _wordpiece_ctes(merges)
+    parts += [
+        f"wl AS (SELECT w, len(s) AS wl FROM s{merges})",
+        f"dt AS (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w "
+        f"FROM documents)",
+        "per AS (SELECT id, count(*) AS n_words, sum(wl) AS n_tokens "
+        "FROM dt JOIN wl USING (w) GROUP BY id)",
+    ]
+    return ("WITH " + ", ".join(parts) +
+            " SELECT d.doc_id AS id, CAST(coalesce(n_words, 0) AS "
+            "BIGINT) AS n_words, CAST(coalesce(n_tokens, 0) AS BIGINT) "
+            "AS n_tokens FROM documents d LEFT JOIN per "
+            "ON d.doc_id = per.id ORDER BY id")
+
+
+def robots_rfc9309_sql() -> str:
+    """Oracle for functions/robots.py robots_gate over the shared
+    ROBOTS_FIXTURE (imported, not re-typed — the fixture cannot
+    drift): full RFC 9309 re-implementation in DuckDB SQL — comment
+    strip, group attribution via the same lag/sum window, longest
+    substring agent selection, the identical regex-escape chain
+    (RE2 replacement syntax instead of Java's, same output), and the
+    2*plen+allow integer precedence aggregate."""
+    from ..functions.robots import FIXTURE_AGENT, ROBOTS_FIXTURE
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in ROBOTS_FIXTURE)
+    agent = FIXTURE_AGENT.lower()
+    esc = (r"'^' || replace(replace(regexp_replace(CASE WHEN pattern "
+           r"LIKE '%$' THEN pattern[1:len(pattern)-1] ELSE pattern "
+           r"END, '([.^|?+(){}\[\]\\])', '\\\1', 'g'), '$', '\$'), "
+           r"'*', '.*') || CASE WHEN pattern LIKE '%$' THEN '$' "
+           r"ELSE '' END")
+    return f"""
+WITH robots(host, robots_txt) AS (VALUES {vals}),
+p AS ({pages_cte()}),
+urls AS (SELECT url,
+  lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+  CASE WHEN pq = '' THEN '/' ELSE pq END AS path
+  FROM (SELECT DISTINCT url, regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pq FROM p) t),
+ls AS (SELECT host, string_split(robots_txt, chr(10)) AS l FROM robots),
+lines AS (SELECT host, i AS pos,
+  trim(regexp_replace(l[i], '#.*$', '')) AS clean
+  FROM ls, unnest(range(1, len(l) + 1)) AS u(i)),
+parsed AS (SELECT host, pos,
+  lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS key,
+  trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS val FROM lines),
+blk AS (SELECT host, pos, key, val, (key = 'user-agent') AS ua,
+  ((key = 'user-agent') AND NOT coalesce(
+    lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+    FALSE)) AS strt FROM parsed),
+blk2 AS (SELECT host, pos, key, val, ua,
+  sum(CASE WHEN strt THEN 1 ELSE 0 END)
+    OVER (PARTITION BY host ORDER BY pos) AS block FROM blk),
+uas AS (SELECT host, block, lower(val) AS uav FROM blk2 WHERE ua),
+rules AS (SELECT host, block, key = 'allow' AS allow, val AS pattern
+  FROM blk2 WHERE key IN ('allow', 'disallow') AND val <> ''),
+elig AS (SELECT host, block,
+  CASE WHEN uav = '*' THEN 0 ELSE len(uav) END AS spec
+  FROM uas WHERE uav = '*' OR strpos('{agent}', uav) > 0),
+best AS (SELECT host, max(spec) AS bs FROM elig GROUP BY host),
+chosen AS (SELECT DISTINCT e.host, e.block FROM elig e
+  JOIN best b ON e.host = b.host AND e.spec = b.bs),
+rr AS (SELECT r.host, pattern, allow, len(pattern) AS plen,
+  {esc} AS rx
+  FROM rules r JOIN chosen c ON r.host = c.host AND r.block = c.block),
+j AS (SELECT u.url, CASE WHEN rr.rx IS NOT NULL
+    AND regexp_matches(u.path, rr.rx)
+    THEN plen * 2 + CASE WHEN allow THEN 1 ELSE 0 END END AS score
+  FROM urls u LEFT JOIN rr ON u.host = rr.host),
+per AS (SELECT url, max(score) AS best FROM j GROUP BY url)
+SELECT url, (best IS NULL OR best % 2 = 1) AS allowed,
+  CAST(best // 2 AS INTEGER) AS matched_plen,
+  CASE WHEN best IS NOT NULL THEN best % 2 = 1 END AS matched_allow
+FROM per ORDER BY url"""
 
 
 def edit_verified_sql(k: int = 8, bands: int = 4, n: int = 3,

@@ -1,0 +1,186 @@
+"""Round-5 additions, tenth batch: WordPiece tokenizer training
+(likelihood-ratio merges), robots.txt allow gate, soft-dedup
+weighting.
+
+Each operator is additionally under a full DuckDB value oracle via its
+__spark_entry__ queries()/oracle_sql() pair; these tests pin the
+semantics with hand-checkable fixtures plus direct Spark-vs-DuckDB
+parity runs on randomized corpora.
+"""
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string")
+
+
+# ------------------------------------------------------------ wordpiece
+def test_wordpiece_prefers_exclusive_pairs(spark):
+    """The likelihood-ratio criterion picks the rare-but-exclusive
+    pair (c,d) over the frequent-but-diluted (a,b) — the exact
+    behavior that separates WordPiece from BPE."""
+    from nacc_form_validator_spark.operators.wordpiece import (
+        train_wordpiece_merges)
+    # 'ab' x10: pc(a,b)=10, ca=cb=10 -> score 0.1
+    # 'cd' x2:  pc(c,d)=2,  cc=cd=2  -> score 0.5  (wins)
+    docs = _docs(spark, ["ab " * 10 + "cd cd"])
+    got = [(r["step"], r["lhs"], r["rhs"], r["pair_count"], r["score"])
+           for r in train_wordpiece_merges(docs, merges=3).collect()]
+    assert got == [(0, "c", "d", 2, 0.5), (1, "a", "b", 10, 0.1)]
+
+
+def test_wordpiece_vs_bpe_divergence(spark):
+    """Same corpus, different argmax: BPE merges (a,b) first."""
+    from nacc_form_validator_spark.operators.bpe import train_bpe_merges
+    docs = _docs(spark, ["ab " * 10 + "cd cd"])
+    bpe = train_bpe_merges(docs, merges=1).collect()
+    assert (bpe[0]["lhs"], bpe[0]["rhs"]) == ("a", "b")
+
+
+def test_wordpiece_encode_counts(spark):
+    from nacc_form_validator_spark.operators.wordpiece import (
+        wordpiece_token_counts)
+    docs = _docs(spark, ["ab ab cd", "", "xy"])
+    out = {r["id"]: r for r in
+           wordpiece_token_counts(docs, merges=3).collect()}
+    # scores: (c,d)=1.0, (x,y)=1.0, (a,b)=2/4 -> merges (c,d), (x,y)
+    # (tie broken lhs asc), then (a,b): every word is one token
+    assert out[0]["n_words"] == 3 and out[0]["n_tokens"] == 3
+    assert out[1]["n_words"] == 0 and out[1]["n_tokens"] == 0
+    assert out[2]["n_words"] == 1 and out[2]["n_tokens"] == 1
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def _pages(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+# ------------------------------------------------------------ robots.txt
+def test_robots_longest_match_allow_wins(spark):
+    from nacc_form_validator_spark.functions.robots import robots_gate
+    robots = _robots(spark, [
+        ("h.example", "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n")])
+    pages = _pages(spark, [
+        "https://h.example/p/1", "https://h.example/p/10",
+        "https://h.example/p/12", "https://h.example/p/123",
+        "https://h.example/q/x"])
+    got = {r["url"]: (r["allowed"], r["matched_plen"], r["matched_allow"])
+           for r in robots_gate(pages, robots, "anybot").collect()}
+    assert got["https://h.example/p/1"] == (False, 4, False)
+    assert got["https://h.example/p/10"] == (False, 4, False)
+    # /p/12* re-allowed by the longer Allow pattern
+    assert got["https://h.example/p/12"] == (True, 5, True)
+    assert got["https://h.example/p/123"] == (True, 5, True)
+    # nothing matches -> allowed with null lineage
+    assert got["https://h.example/q/x"] == (True, None, None)
+
+
+def test_robots_group_selection_and_anchors(spark):
+    from nacc_form_validator_spark.functions.robots import robots_gate
+    robots = _robots(spark, [
+        # named group wins over '*'; pattern with '*' and '$'
+        ("a.example", "User-agent: qfbot\nDisallow: /p/*3$\n\n"
+         "User-agent: *\nDisallow: /\n"),
+        # group for another crawler only -> we are unrestricted
+        ("b.example", "User-agent: otherbot\nDisallow: /\n"),
+        # empty Disallow is a no-op; unknown directive ignored
+        ("c.example", "User-agent: *\nDisallow:\nCrawl-delay: 7\n"),
+        # multi-UA group; exact '$' re-allow beats the prefix block
+        ("d.example", "User-agent: smallbot\nUser-agent: qfbot\n"
+         "Disallow: /p/2\nAllow: /p/2$\n")])
+    pages = _pages(spark, [
+        "https://a.example/p/13", "https://a.example/p/130",
+        "https://a.example/other", "https://b.example/p/1",
+        "https://c.example/p/1", "https://d.example/p/2",
+        "https://d.example/p/21", "https://e.example/p/9"])
+    got = {r["url"]: r["allowed"]
+           for r in robots_gate(pages, robots, "qfbot/1.0").collect()}
+    assert got["https://a.example/p/13"] is False      # ends in 3
+    assert got["https://a.example/p/130"] is True      # '$' anchor holds
+    assert got["https://a.example/other"] is True      # '*' group ignored
+    assert got["https://b.example/p/1"] is True
+    assert got["https://c.example/p/1"] is True
+    assert got["https://d.example/p/2"] is True        # exact re-allow
+    assert got["https://d.example/p/21"] is False      # prefix block
+    assert got["https://e.example/p/9"] is True        # no robots.txt
+
+
+def test_robots_comments_and_case(spark):
+    from nacc_form_validator_spark.functions.robots import robots_gate
+    robots = _robots(spark, [
+        ("h.example",
+         "# header comment\nUSER-AGENT: QfBot  # inline\n"
+         "DISALLOW: /secret\n")])
+    pages = _pages(spark, ["https://h.example/secret/x",
+                           "https://h.example/open"])
+    got = {r["url"]: r["allowed"]
+           for r in robots_gate(pages, robots, "qfbot/1.0").collect()}
+    assert got["https://h.example/secret/x"] is False
+    assert got["https://h.example/open"] is True
+
+
+# ----------------------------------------------------------- soft dedup
+def test_soft_dedup_weights_by_cluster_size(spark):
+    from nacc_form_validator_spark.operators.dedup import (
+        soft_dedup_weights)
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "mill by the river bank today")
+    docs = _docs(spark, [
+        base, base, base + " extra",          # one 3-cluster
+        "completely different words about spark and parquet files "
+        "for the second group of text",        # singleton
+    ])
+    got = {r["doc_id"]: (r["cluster_id"], r["csize"], r["weight"])
+           for r in soft_dedup_weights(docs).collect()}
+    assert got[0] == (0, 3, pytest.approx(1 / 3))
+    assert got[1][0] == 0 and got[1][1] == 3
+    assert got[2][0] == 0
+    assert got[3] == (3, 1, 1.0)
+    # total expected mass = number of distinct content units
+    assert sum(w for _, _, w in got.values()) == pytest.approx(2.0)
+
+
+def _duck(texts):
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents_src", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    return con
+
+
+def test_wordpiece_oracle_parity_randomized(spark):
+    """Spark train/encode vs the DuckDB unrolled oracle, bit-exact
+    scores included (IEEE correctly-rounded * and / — no rounding)."""
+    from nacc_form_validator_spark.operators.wordpiece import (
+        train_wordpiece_merges, wordpiece_token_counts)
+    from nacc_form_validator_spark.plans.oracle import (
+        wordpiece_encode_sql, wordpiece_train_sql)
+    rng = random.Random(11)
+    vocab = ["ab", "abc", "cab", "bc", "ca", "a", "b", "c", "abab"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+             for _ in range(40)]
+    docs = _docs(spark, texts)
+    con = _duck(texts)
+
+    got = [(r["step"], r["lhs"], r["rhs"], r["merged"],
+            r["pair_count"], r["score"])
+           for r in train_wordpiece_merges(docs, merges=4).collect()]
+    want = con.execute(wordpiece_train_sql(4)).fetchall()
+    assert got == [tuple(r) for r in want]
+
+    enc = [(r["id"], r["n_words"], r["n_tokens"]) for r in
+           wordpiece_token_counts(docs, merges=4)
+           .orderBy("id").collect()]
+    wenc = con.execute(wordpiece_encode_sql(4)).fetchall()
+    assert enc == [tuple(r) for r in wenc]
