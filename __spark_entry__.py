@@ -2581,6 +2581,27 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_logweights(docs, target)
 
 
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer training (operators/unigramlm.py, Kudo
+    2018 / SentencePiece): substring-frequency seed -> one hard-EM
+    round (pure-Column Viterbi E-step over distinct words, count/
+    prune/renormalize M-step) -> (piece, cnt, lp) model table.
+    Round-6 logp discipline makes the unrolled DuckDB DP hash-exact."""
+    from nacc_form_validator_spark.operators.unigramlm import (
+        train_unigram_lm)
+    return train_unigram_lm(_docs(spark, sf_dir))
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram-LM train-then-tokenize round trip
+    (operators/unigramlm.py unigram_token_counts): Viterbi-encode
+    every document against the corpus-trained piece vocabulary —
+    each DISTINCT word segments once, documents join by word key."""
+    from nacc_form_validator_spark.operators.unigramlm import (
+        unigram_token_counts)
+    return unigram_token_counts(_docs(spark, sf_dir))
+
+
 def q_soft_dedup(spark, sf_dir):
     """SoftDeDup reweighting (operators/dedup.py soft_dedup_weights):
     near-duplicate clusters (MinHash-LSH pairs -> connected
@@ -4827,6 +4848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest this round: snapshot table format + trained models ---
         "wordpiece_train": q_wordpiece_train,
         "wordpiece_encode": q_wordpiece_encode,
+        "unigram_train": q_unigram_train,
+        "unigram_encode": q_unigram_encode,
         "robots_rfc9309": q_robots_rfc9309,
         "soft_dedup": q_soft_dedup,
         "image_dhash": q_image_dhash,
@@ -5282,6 +5305,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": oracle.bpe_encode_sql(),
         "wordpiece_train": oracle.wordpiece_train_sql(4),
         "wordpiece_encode": oracle.wordpiece_encode_sql(4),
+        "unigram_train": oracle.unigram_train_sql(),
+        "unigram_encode": oracle.unigram_encode_sql(),
         "robots_rfc9309": oracle.robots_rfc9309_sql(),
         "soft_dedup": oracle.soft_dedup_sql(),
         "decontaminate": oracle.decontaminate_sql(),

@@ -1986,6 +1986,131 @@ def wordpiece_encode_sql(merges: int = 6) -> str:
             "ON d.doc_id = per.id ORDER BY id")
 
 
+def _unigram_dp_ctes(prefix: str, model: str, piece_len: int,
+                     max_word_len: int, unk: float) -> list:
+    """Unrolled Viterbi DP over the distinct-word table against
+    ``model`` (piece, lp): step k extends every dp row i in
+    [k-piece_len, k-1] with the piece w[i+1..k] (model lp, or ``unk``
+    for unknown single chars) and keeps the best per word by
+    (lp DESC, np ASC, j ASC) — the exact tie rule of the Spark fold
+    (operators/unigramlm.py _viterbi).  Words longer than the cap
+    take the char-by-char fallback.  Emits ``{prefix}seg``
+    (w, lp, np, segs)."""
+    p = prefix
+    parts = [
+        f"{p}d0 AS MATERIALIZED (SELECT w, 0 AS i, CAST(0.0 AS DOUBLE) AS lp, "
+        f"0 AS np, []::VARCHAR[] AS segs FROM wc "
+        f"WHERE len(w) <= {max_word_len})",
+    ]
+    for k in range(1, max_word_len + 1):
+        parts += [
+            f"{p}c{k} AS (SELECT d.w, "
+            f"d.lp + CASE WHEN m.lp IS NOT NULL THEN m.lp "
+            f"ELSE CAST({unk} AS DOUBLE) END AS lp, "
+            f"d.np + 1 AS np, "
+            f"list_append(d.segs, substr(d.w, d.i + 1, {k} - d.i)) "
+            f"AS segs, d.i AS j0 "
+            f"FROM {p}d{k-1} d LEFT JOIN {model} m "
+            f"ON m.piece = substr(d.w, d.i + 1, {k} - d.i) "
+            f"WHERE len(d.w) >= {k} AND d.i >= {k - piece_len} "
+            f"AND d.i < {k} "
+            f"AND (m.lp IS NOT NULL OR {k} - d.i = 1))",
+            f"{p}b{k} AS (SELECT w, {k} AS i, lp, np, segs FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY w "
+            f"ORDER BY lp DESC, np ASC, j0 ASC) AS rn FROM {p}c{k}) "
+            f"WHERE rn = 1)",
+            f"{p}d{k} AS MATERIALIZED (SELECT * FROM {p}d{k-1} UNION ALL "
+            f"SELECT w, i, lp, np, segs FROM {p}b{k})",
+        ]
+    parts += [
+        f"{p}fin AS (SELECT w, lp, np, segs FROM {p}d{max_word_len} "
+        f"WHERE i = len(w))",
+        f"{p}le AS (SELECT w, i, chs[i] AS ch FROM "
+        f"(SELECT w, list_filter(string_split(w, ''), x -> x <> '') "
+        f"AS chs FROM wc WHERE len(w) > {max_word_len}) q, "
+        f"unnest(range(1, len(chs) + 1)) AS t(i))",
+        f"{p}lj AS (SELECT w, sum(CASE WHEN m.lp IS NOT NULL "
+        f"THEN m.lp ELSE CAST({unk} AS DOUBLE) END) AS lp, "
+        f"CAST(count(*) AS INTEGER) AS np, "
+        f"list(ch ORDER BY i) AS segs "
+        f"FROM {p}le LEFT JOIN {model} m ON m.piece = {p}le.ch "
+        f"GROUP BY w)",
+        f"{p}seg AS (SELECT w, lp, np, segs FROM {p}fin "
+        f"UNION ALL SELECT w, lp, np, segs FROM {p}lj)",
+    ]
+    return parts
+
+
+def _unigram_ctes(seed_size: int, vocab_size: int, piece_len: int,
+                  max_word_len: int, unk: float) -> list:
+    """Shared CTE chain for the unigram-LM oracles: word counts ->
+    substring-frequency seed (top seed_size, round-6 logp) -> one
+    hard-EM round (Viterbi E-step via the unrolled DP, count/prune/
+    renormalize M-step) -> final model ``m1`` (piece, cnt, lp)."""
+    parts = [
+        f"toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents)",
+        "wc AS MATERIALIZED (SELECT w, count(*) AS c FROM toks GROUP BY w)",
+        f"sub AS (SELECT piece, sum(c) AS cnt FROM ("
+        f"SELECT substr(w, i, l) AS piece, c FROM wc, "
+        f"unnest(range(1, len(w) + 1)) AS t(i), "
+        f"unnest(range(1, {piece_len} + 1)) AS t2(l) "
+        f"WHERE i + l - 1 <= len(w)) q GROUP BY piece)",
+        f"sk AS (SELECT piece, cnt FROM sub "
+        f"ORDER BY cnt DESC, piece ASC LIMIT {seed_size})",
+        "st AS (SELECT sum(cnt) AS tot FROM sk)",
+        "m0 AS MATERIALIZED (SELECT piece, "
+        "round(ln(CAST(cnt AS DOUBLE) / tot), 6) AS lp FROM sk, st)",
+    ]
+    parts += _unigram_dp_ctes("e", "m0", piece_len, max_word_len, unk)
+    parts += [
+        "ec AS (SELECT piece, sum(c) AS cnt FROM ("
+        "SELECT unnest(s.segs) AS piece, wc.c FROM eseg s "
+        "JOIN wc USING (w)) q GROUP BY piece)",
+        f"ek AS (SELECT piece, cnt FROM ec "
+        f"ORDER BY cnt DESC, piece ASC LIMIT {vocab_size})",
+        "et AS (SELECT sum(cnt) AS tot FROM ek)",
+        "m1 AS MATERIALIZED (SELECT piece, cnt, "
+        "round(ln(CAST(cnt AS DOUBLE) / tot), 6) AS lp FROM ek, et)",
+    ]
+    return parts
+
+
+def unigram_train_sql(seed_size: int = 48, vocab_size: int = 32,
+                      piece_len: int = 4, max_word_len: int = 12,
+                      unk: float = -20.0) -> str:
+    """Oracle for operators/unigramlm.py train_unigram_lm (iters=1)."""
+    parts = _unigram_ctes(seed_size, vocab_size, piece_len,
+                          max_word_len, unk)
+    return ("WITH " + ", ".join(parts) +
+            " SELECT piece, CAST(cnt AS BIGINT) AS cnt, lp FROM m1 "
+            "ORDER BY piece")
+
+
+def unigram_encode_sql(seed_size: int = 48, vocab_size: int = 32,
+                       piece_len: int = 4, max_word_len: int = 12,
+                       unk: float = -20.0) -> str:
+    """Oracle for operators/unigramlm.py unigram_token_counts: a
+    second unrolled Viterbi chain against the trained model ``m1``,
+    then documents join the per-distinct-word (np, lp) table."""
+    parts = _unigram_ctes(seed_size, vocab_size, piece_len,
+                          max_word_len, unk)
+    parts += _unigram_dp_ctes("n", "m1", piece_len, max_word_len, unk)
+    parts += [
+        f"dt AS (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w "
+        f"FROM documents)",
+        "per AS (SELECT id, count(*) AS n_words, sum(np) AS n_tokens, "
+        "round(sum(lp), 6) AS logp FROM dt JOIN nseg USING (w) "
+        "GROUP BY id)",
+    ]
+    return ("WITH " + ", ".join(parts) +
+            " SELECT d.doc_id AS id, "
+            "CAST(coalesce(n_words, 0) AS BIGINT) AS n_words, "
+            "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "coalesce(logp, 0.0) AS logp "
+            "FROM documents d LEFT JOIN per ON d.doc_id = per.id "
+            "ORDER BY id")
+
+
 def robots_rfc9309_sql() -> str:
     """Oracle for functions/robots.py robots_gate over the shared
     ROBOTS_FIXTURE (imported, not re-typed — the fixture cannot

@@ -129,6 +129,68 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ------------------------------------------------------------ unigram LM
+def test_unigram_viterbi_hand_case(spark):
+    """Viterbi picks the max-likelihood segmentation, ties prefer
+    fewer pieces then the earliest start of the last piece."""
+    from pyspark.sql import functions as F
+    from nacc_form_validator_spark.operators.unigramlm import (
+        _model_map, _viterbi)
+    rows = [{"piece": "ab", "lp": -1.0}, {"piece": "c", "lp": -2.0},
+            {"piece": "abc", "lp": -2.5}, {"piece": "a", "lp": -3.0},
+            {"piece": "b", "lp": -3.0}]
+    df = spark.createDataFrame(
+        [("abc",), ("abab",), ("xq",), ("cab",)], "w string")
+    m = _model_map(rows)
+    got = {r["w"]: (r["s"]["lp"], r["s"]["np"], r["s"]["segs"])
+           for r in df.select(
+               "w", _viterbi(F.col("w"), m, 4, -20.0).alias("s"))
+           .collect()}
+    # 'abc' single piece (-2.5) beats ab+c (-3.0)
+    assert got["abc"] == (-2.5, 1, ["abc"])
+    assert got["abab"] == (-2.0, 2, ["ab", "ab"])
+    # unknown chars fall back to unk_logp singles
+    assert got["xq"] == (-40.0, 2, ["x", "q"])
+    assert got["cab"] == (-3.0, 2, ["c", "ab"])
+
+
+def test_unigram_long_word_char_fallback(spark):
+    from nacc_form_validator_spark.operators.unigramlm import (
+        unigram_token_counts)
+    docs = _docs(spark, ["supercalifragilistic ab"])
+    out = unigram_token_counts(docs, seed_size=8, vocab_size=8,
+                               max_word_len=12).collect()
+    # the 20-char word bypasses the DP: exactly one token per char
+    assert out[0]["n_tokens"] >= 20 + 1
+
+
+def test_unigram_oracle_parity_randomized(spark):
+    """Spark hard-EM train + Viterbi encode vs the materialized
+    unrolled-DP DuckDB chain, exact values."""
+    import random
+    from nacc_form_validator_spark.operators.unigramlm import (
+        train_unigram_lm, unigram_token_counts)
+    from nacc_form_validator_spark.plans.oracle import (
+        unigram_encode_sql, unigram_train_sql)
+    rng = random.Random(3)
+    vocab = ["ab", "abc", "cab", "bc", "ca", "a", "b", "c", "abab",
+             "internationalization", "xyz"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 10)))
+             for _ in range(30)]
+    docs = _docs(spark, texts)
+    con = _duck(texts)
+    tr = [(r["piece"], r["cnt"], r["lp"]) for r in
+          train_unigram_lm(docs, seed_size=20, vocab_size=10)
+          .collect()]
+    assert tr == [tuple(r) for r in
+                  con.execute(unigram_train_sql(20, 10)).fetchall()]
+    enc = [(r["id"], r["n_words"], r["n_tokens"], r["logp"]) for r in
+           unigram_token_counts(docs, seed_size=20, vocab_size=10)
+           .orderBy("id").collect()]
+    assert enc == [tuple(r) for r in
+                   con.execute(unigram_encode_sql(20, 10)).fetchall()]
+
+
 # ----------------------------------------------------------- soft dedup
 def test_soft_dedup_weights_by_cluster_size(spark):
     from nacc_form_validator_spark.operators.dedup import (
