@@ -1766,6 +1766,47 @@ def q_cc_scrub(spark, sf_dir):
     return cc_scrub(_carded_docs(spark, sf_dir))
 
 
+def _ibaned_docs(spark, sf_dir):
+    """Fixture prep for the mod-97 scrub: deterministic IBAN-shaped
+    strings appended per doc — a valid UK IBAN (doc_id%11==0), a
+    checksum-INVALID near-miss (%11==1, must survive), and a valid
+    German IBAN (%11==2).  Mirrored literally in _iban_scrub_sql."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    suffix = (F.when(F.col("doc_id") % 11 == 0,
+                     F.lit(" pay GB82WEST12345698765432 now"))
+              .when(F.col("doc_id") % 11 == 1,
+                    F.lit(" ref GB82WEST12345698765433 bad"))
+              .when(F.col("doc_id") % 11 == 2,
+                    F.lit(" konto DE89370400440532013000 ok"))
+              .otherwise(F.lit("")))
+    return d.select("doc_id",
+                    F.concat(F.col("text"), suffix).alias("text"))
+
+
+_IBANED_SQL = ("SELECT doc_id AS id, text || (CASE "
+               "WHEN doc_id % 11 = 0 THEN "
+               "' pay GB82WEST12345698765432 now' "
+               "WHEN doc_id % 11 = 1 THEN "
+               "' ref GB82WEST12345698765433 bad' "
+               "WHEN doc_id % 11 = 2 THEN "
+               "' konto DE89370400440532013000 ok' "
+               "ELSE '' END) AS text FROM documents")
+
+
+def q_iban_scrub(spark, sf_dir):
+    """ISO 13616 IBAN scrub (functions/pii.py iban_scrub): only
+    IBAN-shaped runs passing the mod-97 checksum mask — the
+    account-number sibling of cc_scrub, same zero-shuffle pure-Column
+    fold, byte-identical scrubbed text under the oracle."""
+    from nacc_form_validator_spark.functions.pii import iban_scrub
+    return iban_scrub(_ibaned_docs(spark, sf_dir))
+
+
+def _iban_scrub_sql():
+    from nacc_form_validator_spark.functions.pii import iban_scrub_sql
+    return iban_scrub_sql(_IBANED_SQL)
+
+
 def _cc_scrub_sql():
     from nacc_form_validator_spark.functions.pii import cc_scrub_sql
     return cc_scrub_sql(_CARDED_SQL)
@@ -2600,6 +2641,26 @@ def q_unigram_encode(spark, sf_dir):
     from nacc_form_validator_spark.operators.unigramlm import (
         unigram_token_counts)
     return unigram_token_counts(_docs(spark, sf_dir))
+
+
+#: ordered split spec shared by q_host_split and its oracle
+_SPLIT_SPEC = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+
+
+def q_host_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split at HOST granularity
+    (operators/sampling.py host_disjoint_split): split is a pure
+    function of md5(host), so near-duplicate pages concentrated
+    within a host can never straddle train and held-out.  Zero
+    shuffles — one map-side projection."""
+    from nacc_form_validator_spark.functions.urlfilter import url_host
+    from nacc_form_validator_spark.operators.sampling import (
+        host_disjoint_split)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    urls = (pages.select("url").distinct()
+            .select("url", url_host(F.col("url")).alias("host")))
+    return (host_disjoint_split(urls, _SPLIT_SPEC)
+            .select("url", "host", "split").orderBy("url"))
 
 
 def q_soft_dedup(spark, sf_dir):
@@ -4850,6 +4911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "iban_scrub": q_iban_scrub,
+        "host_split": q_host_split,
         "robots_rfc9309": q_robots_rfc9309,
         "soft_dedup": q_soft_dedup,
         "image_dhash": q_image_dhash,
@@ -5307,6 +5370,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_encode": oracle.wordpiece_encode_sql(4),
         "unigram_train": oracle.unigram_train_sql(),
         "unigram_encode": oracle.unigram_encode_sql(),
+        "iban_scrub": _iban_scrub_sql(),
+        "host_split": oracle.host_split_sql(_SPLIT_SPEC),
         "robots_rfc9309": oracle.robots_rfc9309_sql(),
         "soft_dedup": oracle.soft_dedup_sql(),
         "decontaminate": oracle.decontaminate_sql(),

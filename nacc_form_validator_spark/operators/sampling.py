@@ -418,3 +418,41 @@ def group_split_sql(table_sql: str, test_frac: float, group_sql: str,
          f"/ 4294967296.0")
     return (f"SELECT *, CASE WHEN {u} < {test_frac} THEN 'test' "
             f"ELSE 'train' END AS split FROM ({table_sql})")
+
+
+def host_disjoint_split(df: DataFrame, splits,
+                        key_col: str = "host") -> DataFrame:
+    """Input rows + a ``split`` column: leakage-safe train/valid/test
+    assignment at KEY granularity — the split is a pure function of
+    one deterministic md5-uniform of ``key_col``, so every row
+    sharing a key (all pages of a host) lands in the SAME split.
+    Splitting at host level is the standard defense against
+    cross-split contamination from near-duplicate pages, which
+    concentrate within hosts (mirrors, templates, recrawls); a
+    row-level split would leak them between train and held-out.
+
+    ``splits``: ordered list of (name, fraction) summing to 1; the
+    uniform is compared against the running cumulative bounds in the
+    given order (first match wins), so assignment is reproducible,
+    resume-stable, and growth-stable — new crawls of a known host
+    join its existing split.
+
+    Scale shape: ONE map-side projection, zero shuffles — the md5 and
+    the when-chain ride whatever partitioning the input already has.
+    Reference analogue: none (recast corpus surface)."""
+    fracs = [float(f) for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(
+            f"host_disjoint_split: fractions sum to {sum(fracs)}, "
+            f"expected 1.0")
+    u = hash_uniform(F.col(key_col))
+    chain = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += float(frac)
+        cond = u < F.lit(cum)
+        chain = (F.when(cond, F.lit(name)) if chain is None
+                 else chain.when(cond, F.lit(name)))
+    split = (chain.otherwise(F.lit(splits[-1][0]))
+             if chain is not None else F.lit(splits[-1][0]))
+    return df.withColumn("split", split)

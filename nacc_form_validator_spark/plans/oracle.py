@@ -2111,6 +2111,28 @@ def unigram_encode_sql(seed_size: int = 48, vocab_size: int = 32,
             "ORDER BY id")
 
 
+def host_split_sql(splits) -> str:
+    """Oracle for operators/sampling.py host_disjoint_split over the
+    distinct urls of the synthetic pages: the cumulative bounds are
+    accumulated in the SAME Python float arithmetic the Spark side
+    uses (0.8 + 0.1 is 0.9000000000000001 in both), then embedded via
+    repr so the two engines compare identical doubles."""
+    from ..functions.urlfilter import url_host_sql
+    u = _hash_uniform_sql("host")
+    cases, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += float(frac)
+        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    case = ("CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+            if cases else f"'{splits[-1][0]}'")
+    host = url_host_sql("url")
+    return (
+        f"WITH p AS ({pages_cte()}), "
+        f"uu AS (SELECT DISTINCT url FROM p), "
+        f"h AS (SELECT url, {host} AS host FROM uu) "
+        f"SELECT url, host, {case} AS split FROM h ORDER BY url")
+
+
 def robots_rfc9309_sql() -> str:
     """Oracle for functions/robots.py robots_gate over the shared
     ROBOTS_FIXTURE (imported, not re-typed — the fixture cannot

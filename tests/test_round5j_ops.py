@@ -129,6 +129,61 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ----------------------------------------------------- host-disjoint split
+def test_host_split_is_host_pure(spark):
+    """Every row of a host gets the same split; fractions roughly
+    honored; bad fractions error."""
+    from nacc_form_validator_spark.operators.sampling import (
+        host_disjoint_split)
+    rows = [(f"https://h{i % 20}.example/p/{i}", f"h{i % 20}.example")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = host_disjoint_split(
+        df, [("train", 0.8), ("valid", 0.1), ("test", 0.1)])
+    per_host = (out.groupBy("host")
+                .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per_host)
+    splits = {r["split"] for r in out.select("split").distinct()
+              .collect()}
+    assert splits <= {"train", "valid", "test"}
+    with pytest.raises(ValueError):
+        host_disjoint_split(df, [("a", 0.5), ("b", 0.4)])
+
+
+# ------------------------------------------------------------- IBAN scrub
+def test_iban_scrub_checksum_gate(spark):
+    from nacc_form_validator_spark.functions.pii import iban_scrub
+    docs = _docs(spark, [
+        "pay GB82WEST12345698765432 now",      # valid
+        "ref GB82WEST12345698765433 bad",      # checksum near-miss
+        "konto DE89370400440532013000 ok",     # valid
+        "code AB12CDEF99999999999999 x",       # shape ok, mod97 fails
+        "no account here"])
+    got = {r["id"]: (r["scrubbed_text"], r["n_iban"])
+           for r in iban_scrub(docs).collect()}
+    assert got[0] == ("pay <IBAN> now", 1)
+    assert got[1] == ("ref GB82WEST12345698765433 bad", 0)
+    assert got[2] == ("konto <IBAN> ok", 1)
+    assert got[3][1] == 0
+    assert got[4] == ("no account here", 0)
+
+
+def test_iban_scrub_oracle_parity(spark):
+    import duckdb
+    from nacc_form_validator_spark.functions.pii import (
+        iban_scrub, iban_scrub_sql)
+    texts = ["pay GB82WEST12345698765432 now",
+             "two DE89370400440532013000 and GB82WEST12345698765432",
+             "ref GB82WEST12345698765433 bad", "plain"]
+    docs = _docs(spark, texts)
+    got = [(r["id"], r["scrubbed_text"], r["n_iban"])
+           for r in iban_scrub(docs).collect()]
+    con = _duck(texts)
+    want = con.execute(iban_scrub_sql(
+        "SELECT doc_id AS id, text FROM documents")).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 # ------------------------------------------------------------ unigram LM
 def test_unigram_viterbi_hand_case(spark):
     """Viterbi picks the max-likelihood segmentation, ties prefer
