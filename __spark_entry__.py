@@ -1323,6 +1323,24 @@ def _linked_pages_sql() -> str:
         "AS html_str FROM documents")
 
 
+def q_host_hits(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities over the host link graph
+    (operators/linkgraph.py hits): pagerank's edge extraction and
+    per-iteration scale shape, mutual-reinforcement updates
+    max-normalized (order-independent, IEEE-exact) with round-12 per
+    step — value-exact vs the unrolled DuckDB oracle.  The
+    hub-vs-auth asymmetry is the link-farm signal a single PageRank
+    number blurs."""
+    from nacc_form_validator_spark.operators.linkgraph import host_hits
+    return host_hits(_linked_pages(spark, sf_dir))
+
+
+def _host_hits_sql():
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_hits_sql)
+    return host_hits_sql(_linked_pages_sql())
+
+
 def q_host_pagerank(spark, sf_dir):
     """Host link-graph PageRank (operators/linkgraph.py): anchors
     regex-extracted from the raw html payload -> DISTINCT host edges
@@ -4913,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
+        "host_hits": q_host_hits,
         "robots_rfc9309": q_robots_rfc9309,
         "soft_dedup": q_soft_dedup,
         "image_dhash": q_image_dhash,
@@ -5372,6 +5391,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode": oracle.unigram_encode_sql(),
         "iban_scrub": _iban_scrub_sql(),
         "host_split": oracle.host_split_sql(_SPLIT_SPEC),
+        "host_hits": _host_hits_sql(),
         "robots_rfc9309": oracle.robots_rfc9309_sql(),
         "soft_dedup": oracle.soft_dedup_sql(),
         "decontaminate": oracle.decontaminate_sql(),

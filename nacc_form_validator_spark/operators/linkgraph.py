@@ -444,3 +444,98 @@ def host_harmonic_sql(pages_sql: str, iters: int = 3,
             f"SELECT nodes.node, round({harm}, 4) AS harmonic, "
             f"est{iters}.est AS ball_est FROM nodes {joins} "
             f"ORDER BY nodes.node")
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub, auth) after ``iters`` rounds of Kleinberg's HITS
+    (1999, "Authoritative sources in a hyperlinked environment") —
+    the mutual-reinforcement complement to :func:`pagerank` and the
+    HyperBall harmonic rank: directories/portals score as HUBS, the
+    pages everyone points at score as AUTHORITIES; curation pipelines
+    use high-hub/low-auth asymmetry as a link-farm signal PageRank
+    blurs into one number.
+
+    Per round: auth'(v) = Σ_{u→v} hub(u), then hub'(u) = Σ_{u→v}
+    auth'(v); each vector is normalized by its MAX — unlike the
+    textbook L2 norm, the max is order-independent and IEEE-exact, so
+    with the pagerank module's round-12-per-step discipline the
+    unrolled DuckDB oracle hash-matches.  Start: hub = 1.
+
+    Scale shape — identical to :func:`pagerank`: edges DISTINCT once
+    (the only corpus-sized shuffle when composed over pages);
+    per round two hosts-sized join+aggs (map-side combinable sums), a
+    1-row broadcast max, and a localCheckpoint to truncate lineage."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = nodes.select("node", F.lit(0.0).alias("a"))
+    for _ in range(iters):
+        araw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst").agg(F.sum("h").alias("ar")))
+        amax = F.broadcast(araw.agg(F.max("ar").alias("am")))
+        auth = (nodes.join(araw, nodes["node"] == araw["dst"], "left")
+                .crossJoin(amax)
+                .select("node",
+                        F.round(F.coalesce(F.col("ar"), F.lit(0.0)) /
+                                F.col("am"), 12).alias("a"))
+                .localCheckpoint(eager=True))
+        hraw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src").agg(F.sum("a").alias("hr")))
+        hmax = F.broadcast(hraw.agg(F.max("hr").alias("hm")))
+        hub = (nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+               .crossJoin(hmax)
+               .select("node",
+                       F.round(F.coalesce(F.col("hr"), F.lit(0.0)) /
+                               F.col("hm"), 12).alias("h"))
+               .localCheckpoint(eager=True))
+    return (nodes
+            .join(hub, "node").join(auth, "node")
+            .select("node", F.round("h", 6).alias("hub"),
+                    F.round("a", 6).alias("auth"))
+            .orderBy("node"))
+
+
+def host_hits(pages: DataFrame, iters: int = 3) -> DataFrame:
+    """Composed anchor extraction + HITS over a pages table."""
+    return hits(extract_host_edges(pages), iters)
+
+
+def host_hits_sql(pages_sql: str, iters: int = 3) -> str:
+    """DuckDB mirror of :func:`host_hits`: same regexes, same
+    unrolled max-normalized iteration arithmetic, round-12 per
+    step."""
+    src = url_host_sql("url")
+    dsth = url_host_sql("link")
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"hrefs AS (SELECT {src} AS src, unnest(regexp_extract_all("
+        f"html_str, '(?i)href=\"([^\"]+)\"', 1)) AS link FROM pages)",
+        f"e AS (SELECT DISTINCT src, {dsth} AS dst FROM hrefs "
+        f"WHERE src <> '' AND {dsth} <> '' AND src <> {dsth})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node "
+        "FROM e UNION SELECT dst FROM e))",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes += [
+            f"ar{k} AS (SELECT dst, sum(h) AS ar FROM e "
+            f"JOIN h{k} ON e.src = h{k}.node GROUP BY dst)",
+            f"am{k} AS (SELECT max(ar) AS am FROM ar{k})",
+            f"a{k + 1} AS (SELECT node, round(coalesce(ar, 0.0) / am, "
+            f"12) AS a FROM nodes LEFT JOIN ar{k} "
+            f"ON nodes.node = ar{k}.dst, am{k})",
+            f"hr{k} AS (SELECT src, sum(a) AS hr FROM e "
+            f"JOIN a{k + 1} ON e.dst = a{k + 1}.node GROUP BY src)",
+            f"hm{k} AS (SELECT max(hr) AS hm FROM hr{k})",
+            f"h{k + 1} AS (SELECT node, round(coalesce(hr, 0.0) / hm, "
+            f"12) AS h FROM nodes LEFT JOIN hr{k} "
+            f"ON nodes.node = hr{k}.src, hm{k})",
+        ]
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT nodes.node, round(h, 6) AS hub, "
+            f"round(a, 6) AS auth "
+            f"FROM nodes JOIN h{iters} ON nodes.node = h{iters}.node "
+            f"JOIN a{iters} ON nodes.node = a{iters}.node "
+            f"ORDER BY nodes.node")

@@ -129,6 +129,48 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ------------------------------------------------------------------- HITS
+def test_hits_hub_authority_separation(spark):
+    """A directory pointing at everything is a pure hub; the page
+    everything points at is the top authority."""
+    from nacc_form_validator_spark.operators.linkgraph import hits
+    edges = spark.createDataFrame(
+        [("dir", "a"), ("dir", "b"), ("dir", "c"),
+         ("x", "a"), ("y", "a")], "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges, iters=3).collect()}
+    assert got["a"][1] == 1.0                 # top authority
+    assert got["dir"][0] == 1.0               # top hub
+    assert got["dir"][1] == 0.0               # nothing links the dir
+    assert got["a"][0] == 0.0                 # 'a' links nothing
+    assert 0.0 < got["b"][1] < 1.0
+
+
+def test_hits_oracle_parity(spark):
+    import duckdb
+    from nacc_form_validator_spark.operators.linkgraph import (
+        hits, host_hits_sql)
+    # same edge list rebuilt as one-page-per-src html in duckdb form
+    edges = [("h0", "h1"), ("h0", "h2"), ("h1", "h2"), ("h2", "h0"),
+             ("h3", "h2"), ("h3", "h1")]
+    got = [(r["node"], r["hub"], r["auth"]) for r in
+           hits(spark.createDataFrame(
+               edges, "src string, dst string"), iters=3).collect()]
+    con = duckdb.connect()
+    rows = {}
+    for s, d in edges:
+        rows.setdefault(s, []).append(d)
+    pages = [(f"https://{s}/x",
+              "".join(f'<a href="https://{d}/y">l</a>' for d in ds))
+             for s, ds in rows.items()]
+    con.register("pages_src", pd.DataFrame(
+        {"url": [u for u, _ in pages],
+         "html_str": [h for _, h in pages]}))
+    want = con.execute(host_hits_sql(
+        "SELECT url, html_str FROM pages_src")).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 # ----------------------------------------------------- host-disjoint split
 def test_host_split_is_host_pure(spark):
     """Every row of a host gets the same split; fractions roughly
