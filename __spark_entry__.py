@@ -2681,6 +2681,19 @@ def q_host_split(spark, sf_dir):
             .select("url", "host", "split").orderBy("url"))
 
 
+def q_unigram_encode_udf(spark, sf_dir):
+    """Production-scale unigram-LM encode (operators/unigramlm.py
+    encode_unigram_udf): the broadcast-dict Arrow mapInPandas Viterbi
+    for vocabularies too large for a literal map — value-identical to
+    unigram_encode (same tie rule, same IEEE arithmetic), proven by
+    sharing its oracle."""
+    from nacc_form_validator_spark.operators.unigramlm import (
+        encode_unigram_udf, train_unigram_lm)
+    docs = _docs(spark, sf_dir)
+    model = train_unigram_lm(docs)
+    return encode_unigram_udf(docs, model)
+
+
 def q_soft_dedup(spark, sf_dir):
     """SoftDeDup reweighting (operators/dedup.py soft_dedup_weights):
     near-duplicate clusters (MinHash-LSH pairs -> connected
@@ -4929,6 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
+        "unigram_encode_udf": q_unigram_encode_udf,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5389,6 +5403,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_encode": oracle.wordpiece_encode_sql(4),
         "unigram_train": oracle.unigram_train_sql(),
         "unigram_encode": oracle.unigram_encode_sql(),
+        "unigram_encode_udf": oracle.unigram_encode_sql(),
         "iban_scrub": _iban_scrub_sql(),
         "host_split": oracle.host_split_sql(_SPLIT_SPEC),
         "host_hits": _host_hits_sql(),

@@ -252,3 +252,91 @@ def unigram_token_counts(docs: DataFrame, id_col: str = "doc_id",
                              piece_len, max_word_len, unk_logp, iters)
     return encode_unigram(docs, model, id_col, text_col, piece_len,
                           max_word_len, unk_logp)
+
+
+def encode_unigram_udf(docs: DataFrame, model: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       piece_len: int = 4, max_word_len: int = 12,
+                       unk_logp: float = -20.0) -> DataFrame:
+    """Production variant of :func:`encode_unigram` for vocabularies
+    too large for a literal map (SentencePiece ships 32-256k pieces):
+    the model table collects ONCE into a plain dict, broadcasts to
+    executors, and each DISTINCT word Viterbi-segments inside an
+    Arrow-batched mapInPandas pass — the documented exception to the
+    no-Python rule (same contract as the gzip member walk): the DP's
+    data-dependent recurrence over a 10^5-entry dict is exactly what
+    Column HOFs cannot express at that model size.
+
+    The Python DP replicates the Column fold's arithmetic verbatim
+    (Python floats ARE IEEE doubles; same add order, same strict-
+    improvement tie rule), so results are value-identical to
+    :func:`encode_unigram` and the same DuckDB oracle covers both.
+    Everything after the per-word table is the shared join-by-word
+    plan."""
+    import pandas as pd  # noqa: F811
+
+    mdl = {r["piece"]: float(r["lp"]) for r in model.collect()}
+    bc = docs.sparkSession.sparkContext.broadcast(
+        {"m": mdl, "L": piece_len, "maxw": max_word_len,
+         "unk": float(unk_logp)})
+
+    def seg_batch(batches):
+        cfg = bc.value
+        m, L, maxw, unk = cfg["m"], cfg["L"], cfg["maxw"], cfg["unk"]
+        for pdf in batches:
+            nps, lps = [], []
+            for w in pdf["w"]:
+                n = len(w)
+                if n > maxw:
+                    lp = 0.0
+                    for ch in w:
+                        lp = lp + m.get(ch, unk)
+                    nps.append(n)
+                    lps.append(lp)
+                    continue
+                # dp[i] = (lp, np); replace only if strictly better
+                # (greater lp, or equal lp with fewer pieces) while
+                # scanning start positions ascending — the Column
+                # fold's exact tie rule
+                dp = [(0.0, 0)] + [(None, 0)] * n
+                for i in range(1, n + 1):
+                    best = None
+                    for j in range(max(1, i - L + 1), i + 1):
+                        prev = dp[j - 1]
+                        if prev[0] is None:
+                            continue
+                        piece = w[j - 1:i]
+                        sc = m.get(piece)
+                        if sc is None and i - j + 1 == 1:
+                            sc = unk
+                        if sc is None:
+                            continue
+                        clp, cnp = prev[0] + sc, prev[1] + 1
+                        if (best is None or clp > best[0] or
+                                (clp == best[0] and cnp < best[1])):
+                            best = (clp, cnp)
+                    dp[i] = best if best is not None else (None, 0)
+                lp, np_ = dp[n]
+                nps.append(np_)
+                lps.append(lp)
+            yield pd.DataFrame({"w": pdf["w"], "np": nps, "lp": lps})
+
+    wc = _word_counts(docs, text_col)
+    wl = wc.select("w").mapInPandas(
+        seg_batch, "w string, np int, lp double")
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(_words_col(text_col)).alias("w"))
+    per = (toks.join(wl, "w")
+           .groupBy("id")
+           .agg(F.count("*").alias("n_words"),
+                F.sum("np").alias("n_tokens"),
+                F.round(F.sum("lp"), 6).alias("logp")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per, "id", "left")
+            .select("id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("logp", F.lit(0.0)).alias("logp"))
+            .orderBy("id"))

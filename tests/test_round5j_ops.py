@@ -288,6 +288,26 @@ def test_unigram_oracle_parity_randomized(spark):
                    con.execute(unigram_encode_sql(20, 10)).fetchall()]
 
 
+def test_unigram_udf_matches_expr_path(spark):
+    """The broadcast-dict mapInPandas Viterbi is value-identical to
+    the literal-map Column fold (same tie rule, same IEEE ops)."""
+    import random
+    from nacc_form_validator_spark.operators.unigramlm import (
+        encode_unigram, encode_unigram_udf, train_unigram_lm)
+    rng = random.Random(5)
+    vocab = ["ab", "abc", "cab", "bc", "ca", "a", "b", "c", "abab",
+             "internationalization", "xyz"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 10)))
+             for _ in range(25)]
+    docs = _docs(spark, texts)
+    model = train_unigram_lm(docs, seed_size=20, vocab_size=10)
+    a = [(r["id"], r["n_words"], r["n_tokens"], r["logp"]) for r in
+         encode_unigram(docs, model).orderBy("id").collect()]
+    b = [(r["id"], r["n_words"], r["n_tokens"], r["logp"]) for r in
+         encode_unigram_udf(docs, model).orderBy("id").collect()]
+    assert a == b
+
+
 # ----------------------------------------------------------- soft dedup
 def test_soft_dedup_weights_by_cluster_size(spark):
     from nacc_form_validator_spark.operators.dedup import (
