@@ -2724,6 +2724,24 @@ def q_robots_rfc9309(spark, sf_dir):
     return robots_gate(pages, robots, agent=FIXTURE_AGENT).orderBy("url")
 
 
+def q_bytebpe_train(spark, sf_dir):
+    """Byte-level BPE training (operators/bytebpe.py, GPT-2's
+    tokenizer base layer): merges learned over UTF-8 bytes mapped
+    through the bytes_to_unicode table — no OOV ever; same
+    corpus-once / vocab-iteration shape as char BPE."""
+    from nacc_form_validator_spark.operators.bytebpe import (
+        train_bytebpe_merges)
+    return train_bytebpe_merges(_docs(spark, sf_dir), merges=5)
+
+
+def q_bytebpe_encode(spark, sf_dir):
+    """Byte-level BPE train-then-tokenize round trip
+    (operators/bytebpe.py bytebpe_token_counts)."""
+    from nacc_form_validator_spark.operators.bytebpe import (
+        bytebpe_token_counts)
+    return bytebpe_token_counts(_docs(spark, sf_dir), merges=5)
+
+
 def q_wordpiece_train(spark, sf_dir):
     """WordPiece tokenizer training (operators/wordpiece.py): first 4
     merge rules under the likelihood-ratio criterion
@@ -4943,6 +4961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_encode": q_unigram_encode,
         "unigram_encode_udf": q_unigram_encode_udf,
+        "bytebpe_train": q_bytebpe_train,
+        "bytebpe_encode": q_bytebpe_encode,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5404,6 +5424,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": oracle.unigram_train_sql(),
         "unigram_encode": oracle.unigram_encode_sql(),
         "unigram_encode_udf": oracle.unigram_encode_sql(),
+        "bytebpe_train": oracle.bytebpe_train_sql(5),
+        "bytebpe_encode": oracle.bytebpe_encode_sql(5),
         "iban_scrub": _iban_scrub_sql(),
         "host_split": oracle.host_split_sql(_SPLIT_SPEC),
         "host_hits": _host_hits_sql(),

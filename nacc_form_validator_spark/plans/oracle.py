@@ -2133,6 +2133,79 @@ def host_split_sql(splits) -> str:
         f"SELECT url, host, {case} AS split FROM h ORDER BY url")
 
 
+def _bytebpe_ctes(merges: int) -> list:
+    """Shared CTE chain for the byte-level BPE oracles: the _bpe_ctes
+    merge steps over symbol sequences built from UTF-8 bytes mapped
+    through the GPT-2 bytes_to_unicode table (imported from
+    operators/bytebpe.py — shared by construction).  DuckDB MAP
+    extraction yields a 1-list, hence the [1]; the s-chain is
+    MATERIALIZED because each step references its predecessor twice
+    (exponential inlining otherwise, the unigram-DP lesson)."""
+    from ..operators.bytebpe import bytes_to_unicode
+    entries = ", ".join(
+        "'" + hx + "': '" + ch.replace("'", "''") + "'"
+        for hx, ch in bytes_to_unicode().items())
+    parts = [
+        f"bm AS (SELECT MAP {{{entries}}} AS m)",
+        f"toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents)",
+        "s0 AS MATERIALIZED (SELECT w, "
+        "list_transform(range(1, CAST(len(h) / 2 AS INT) + 1), "
+        "i -> m[h[i * 2 - 1:i * 2]][1]) AS s, c FROM "
+        "(SELECT w, hex(encode(w)) AS h, count(*) AS c FROM toks "
+        "GROUP BY w), bm)",
+    ]
+    for k in range(merges):
+        nxt = k + 1
+        parts += [
+            f"p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, sum(c) AS pc "
+            f"FROM s{k}, unnest(range(1, len(s))) AS t(i) "
+            f"GROUP BY 1, 2)",
+            f"t{k} AS (SELECT a, b, pc FROM p{k} "
+            f"ORDER BY pc DESC, a ASC, b ASC LIMIT 1)",
+            f"mt{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
+            f"FROM s{k} LEFT JOIN t{k} ON TRUE)",
+            f"mg{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> mt[i] AND ((i - coalesce(list_max("
+            f"list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) "
+            f"AS mg FROM mt{k})",
+            f"s{nxt} AS MATERIALIZED (SELECT w, flatten("
+            f"list_transform(range(1, "
+            f"len(s) + 1), i -> CASE WHEN i < len(s) AND mg[i] "
+            f"THEN [s[i] || s[i + 1]] WHEN i > 1 AND mg[i - 1] "
+            f"THEN []::VARCHAR[] ELSE [s[i]] END)) AS s, c "
+            f"FROM mg{k})",
+        ]
+    return parts
+
+
+def bytebpe_train_sql(merges: int = 6) -> str:
+    """Oracle for operators/bytebpe.py train_bytebpe_merges."""
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, a AS lhs, b AS rhs, a || b AS merged, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(merges))
+    return ("WITH " + ", ".join(_bytebpe_ctes(merges)) +
+            f" SELECT * FROM ({finals}) ORDER BY step")
+
+
+def bytebpe_encode_sql(merges: int = 6) -> str:
+    """Oracle for operators/bytebpe.py bytebpe_token_counts."""
+    parts = _bytebpe_ctes(merges)
+    parts += [
+        f"wl AS (SELECT w, len(s) AS wl FROM s{merges})",
+        f"dt AS (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w "
+        f"FROM documents)",
+        "per AS (SELECT id, count(*) AS n_words, sum(wl) AS n_tokens "
+        "FROM dt JOIN wl USING (w) GROUP BY id)",
+    ]
+    return ("WITH " + ", ".join(parts) +
+            " SELECT d.doc_id AS id, CAST(coalesce(n_words, 0) AS "
+            "BIGINT) AS n_words, CAST(coalesce(n_tokens, 0) AS BIGINT) "
+            "AS n_tokens FROM documents d LEFT JOIN per "
+            "ON d.doc_id = per.id ORDER BY id")
+
+
 def robots_rfc9309_sql() -> str:
     """Oracle for functions/robots.py robots_gate over the shared
     ROBOTS_FIXTURE (imported, not re-typed — the fixture cannot

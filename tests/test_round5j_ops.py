@@ -129,6 +129,54 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# --------------------------------------------------------------- byte BPE
+def test_bytebpe_mapping_table_is_gpt2s(spark):
+    from nacc_form_validator_spark.operators.bytebpe import (
+        bytes_to_unicode)
+    t = bytes_to_unicode()
+    assert len(t) == 256 and len(set(t.values())) == 256
+    assert t["41"] == "A" and t["7A"] == "z"      # printable = self
+    assert t["20"] == "Ġ"                     # space -> Ġ
+    assert t["0A"] == "Ċ"                     # \n -> Ċ
+    assert all(len(v) == 1 for v in t.values())
+
+
+def test_bytebpe_handles_multibyte_no_oov(spark):
+    from nacc_form_validator_spark.operators.bytebpe import (
+        bytebpe_token_counts)
+    docs = _docs(spark, ["café \U0001F600", ""])
+    out = {r["id"]: r for r in
+           bytebpe_token_counts(docs, merges=0).collect()}
+    # zero merges -> one token per UTF-8 byte: café = 5, emoji = 4
+    assert out[0]["n_words"] == 2 and out[0]["n_tokens"] == 9
+    assert out[1]["n_tokens"] == 0
+
+
+def test_bytebpe_oracle_parity_randomized(spark):
+    import random
+    from nacc_form_validator_spark.operators.bytebpe import (
+        bytebpe_token_counts, train_bytebpe_merges)
+    from nacc_form_validator_spark.plans.oracle import (
+        bytebpe_encode_sql, bytebpe_train_sql)
+    rng = random.Random(7)
+    vocab = ["ab", "abc", "café", "äpfel",
+             "emoji\U0001F600", "low", "lower", "newest", "widest"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 8)))
+             for _ in range(25)]
+    docs = _docs(spark, texts)
+    con = _duck(texts)
+    tr = [(r["step"], r["lhs"], r["rhs"], r["merged"],
+           r["pair_count"]) for r in
+          train_bytebpe_merges(docs, merges=5).collect()]
+    assert tr == [tuple(r) for r in
+                  con.execute(bytebpe_train_sql(5)).fetchall()]
+    enc = [(r["id"], r["n_words"], r["n_tokens"]) for r in
+           bytebpe_token_counts(docs, merges=5).orderBy("id")
+           .collect()]
+    assert enc == [tuple(r) for r in
+                   con.execute(bytebpe_encode_sql(5)).fetchall()]
+
+
 # ------------------------------------------------------------------- HITS
 def test_hits_hub_authority_separation(spark):
     """A directory pointing at everything is a pure hub; the page
