@@ -36,6 +36,14 @@ def build_spark(cpus: str):
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_MEM", "24g"))
+            # a ~180-query suite compiles thousands of whole-stage-
+            # codegen classes; at the JVM's default 240m the JIT code
+            # cache fills mid-suite, the compiler disables, and
+            # HOF-heavy queries fall back to interpreted execution
+            # (observed: char_entropy 1.4s in isolation, 138s late in
+            # the suite, twice, at sentinel <=0.95)
+            .config("spark.driver.extraJavaOptions",
+                    "-XX:ReservedCodeCacheSize=1g")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
@@ -49,11 +57,21 @@ def force(df) -> None:
 
 def force_release(df) -> None:
     """force() + unpersist any operator-attached cached intermediates so
-    repeated bench invocations don't accumulate cached partitions."""
+    repeated bench invocations don't accumulate cached partitions.
+
+    The gc.collect() matters over a 170-query suite: localCheckpoint
+    blocks (bpe/pagerank/clusters/table-format trains) are reclaimed by
+    the JVM ContextCleaner only once Python drops the DataFrame refs —
+    without prompt collection the cleanup defers into one storm that
+    lands on whichever later query is running (observed: a 125x one-off
+    on char_entropy at sentinel 0.92, normal in isolation)."""
+    import gc
+
     from nacc_form_validator_spark.operators.dedup import (
         release_intermediates)
     force(df)
     release_intermediates(df)
+    gc.collect()
 
 
 #: single-thread sha256 MB/s on this machine when idle (measured
@@ -244,7 +262,13 @@ def run_bench(spark, sf_dir: str, sf: float) -> dict:
                  "multimodal_real_decode_gif", "warc_http_source",
                  "transcode", "qf_ingest_pipeline",
                  "sitemap_urls", "charset_detect",
-                 "http_body_decompress", "host_eb_rate"]:
+                 "http_body_decompress", "host_eb_rate",
+                 "wordpiece_train", "wordpiece_encode",
+                 "bytebpe_train", "bytebpe_encode",
+                 "unigram_train", "unigram_encode",
+                 "unigram_encode_udf", "robots_rfc9309",
+                 "soft_dedup", "iban_scrub", "host_split",
+                 "host_hits"]:
         force_release(qmap[name](spark, sf_dir))
         timed(name, lambda n=name: force_release(qmap[n](spark, sf_dir)))
 

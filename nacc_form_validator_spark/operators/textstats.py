@@ -76,21 +76,42 @@ def char_entropy(text: Column) -> Column:
     pages (too LOW entropy = degenerate repetition, too HIGH =
     binary-ish noise; natural language sits ~3.5-4.5 bits/char).
 
-    Implementation is pure nested-HOF Column algebra over the row:
-    distinct chars x count-by-filter, O(len * alphabet) per row —
-    right for natural-language alphabets (tens of distinct chars).
-    A corpus whose rows are megabyte blobs with huge alphabets would
-    instead explode chars through the (id, char) count aggregate; the
-    per-row form keeps the stat shuffle-free, which is what a gate
-    column wants."""
+    Implementation is pure HOF Column algebra over the row in ONE
+    sorted pass: sort the chars, find run starts (i == 1 or
+    cs[i] != cs[i-1]), and fold -p*log2(p) over the run lengths —
+    O(len log len) per row.  (The previous distinct x count-by-filter
+    form was O(len * alphabet) with a nested rescan per distinct
+    char; measured 30-90x slower on the bench corpus and the reason
+    char_entropy once read 138 s in a suite run.)  A corpus whose
+    rows are megabyte blobs would instead explode chars through the
+    (id, char) count aggregate; the per-row form keeps the stat
+    shuffle-free, which is what a gate column wants."""
+    def bind(val, f):
+        # evaluate ``val`` ONCE and hand it to ``f`` as a lambda
+        # variable: referencing a Column expression from inside an
+        # HOF lambda re-evaluates its whole subtree per element
+        # (probed: the inline form re-sorted the char array per
+        # element, O(n^2 log n) per row in BOTH engines)
+        return F.element_at(F.transform(F.array(val), f), 1)
+
     chars = F.regexp_extract_all(text, F.lit(r"(?s)(.)"), 1)
+
+    def run_p(starts, k, n):
+        return ((F.coalesce(F.try_element_at(starts, k + 1), n + 1) -
+                 F.element_at(starts, k)).cast("double") /
+                n.cast("double"))
+
+    ent = bind(chars, lambda ch: bind(
+        F.array_sort(ch), lambda cs: bind(
+            F.filter(F.sequence(F.lit(1), F.size(ch)),
+                     lambda i: (i == 1) |
+                     (F.element_at(cs, i) != F.element_at(cs, i - 1))),
+            lambda starts: F.aggregate(
+                F.sequence(F.lit(1), F.size(starts)), F.lit(0.0),
+                lambda acc, k: acc -
+                run_p(starts, k, F.size(ch)) *
+                F.log2(run_p(starts, k, F.size(ch)))))))
     n = F.size(chars)
-    d = F.array_distinct(chars)
-    p_of = (lambda c: F.size(F.filter(chars, lambda x: x == c)) /
-            n.cast("double"))
-    ent = F.aggregate(
-        d, F.lit(0.0),
-        lambda acc, c: acc - p_of(c) * F.log2(p_of(c)))
     return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
 
 
@@ -110,14 +131,23 @@ def quality_score_sql(text_expr: str = "text") -> str:
 
 
 def char_entropy_sql(text_expr: str = "text") -> str:
-    """DuckDB mirror of :func:`char_entropy` — same distinct/filter
-    fold, same log2 arithmetic, same empty-string zero."""
+    """DuckDB mirror of :func:`char_entropy` — same sorted-run single
+    pass, same log2 arithmetic, same empty-string zero.  Structured
+    as a correlated scalar subquery so the sorted char list and the
+    run-start list each evaluate ONCE per row: inlining them into the
+    lambdas re-evaluates list_sort per ELEMENT in DuckDB (probed —
+    O(n^2 log n) per row, minutes at sf0.01)."""
     chars = f"regexp_extract_all({text_expr}, '(?s)(.)', 1)"
-    p = (f"(len(list_filter({chars}, x -> x = c)) / "
-         f"CAST(len({chars}) AS DOUBLE))")
-    return (f"CASE WHEN len({chars}) > 0 THEN "
-            f"round(list_sum(list_transform(list_distinct({chars}), "
-            f"c -> -{p} * log2({p}))), 6) ELSE 0.0 END")
+    run = (f"(CAST(coalesce(starts[k + 1], n + 1) - starts[k] "
+           f"AS DOUBLE) / n)")
+    return (
+        f"(SELECT CASE WHEN n > 0 THEN round(list_sum(list_transform("
+        f"range(1, len(starts) + 1), "
+        f"k -> -{run} * log2({run}))), 6) ELSE 0.0 END "
+        f"FROM (SELECT cs, n, list_filter(range(1, n + 1), "
+        f"i -> i = 1 OR cs[i] <> cs[i - 1]) AS starts "
+        f"FROM (SELECT list_sort({chars}) AS cs, "
+        f"len({chars}) AS n)))")
 
 
 def sentence_stats(text: Column) -> Column:
