@@ -2724,6 +2724,25 @@ def q_robots_rfc9309(spark, sf_dir):
     return robots_gate(pages, robots, agent=FIXTURE_AGENT).orderBy("url")
 
 
+def q_bpe_encode_batch(spark, sf_dir):
+    """Score-many BPE encoding of a batch with NOVEL words
+    (operators/bpe.py encode_with_merges): the merge list trained on
+    the original corpus replays against the batch's own distinct-word
+    table, so drifted/unseen words tokenize instead of silently
+    dropping — the missing half of train-once/score-many for
+    merge-based tokenizers (encode_with_vocab inner-joins the
+    TRAINING word table)."""
+    from nacc_form_validator_spark.operators.bpe import (
+        encode_with_merges, train_bpe_merges)
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe_merges(docs, merges=6)
+    batch = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" drifted"),
+                 (F.col("doc_id") % 5)).alias("text"))
+    return encode_with_merges(batch, merges)
+
+
 def q_bytebpe_train(spark, sf_dir):
     """Byte-level BPE training (operators/bytebpe.py, GPT-2's
     tokenizer base layer): merges learned over UTF-8 bytes mapped
@@ -4963,6 +4982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode_udf": q_unigram_encode_udf,
         "bytebpe_train": q_bytebpe_train,
         "bytebpe_encode": q_bytebpe_encode,
+        "bpe_encode_batch": q_bpe_encode_batch,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5426,6 +5446,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode_udf": oracle.unigram_encode_sql(),
         "bytebpe_train": oracle.bytebpe_train_sql(5),
         "bytebpe_encode": oracle.bytebpe_encode_sql(5),
+        "bpe_encode_batch": oracle.bpe_encode_batch_sql(
+            "SELECT doc_id AS id, text || ' drifted' || "
+            "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents", 6),
         "iban_scrub": _iban_scrub_sql(),
         "host_split": oracle.host_split_sql(_SPLIT_SPEC),
         "host_hits": _host_hits_sql(),

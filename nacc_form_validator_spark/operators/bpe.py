@@ -209,3 +209,50 @@ def bpe_token_counts(docs: DataFrame, merges: int = 6,
     return out
 
 
+
+
+def encode_with_merges(docs: DataFrame, merges, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       symbols=None) -> DataFrame:
+    """(id, n_words, n_tokens): encode ANY batch against a learned
+    MERGE LIST — the missing half of train-once / score-many for
+    merge-based tokenizers.  :func:`encode_with_vocab` joins the
+    TRAINING corpus's word table, so a scoring batch's novel words
+    silently drop out of n_words/n_tokens; real recrawl batches
+    always contain novel words.  This applies the (tiny, ordered)
+    merge rules to the BATCH's own distinct-word table — the same
+    per-merge map-side run-parity rewrite training uses, each step
+    localCheckpointed — so every batch word tokenizes, seen or not,
+    exactly as the reference BPE algorithm prescribes.
+
+    ``merges``: the DataFrame from :func:`train_bpe_merges` (or a
+    pre-collected list of rows with lhs/rhs, ordered by step) — a
+    bounded driver-side artifact, like the k-means centroid collect.
+    ``symbols``: initial symbolization of a word (default character
+    split; pass ``bytebpe._byte_symbols`` for byte-level BPE —
+    the rewrite itself is symbol-agnostic)."""
+    rows = (merges.orderBy("step").collect()
+            if isinstance(merges, DataFrame) else list(merges))
+    sym = symbols if symbols is not None else _chars
+    wt = (docs.select(F.explode(_words_col(text_col)).alias("w"))
+          .distinct()
+          .select("w", sym(F.col("w")).alias("s"))
+          .localCheckpoint(eager=True))
+    for r in rows:
+        wt = _apply_merge(wt, r["lhs"], r["rhs"]) \
+            .localCheckpoint(eager=True)
+    wl = wt.select("w", F.size("s").alias("wl"))
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(_words_col(text_col)).alias("w"))
+    per = (toks.join(wl, "w")
+           .groupBy("id")
+           .agg(F.count("*").alias("n_words"),
+                F.sum("wl").alias("n_tokens")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(per, "id", "left")
+            .select("id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"))
+            .orderBy("id"))

@@ -1912,6 +1912,78 @@ def bpe_encode_sql(merges: int = 6) -> str:
             "ON d.doc_id = per.id ORDER BY id")
 
 
+def bpe_encode_batch_sql(batch_sql: str, merges: int = 6) -> str:
+    """Oracle for operators/bpe.py encode_with_merges: the training
+    chain learns t0..t{k} from ``documents``, then the SAME run-parity
+    merge steps replay against the BATCH's distinct words
+    (``batch_sql`` yields (id, text)) — novel words tokenize instead
+    of dropping.  Both chains MATERIALIZED (each step references its
+    predecessor twice; inlining is exponential in ``merges``)."""
+    parts = [
+        f"toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents)",
+        "s0 AS MATERIALIZED (SELECT w, list_transform(range(1, "
+        "len(w) + 1), i -> w[i:i]) AS s, count(*) AS c FROM toks "
+        "GROUP BY w)",
+    ]
+    for k in range(merges):
+        nxt = k + 1
+        parts += [
+            f"p{k} AS (SELECT s[i] AS a, s[i + 1] AS b, sum(c) AS pc "
+            f"FROM s{k}, unnest(range(1, len(s))) AS t(i) "
+            f"GROUP BY 1, 2)",
+            f"t{k} AS MATERIALIZED (SELECT a, b, pc FROM p{k} "
+            f"ORDER BY pc DESC, a ASC, b ASC LIMIT 1)",
+            f"mt{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
+            f"FROM s{k} LEFT JOIN t{k} ON TRUE)",
+            f"mg{k} AS (SELECT w, s, c, list_transform(range(1, "
+            f"len(s)), i -> mt[i] AND ((i - coalesce(list_max("
+            f"list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) "
+            f"AS mg FROM mt{k})",
+            f"s{nxt} AS MATERIALIZED (SELECT w, flatten("
+            f"list_transform(range(1, len(s) + 1), i -> CASE WHEN "
+            f"i < len(s) AND mg[i] THEN [s[i] || s[i + 1]] "
+            f"WHEN i > 1 AND mg[i - 1] THEN []::VARCHAR[] "
+            f"ELSE [s[i]] END)) AS s, c FROM mg{k})",
+        ]
+    parts += [
+        f"batch AS MATERIALIZED ({batch_sql})",
+        f"btoks AS (SELECT DISTINCT unnest(list_filter("
+        f"string_split_regex(lower(text), '\\s+'), x -> x <> '')) "
+        f"AS w FROM batch)",
+        "b0 AS MATERIALIZED (SELECT w, list_transform(range(1, "
+        "len(w) + 1), i -> w[i:i]) AS s FROM btoks)",
+    ]
+    for k in range(merges):
+        nxt = k + 1
+        parts += [
+            f"bmt{k} AS (SELECT w, s, list_transform(range(1, "
+            f"len(s)), i -> s[i] = t{k}.a AND s[i + 1] = t{k}.b) AS mt "
+            f"FROM b{k} LEFT JOIN t{k} ON TRUE)",
+            f"bmg{k} AS (SELECT w, s, list_transform(range(1, "
+            f"len(s)), i -> mt[i] AND ((i - coalesce(list_max("
+            f"list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 1)) "
+            f"AS mg FROM bmt{k})",
+            f"b{nxt} AS MATERIALIZED (SELECT w, flatten("
+            f"list_transform(range(1, len(s) + 1), i -> CASE WHEN "
+            f"i < len(s) AND mg[i] THEN [s[i] || s[i + 1]] "
+            f"WHEN i > 1 AND mg[i - 1] THEN []::VARCHAR[] "
+            f"ELSE [s[i]] END)) AS s FROM bmg{k})",
+        ]
+    parts += [
+        f"wl AS (SELECT w, len(s) AS wl FROM b{merges})",
+        "dt AS (SELECT id, unnest(list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '')) AS w FROM batch)",
+        "per AS (SELECT id, count(*) AS n_words, sum(wl) AS n_tokens "
+        "FROM dt JOIN wl USING (w) GROUP BY id)",
+    ]
+    return ("WITH " + ", ".join(parts) +
+            " SELECT batch.id, CAST(coalesce(n_words, 0) AS BIGINT) "
+            "AS n_words, CAST(coalesce(n_tokens, 0) AS BIGINT) "
+            "AS n_tokens FROM batch LEFT JOIN per "
+            "ON batch.id = per.id ORDER BY batch.id")
+
+
 def _wordpiece_ctes(merges: int) -> list:
     """Shared CTE chain for the WordPiece oracles: the BPE chain with
     the argmax criterion swapped for the likelihood-ratio score

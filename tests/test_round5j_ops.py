@@ -129,6 +129,50 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# -------------------------------------------------- batch (unseen) encode
+def test_encode_with_merges_handles_novel_words(spark):
+    """encode_with_vocab drops unseen words (inner join on the
+    training word table); encode_with_merges tokenizes them by
+    replaying the learned merges on the batch's own words."""
+    from nacc_form_validator_spark.operators.bpe import (
+        encode_with_merges, encode_with_vocab, train_bpe_merges,
+        train_bpe_vocab)
+    train = _docs(spark, ["abab abab abab ab"])
+    merges = train_bpe_merges(train, merges=2)   # (a,b) then (ab,ab)
+    batch = _docs(spark, ["abab zq", "abababab"])
+    got = {r["id"]: (r["n_words"], r["n_tokens"]) for r in
+           encode_with_merges(batch, merges).collect()}
+    # 'abab' -> 1 token; 'zq' novel -> 2 chars, no merges apply
+    assert got[0] == (2, 3)
+    # 'abababab' novel but merges APPLY: ab x4 -> abab x2 -> 2 tokens
+    assert got[1] == (1, 2)
+    # contrast: the vocab join cannot see either novel word
+    vocab = train_bpe_vocab(train, merges=2)
+    old = {r["id"]: (r["n_words"], r["n_tokens"]) for r in
+           encode_with_vocab(batch, vocab).collect()}
+    assert old[0] == (1, 1) and old[1] == (0, 0)
+
+
+def test_encode_with_merges_matches_vocab_on_seen_corpus(spark):
+    """On the training corpus itself the two encode paths agree."""
+    import random
+    from nacc_form_validator_spark.operators.bpe import (
+        encode_with_merges, encode_with_vocab, train_bpe_merges,
+        train_bpe_vocab)
+    rng = random.Random(13)
+    vocab = ["ab", "abc", "cab", "bc", "a", "b", "c"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 8)))
+             for _ in range(20)]
+    docs = _docs(spark, texts)
+    a = [(r["id"], r["n_words"], r["n_tokens"]) for r in
+         encode_with_merges(docs, train_bpe_merges(docs, merges=4))
+         .collect()]
+    b = [(r["id"], r["n_words"], r["n_tokens"]) for r in
+         encode_with_vocab(docs, train_bpe_vocab(docs, merges=4))
+         .orderBy("id").collect()]
+    assert a == b
+
+
 # --------------------------------------------------------------- byte BPE
 def test_bytebpe_mapping_table_is_gpt2s(spark):
     from nacc_form_validator_spark.operators.bytebpe import (
