@@ -2724,6 +2724,21 @@ def q_robots_rfc9309(spark, sf_dir):
     return robots_gate(pages, robots, agent=FIXTURE_AGENT).orderBy("url")
 
 
+def q_kmeans_ff(spark, sf_dir):
+    """Farthest-first-seeded k-means (operators/simsearch.py
+    train_quantizer_ff, Gonzalez 1985 traversal + Lloyd): RNG-free
+    2-approximate k-center seeds derived by k-1 TakeOrdered argmax
+    passes over a maintained min-distance column, then the standard
+    round-6 Lloyd loop — the whole trajectory, seeds included,
+    value-reproduced by the unrolled DuckDB chain."""
+    from nacc_form_validator_spark.operators.simsearch import (
+        train_quantizer_ff)
+    t = train_quantizer_ff(_emb(spark, sf_dir), k=8, iters=2)
+    return t.select(
+        "cell", "n_members",
+        *[F.col("centroid")[i].alias(f"m{i}") for i in range(64)])
+
+
 def q_bpe_encode_batch(spark, sf_dir):
     """Score-many BPE encoding of a batch with NOVEL words
     (operators/bpe.py encode_with_merges): the merge list trained on
@@ -4983,6 +4998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bytebpe_train": q_bytebpe_train,
         "bytebpe_encode": q_bytebpe_encode,
         "bpe_encode_batch": q_bpe_encode_batch,
+        "kmeans_ff": q_kmeans_ff,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5446,6 +5462,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode_udf": oracle.unigram_encode_sql(),
         "bytebpe_train": oracle.bytebpe_train_sql(5),
         "bytebpe_encode": oracle.bytebpe_encode_sql(5),
+        "kmeans_ff": oracle.kmeans_ff_sql(),
         "bpe_encode_batch": oracle.bpe_encode_batch_sql(
             "SELECT doc_id AS id, text || ' drifted' || "
             "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents", 6),

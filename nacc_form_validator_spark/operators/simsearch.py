@@ -202,14 +202,18 @@ def _euclid_assign(vd: Column, cents: List[List[float]]) -> Column:
 
 def lloyd_centroids(emb: DataFrame, vec_col: str = "embedding",
                     dim: int = 64, k: int = 8,
-                    iters: int = 2) -> List[List[float]]:
+                    iters: int = 2,
+                    init: "List[List[float]] | None" = None
+                    ) -> List[List[float]]:
     """The Lloyd training loop shared by :func:`train_coarse_quantizer`
     and semdedup: ``iters`` iterations from the deterministic
-    md5-seeded init, returning the k x dim centroid literals.  Each
-    iteration is one distributed aggregate + a k-row collect; centroid
-    components round to 6 decimals per iteration (part of the algorithm
-    spec — keeps the loop value-reproducible in DuckDB)."""
-    cents = _centroids(dim, k)
+    md5-seeded init (or an explicit ``init``, e.g.
+    :func:`farthest_first_seeds`), returning the k x dim centroid
+    literals.  Each iteration is one distributed aggregate + a k-row
+    collect; centroid components round to 6 decimals per iteration
+    (part of the algorithm spec — keeps the loop value-reproducible
+    in DuckDB)."""
+    cents = init if init is not None else _centroids(dim, k)
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     base = emb.select(vd.alias("vd"))
     for _ in range(iters):
@@ -481,3 +485,73 @@ def ann_recall(emb: DataFrame, queries: DataFrame, k: int = 5,
                     F.round(F.coalesce(F.col("__h"), F.lit(0))
                             / (nq * k), 6).alias("recall_at_k"))
             .orderBy("method"))
+
+
+def _sqdist_to(seed: "List[float]", dim: int) -> Column:
+    """round-6 squared euclidean distance of column ``vd`` to a
+    literal seed vector — terms summed in ascending index order (the
+    cross-engine fold-order contract)."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = F.col("vd")[i] - F.lit(float(seed[i]))
+        acc = acc + d * d
+    return F.round(acc, 6)
+
+
+def farthest_first_seeds(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 64,
+                         k: int = 8) -> "List[List[float]]":
+    """Gonzalez (1985) farthest-first traversal: deterministic
+    RNG-free k-means seeding with a 2-approximation guarantee for the
+    k-center objective — the spread-out initialization that keeps
+    Lloyd from collapsing clusters the way arbitrary (hash-seeded)
+    inits can.  Seed 0 is the smallest-id vector; each next seed is
+    the vector maximizing its (round-6) min squared distance to the
+    seeds so far, ties by smallest id.
+
+    Scale shape: k-1 passes, each ONE TakeOrdered argmax over a
+    maintained min-distance column (updated map-side per new seed,
+    localCheckpoint truncating the update lineage).  At 10^12 rows
+    seeding runs on a hash_sample (operators/sampling.py) — the
+    standard practice — and the passes are sample-sized."""
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    base = (emb.select(F.col(id_col).alias("id"), vd.alias("vd"))
+            .localCheckpoint(eager=True))
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("farthest_first_seeds: empty input")
+    seeds = [[float(x) for x in first[0]["vd"]]]
+    cur = base.withColumn("md", _sqdist_to(seeds[0], dim)) \
+        .localCheckpoint(eager=True)
+    for _ in range(1, k):
+        top = cur.orderBy(F.desc("md"), F.asc("id")).limit(1).collect()
+        s = [float(x) for x in top[0]["vd"]]
+        seeds.append(s)
+        cur = cur.withColumn(
+            "md", F.least(F.col("md"), _sqdist_to(s, dim))) \
+            .localCheckpoint(eager=True)
+    return seeds
+
+
+def train_quantizer_ff(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64,
+                       k: int = 8, iters: int = 2) -> DataFrame:
+    """:func:`train_coarse_quantizer` with farthest-first seeding
+    instead of the md5 hash init: (cell, n_members, centroid) after
+    ``iters`` Lloyd iterations from the Gonzalez seeds.  Same
+    per-iteration scale shape; the seeding adds k-1 argmax passes
+    (sample-sized in production)."""
+    seeds = farthest_first_seeds(emb, id_col, vec_col, dim, k)
+    cents = lloyd_centroids(emb, vec_col, dim, k, iters, init=seeds)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    final = emb.select(vd.alias("vd")).withColumn(
+        "cell", _euclid_assign(F.col("vd"), cents))
+    counts = final.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cent_rows = final.sparkSession.createDataFrame(
+        [(c, cents[c]) for c in range(k)], ["cell", "centroid"])
+    return (cent_rows.join(counts, "cell", "left")
+            .select("cell",
+                    F.coalesce("n_members",
+                               F.lit(0)).cast("long").alias("n_members"),
+                    "centroid")
+            .orderBy("cell"))

@@ -564,6 +564,71 @@ def tokens_quality_sql() -> str:
             f"FROM documents ORDER BY doc_id")
 
 
+def kmeans_ff_sql(dim: int = 64, k: int = 8, iters: int = 2) -> str:
+    """Oracle for simsearch.train_quantizer_ff: the Gonzalez
+    farthest-first seed chain (seed 0 = smallest vec_id; each next
+    seed = argmax of the maintained round-6 min squared distance,
+    ties by id) derived IN SQL, then the same unrolled Lloyd
+    iterations as kmeans_train_sql from that seed table.  Seed-chain
+    CTEs MATERIALIZED (each d{j} references d{j-1})."""
+    sq = ("list_sum(list_transform(range(1, {d} + 1), "
+          "i -> (dd.vd[i] - s.vd[i]) * (dd.vd[i] - s.vd[i])))"
+          ).format(d=dim)
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> x::DOUBLE) AS vd FROM embeddings)",
+        "fd0 AS MATERIALIZED (SELECT vec_id, vd, "
+        "CAST(1e308 AS DOUBLE) AS md FROM e)",
+        "fs0 AS MATERIALIZED (SELECT vd FROM e "
+        "ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(1, k):
+        parts += [
+            f"fd{j} AS MATERIALIZED (SELECT vec_id, dd.vd, "
+            f"least(md, round({sq}, 6)) AS md "
+            f"FROM fd{j - 1} dd, fs{j - 1} s)",
+            f"fs{j} AS MATERIALIZED (SELECT vd FROM fd{j} "
+            f"ORDER BY md DESC, vec_id ASC LIMIT 1)",
+        ]
+    seed_union = " UNION ALL ".join(
+        f"SELECT {j} AS cell, vd AS c FROM fs{j}" for j in range(k))
+    parts.append(f"c0 AS MATERIALIZED ({seed_union})")
+    dot = ("list_sum(list_transform(range(1, {d} + 1), "
+           "j -> e.vd[j] * c.c[j]))").format(d=dim)
+    hn2 = "list_sum(list_transform(c.c, x -> x * x)) / 2.0"
+    mcols = ", ".join(f"round(avg(e.vd[{j + 1}]), 6) AS m{j}"
+                      for j in range(dim))
+    mlist = "[" + ", ".join(f"m{j}" for j in range(dim)) + "]"
+    for it in range(iters):
+        nxt = it + 1
+        parts += [
+            f"a{it} AS (SELECT vec_id, cell FROM (SELECT e.vec_id, "
+            f"c.cell, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY ({dot} - {hn2}) DESC, c.cell ASC) AS rn "
+            f"FROM e, c{it} c) WHERE rn = 1)",
+            f"m{it} AS (SELECT a{it}.cell, {mcols}, count(*) AS n "
+            f"FROM a{it} JOIN e ON a{it}.vec_id = e.vec_id "
+            f"GROUP BY a{it}.cell)",
+            f"c{nxt} AS MATERIALIZED (SELECT c{it}.cell, "
+            f"CASE WHEN m{it}.cell IS NULL THEN c{it}.c "
+            f"ELSE {mlist} END AS c FROM c{it} "
+            f"LEFT JOIN m{it} ON c{it}.cell = m{it}.cell)",
+        ]
+    fin = iters
+    flat = ", ".join(f"c[{j + 1}] AS m{j}" for j in range(dim))
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"af AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY ({dot} - {hn2}) DESC, c.cell ASC) AS rn "
+        f"FROM e, c{fin} c) WHERE rn = 1), "
+        f"cnt AS (SELECT cell, count(*) AS n_members FROM af "
+        f"GROUP BY cell) "
+        f"SELECT c{fin}.cell, CAST(coalesce(n_members, 0) AS BIGINT) "
+        f"AS n_members, {flat} FROM c{fin} LEFT JOIN cnt "
+        f"ON c{fin}.cell = cnt.cell ORDER BY c{fin}.cell")
+
+
 def kmeans_train_sql(dim: int = 64, k: int = 8, iters: int = 2) -> str:
     """Oracle for simsearch.train_coarse_quantizer: ``iters`` unrolled
     Lloyd iterations from the md5-seeded init.  Assignment is

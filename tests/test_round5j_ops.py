@@ -129,6 +129,37 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# --------------------------------------------------- farthest-first seeds
+def test_farthest_first_picks_spread_out_seeds(spark):
+    from nacc_form_validator_spark.operators.simsearch import (
+        farthest_first_seeds)
+    # three tight clusters on a line: seeds must hit all three
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+           (2, [10.0, 0.0]), (3, [10.1, 0.0]),
+           (4, [5.0, 0.0]), (5, [5.1, 0.0])]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>")
+    seeds = farthest_first_seeds(emb, dim=2, k=3)
+    assert seeds[0] == [0.0, 0.0]          # smallest id
+    assert seeds[1] == [10.1, 0.0]         # farthest from seed 0
+    assert seeds[2] == [5.0, 0.0]          # middle cluster (min id tie)
+    with pytest.raises(ValueError):
+        farthest_first_seeds(emb.where("vec_id < 0"), dim=2, k=2)
+
+
+def test_ff_lloyd_separates_planted_clusters(spark):
+    from nacc_form_validator_spark.operators.simsearch import (
+        train_quantizer_ff)
+    rows = []
+    for c, base in enumerate([0.0, 50.0, 100.0]):
+        for i in range(10):
+            rows.append((c * 10 + i, [base + (i % 3) * 0.1, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = train_quantizer_ff(emb, dim=2, k=3, iters=2).collect()
+    assert sorted(r["n_members"] for r in out) == [10, 10, 10]
+
+
 # -------------------------------------------------- batch (unseen) encode
 def test_encode_with_merges_handles_novel_words(spark):
     """encode_with_vocab drops unseen words (inner join on the
