@@ -1323,6 +1323,25 @@ def _linked_pages_sql() -> str:
         "AS html_str FROM documents")
 
 
+def q_host_communities(spark, sf_dir):
+    """Label-propagation communities over the host link graph
+    (operators/linkgraph.py, Raghavan et al. 2007): deterministic
+    float-free synchronous LPA, 3 bounded rounds — groups hosts by
+    DENSE neighborhoods (mirror rings, link farms) where connected
+    components merge on any single edge.  Per round one edges join +
+    one map-side-combinable (node, label) count + an argmax window on
+    the aggregated table."""
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_communities)
+    return host_communities(_linked_pages(spark, sf_dir))
+
+
+def _host_communities_sql():
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_communities_sql)
+    return host_communities_sql(_linked_pages_sql())
+
+
 def q_host_hits(spark, sf_dir):
     """Kleinberg HITS hubs/authorities over the host link graph
     (operators/linkgraph.py hits): pagerank's edge extraction and
@@ -5002,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
+        "host_communities": q_host_communities,
         "robots_rfc9309": q_robots_rfc9309,
         "soft_dedup": q_soft_dedup,
         "image_dhash": q_image_dhash,
@@ -5469,6 +5489,7 @@ def oracle_sql() -> dict[str, str]:
         "iban_scrub": _iban_scrub_sql(),
         "host_split": oracle.host_split_sql(_SPLIT_SPEC),
         "host_hits": _host_hits_sql(),
+        "host_communities": _host_communities_sql(),
         "robots_rfc9309": oracle.robots_rfc9309_sql(),
         "soft_dedup": oracle.soft_dedup_sql(),
         "decontaminate": oracle.decontaminate_sql(),

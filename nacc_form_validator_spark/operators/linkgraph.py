@@ -30,7 +30,7 @@ DuckDB oracle reproduces every iteration value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nacc_form_validator_spark.functions.urlfilter import (url_host,
@@ -539,3 +539,88 @@ def host_hits_sql(pages_sql: str, iters: int = 3) -> str:
             f"FROM nodes JOIN h{iters} ON nodes.node = h{iters}.node "
             f"JOIN a{iters} ON nodes.node = a{iters}.node "
             f"ORDER BY nodes.node")
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, community) after ``iters`` synchronous label-propagation
+    rounds (Raghavan et al. 2007) over the undirected host graph —
+    the community complement to connected components: components need
+    only ONE edge to merge two hosts, LPA groups hosts by DENSE
+    neighborhoods, which is the shape of mirror rings and link farms
+    inside an otherwise-connected web.
+
+    Deterministic, RNG- and float-free: labels start as the node name;
+    each round every node adopts the most frequent label among its
+    neighbors (ties -> lexicographically smallest label; isolated
+    sides keep their label).  Synchronous updates with a FIXED round
+    count — the published convergence caveats (oscillation) do not
+    apply to a bounded-round diagnostic, and determinism is what the
+    oracle contract needs.
+
+    Scale shape: edges DISTINCT + symmetrized once; per round one
+    edges-sized join + a (node, label) count aggregate (map-side
+    combinable — hot communities collapse before the shuffle) + an
+    argmax window on the aggregated table, then localCheckpoint
+    truncates lineage.  State is one label per node."""
+    e = edges.select("src", "dst").distinct()
+    sym = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .distinct())
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(iters):
+        neigh = (sym.join(labels.withColumnRenamed("node", "dst"),
+                          "dst")
+                 .groupBy("src", "community")
+                 .agg(F.count("*").alias("n")))
+        w = Window.partitionBy("src").orderBy(
+            F.desc("n"), F.asc("community"))
+        best = (neigh.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("src").alias("node"), "community"))
+        labels = (nodes.join(best, "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("community"),
+                                     F.col("node")).alias("community"))
+                  .localCheckpoint(eager=True))
+    return labels.orderBy("node")
+
+
+def host_communities(pages: DataFrame, iters: int = 3) -> DataFrame:
+    """Composed anchor extraction + label propagation."""
+    return label_propagation(extract_host_edges(pages), iters)
+
+
+def host_communities_sql(pages_sql: str, iters: int = 3) -> str:
+    """DuckDB mirror of :func:`host_communities`: same symmetrized
+    edge set, same per-round count-argmax with the (n DESC, label
+    ASC) tie rule."""
+    src = url_host_sql("url")
+    dsth = url_host_sql("link")
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"hrefs AS (SELECT {src} AS src, unnest(regexp_extract_all("
+        f"html_str, '(?i)href=\"([^\"]+)\"', 1)) AS link FROM pages)",
+        f"e0 AS (SELECT DISTINCT src, {dsth} AS dst FROM hrefs "
+        f"WHERE src <> '' AND {dsth} <> '' AND src <> {dsth})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        "l0 AS (SELECT node, node AS community FROM nodes)",
+    ]
+    for k in range(iters):
+        nxt = k + 1
+        ctes += [
+            f"ng{k} AS (SELECT sym.src, l.community, count(*) AS n "
+            f"FROM sym JOIN l{k} l ON sym.dst = l.node "
+            f"GROUP BY sym.src, l.community)",
+            f"b{k} AS (SELECT src AS node, community FROM ("
+            f"SELECT src, community, row_number() OVER ("
+            f"PARTITION BY src ORDER BY n DESC, community ASC) AS rn "
+            f"FROM ng{k}) WHERE rn = 1)",
+            f"l{nxt} AS MATERIALIZED (SELECT nodes.node, "
+            f"coalesce(b{k}.community, nodes.node) AS community "
+            f"FROM nodes LEFT JOIN b{k} ON nodes.node = b{k}.node)",
+        ]
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT node, community FROM l{iters} ORDER BY node")

@@ -129,6 +129,48 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ------------------------------------------------------ label propagation
+def test_lpa_separates_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: components would merge
+    them; LPA keeps two communities."""
+    from nacc_form_validator_spark.operators.linkgraph import (
+        label_propagation)
+    cl1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    cl2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    edges = spark.createDataFrame(cl1 + cl2 + bridge,
+                                  "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, iters=3).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+
+
+def test_lpa_oracle_parity(spark):
+    import duckdb
+    from nacc_form_validator_spark.operators.linkgraph import (
+        host_communities_sql, label_propagation)
+    edges = [("h0", "h1"), ("h1", "h2"), ("h0", "h2"), ("h2", "h3"),
+             ("h3", "h4"), ("h4", "h5"), ("h3", "h5")]
+    got = [(r["node"], r["community"]) for r in
+           label_propagation(spark.createDataFrame(
+               edges, "src string, dst string"), iters=3).collect()]
+    rows = {}
+    for s, d in edges:
+        rows.setdefault(s, []).append(d)
+    pages = [(f"https://{s}/x",
+              "".join(f'<a href="https://{d}/y">l</a>' for d in ds))
+             for s, ds in rows.items()]
+    con = duckdb.connect()
+    con.register("pages_src", pd.DataFrame(
+        {"url": [u for u, _ in pages],
+         "html_str": [h for _, h in pages]}))
+    want = con.execute(host_communities_sql(
+        "SELECT url, html_str FROM pages_src")).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 # --------------------------------------------------- farthest-first seeds
 def test_farthest_first_picks_spread_out_seeds(spark):
     from nacc_form_validator_spark.operators.simsearch import (
