@@ -2743,6 +2743,47 @@ def q_robots_rfc9309(spark, sf_dir):
     return robots_gate(pages, robots, agent=FIXTURE_AGENT).orderBy("url")
 
 
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi exponentiated-gradient mixture update
+    (operators/budgeting.py excess_loss_weights): per-source priors
+    proportional to doc counts, excess loss derived from the mean
+    composite quality score (the deterministic proxy-loss stand-in),
+    one EG step under the round-9/round-6 ladder — the domains-sized
+    artifact mixture_resample consumes."""
+    from nacc_form_validator_spark.operators.budgeting import (
+        excess_loss_weights)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score)
+    d = _docs(spark, sf_dir)
+    per = (d.groupBy(F.col("source").alias("domain"))
+           .agg(F.count("*").alias("cnt"),
+                F.round(F.avg(quality_score(F.col("text"))), 6)
+                .alias("qm")))
+    tot = F.broadcast(per.agg(F.sum("cnt").alias("tot")))
+    stats = (per.crossJoin(tot)
+             .select("domain",
+                     F.round(F.col("cnt") / F.col("tot"), 9)
+                     .alias("prior"),
+                     F.round(F.lit(0.5) - F.col("qm"), 6)
+                     .alias("excess_loss")))
+    return excess_loss_weights(stats, eta=2.0)
+
+
+def _doremi_weights_sql():
+    from nacc_form_validator_spark.operators.budgeting import (
+        excess_loss_weights_sql)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score_sql)
+    q = quality_score_sql("text")
+    stats = (
+        f"WITH per AS (SELECT source AS domain, count(*) AS cnt, "
+        f"round(avg({q}), 6) AS qm FROM documents GROUP BY source), "
+        f"tot AS (SELECT sum(cnt) AS tot FROM per) "
+        f"SELECT domain, round(cnt / CAST(tot AS DOUBLE), 9) AS prior, "
+        f"round(0.5 - qm, 6) AS excess_loss FROM per, tot")
+    return excess_loss_weights_sql(stats, eta=2.0)
+
+
 def q_kmeans_ff(spark, sf_dir):
     """Farthest-first-seeded k-means (operators/simsearch.py
     train_quantizer_ff, Gonzalez 1985 traversal + Lloyd): RNG-free
@@ -5018,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bytebpe_encode": q_bytebpe_encode,
         "bpe_encode_batch": q_bpe_encode_batch,
         "kmeans_ff": q_kmeans_ff,
+        "doremi_weights": q_doremi_weights,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5483,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
         "bytebpe_train": oracle.bytebpe_train_sql(5),
         "bytebpe_encode": oracle.bytebpe_encode_sql(5),
         "kmeans_ff": oracle.kmeans_ff_sql(),
+        "doremi_weights": _doremi_weights_sql(),
         "bpe_encode_batch": oracle.bpe_encode_batch_sql(
             "SELECT doc_id AS id, text || ' drifted' || "
             "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents", 6),

@@ -264,3 +264,50 @@ def temperature_sample_sql(table_sql: str, group_sql: str = "host",
         f"SELECT ranked.id, ranked.grp AS {group_sql}, quotas.quota, "
         f"ranked.rk FROM ranked JOIN quotas ON ranked.grp = quotas.grp "
         f"WHERE ranked.rk <= quotas.quota ORDER BY id")
+
+
+def excess_loss_weights(stats: DataFrame, domain_col: str = "domain",
+                        prior_col: str = "prior",
+                        loss_col: str = "excess_loss",
+                        eta: float = 1.0) -> DataFrame:
+    """(domain, prior, excess_loss, weight): ONE exponentiated-
+    gradient step of DoReMi's domain reweighting (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): w_i proportional to prior_i * exp(eta * excess_i),
+    normalized over domains — domains where the proxy model lags the
+    reference (high excess loss) get MORE training mass.  DoReMi
+    iterates this under proxy-model training; the update itself — the
+    half that belongs in the data engine, feeding
+    ``mixture_resample`` — is a domains-sized projection plus one
+    1-row sum, no corpus touch at all.
+
+    Determinism: exp() rounds to 9 (absorbing the ~1-ulp libm/JVM
+    divergence), the normalizing sum rounds to 9 (absorbing
+    aggregation-order drift), the final quotient rounds to 6 — the
+    module's shared cross-engine float discipline."""
+    g = F.round(
+        F.col(prior_col) *
+        F.round(F.exp(F.lit(float(eta)) * F.col(loss_col)), 9), 9)
+    t = stats.withColumn("__g", g)
+    tot = F.broadcast(t.agg(F.round(F.sum("__g"), 9).alias("__t")))
+    return (t.crossJoin(tot)
+            .select(F.col(domain_col).alias("domain"),
+                    F.col(prior_col).alias("prior"),
+                    F.col(loss_col).alias("excess_loss"),
+                    F.round(F.col("__g") / F.col("__t"), 6)
+                    .alias("weight"))
+            .orderBy("domain"))
+
+
+def excess_loss_weights_sql(stats_sql: str, eta: float = 1.0) -> str:
+    """DuckDB mirror of :func:`excess_loss_weights` over ``stats_sql``
+    ((domain, prior, excess_loss)) — same round-9/round-6 ladder."""
+    e = f"CAST({float(eta)!r} AS DOUBLE)"
+    return (
+        f"WITH s AS ({stats_sql}), "
+        f"g AS (SELECT domain, prior, excess_loss, "
+        f"round(prior * round(exp({e} * excess_loss), 9), 9) AS g "
+        f"FROM s), "
+        f"t AS (SELECT round(sum(g), 9) AS t FROM g) "
+        f"SELECT domain, prior, excess_loss, "
+        f"round(g / t, 6) AS weight FROM g, t ORDER BY domain")

@@ -129,6 +129,24 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ---------------------------------------------------------- DoReMi update
+def test_doremi_eg_step_directions(spark):
+    """Higher excess loss gains mass; zero eta returns the prior;
+    weights normalize to 1."""
+    from nacc_form_validator_spark.operators.budgeting import (
+        excess_loss_weights)
+    stats = spark.createDataFrame(
+        [("hi", 0.5, 0.4), ("lo", 0.5, 0.0)],
+        "domain string, prior double, excess_loss double")
+    got = {r["domain"]: r["weight"]
+           for r in excess_loss_weights(stats, eta=1.0).collect()}
+    assert got["hi"] > 0.5 > got["lo"]
+    assert abs(got["hi"] + got["lo"] - 1.0) < 2e-6
+    flat = {r["domain"]: r["weight"]
+            for r in excess_loss_weights(stats, eta=0.0).collect()}
+    assert flat["hi"] == flat["lo"] == 0.5
+
+
 # ------------------------------------------------------ label propagation
 def test_lpa_separates_two_cliques(spark):
     """Two 3-cliques joined by one bridge edge: components would merge
