@@ -2743,6 +2743,28 @@ def q_robots_rfc9309(spark, sf_dir):
     return robots_gate(pages, robots, agent=FIXTURE_AGENT).orderBy("url")
 
 
+def q_otsu_threshold(spark, sf_dir):
+    """Otsu auto-thresholding of the composite quality score
+    (operators/diagnostics.py otsu_threshold): label-free keep/drop
+    cutoff = the histogram split maximizing between-class variance —
+    one map-side histogram aggregate, then the scan as cumsum windows
+    over the bins-sized table."""
+    from nacc_form_validator_spark.operators.diagnostics import (
+        otsu_threshold)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score)
+    return otsu_threshold(_docs(spark, sf_dir),
+                          quality_score(F.col("text")), bins=20)
+
+
+def _otsu_threshold_sql():
+    from nacc_form_validator_spark.operators.diagnostics import (
+        otsu_threshold_sql)
+    from nacc_form_validator_spark.operators.textstats import (
+        quality_score_sql)
+    return otsu_threshold_sql(quality_score_sql("text"), bins=20)
+
+
 def q_doremi_weights(spark, sf_dir):
     """DoReMi exponentiated-gradient mixture update
     (operators/budgeting.py excess_loss_weights): per-source priors
@@ -5060,6 +5082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_batch": q_bpe_encode_batch,
         "kmeans_ff": q_kmeans_ff,
         "doremi_weights": q_doremi_weights,
+        "otsu_threshold": q_otsu_threshold,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5526,6 +5549,7 @@ def oracle_sql() -> dict[str, str]:
         "bytebpe_encode": oracle.bytebpe_encode_sql(5),
         "kmeans_ff": oracle.kmeans_ff_sql(),
         "doremi_weights": _doremi_weights_sql(),
+        "otsu_threshold": _otsu_threshold_sql(),
         "bpe_encode_batch": oracle.bpe_encode_batch_sql(
             "SELECT doc_id AS id, text || ' drifted' || "
             "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents", 6),

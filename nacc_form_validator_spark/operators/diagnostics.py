@@ -22,7 +22,7 @@ Reference analogue: none (ops surface recast)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,3 +175,99 @@ def score_auc_sql(table_sql: str, score_sql: str, label_sql: str) -> str:
         f"sum(pos * (cneg + neg / 2.0)) AS u FROM c) "
         f"SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 "
         f"THEN round(u / (n_pos * n_neg), 6) END AS auc FROM a")
+
+
+def otsu_threshold(docs: DataFrame, score: Column,
+                   bins: int = 20) -> DataFrame:
+    """(t, threshold, w0, w1, between_var, chosen): Otsu's method
+    (1979) over a [0,1] score histogram — the LABEL-FREE way to pick
+    a keep/drop cutoff: the threshold maximizing between-class
+    variance w0*w1*(mu0-mu1)^2 separates the score distribution's two
+    modes (junk vs prose) without any annotated examples, which is
+    exactly the situation a new quality signal is deployed in
+    (complement to score_auc, which needs labels, and
+    threshold_sweep, which reports but does not choose).
+
+    One histogram aggregate over the corpus (map-side combinable,
+    <= ``bins`` rows leave the shuffle), then the Otsu scan as window
+    cumsums over the bins-sized table — the corpus is touched once.
+    Threshold t splits after bin t-1 (score < t/bins vs >=); rows t =
+    1..bins-1, ``chosen`` marks the argmax (ties -> smallest t).
+    Between-class variance rounds to 9 for the argmax, outputs to 6;
+    every other quantity derives from exact bin counts and fixed-
+    order bins-table cumsums."""
+    b = F.least(F.floor(score * bins), F.lit(bins - 1)).cast("int")
+    hist = docs.select(b.alias("bin")).groupBy("bin") \
+        .agg(F.count("*").alias("cnt"))
+    spark = docs.sparkSession
+    allb = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    hist = (allb.join(hist, "bin", "left")
+            .select("bin", F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    tot = F.broadcast(hist.agg(F.sum("cnt").alias("n")))
+    center = (F.col("bin") + F.lit(0.5)) / F.lit(float(bins))
+    base = (hist.crossJoin(tot)
+            .select("bin", (F.col("cnt") / F.col("n")).alias("p"),
+                    center.alias("c")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = (base
+           .withColumn("cw", F.sum("p").over(w))
+           .withColumn("cmu", F.sum(F.col("p") * F.col("c")).over(w)))
+    mu_t = F.broadcast(cum.agg(
+        F.max("cmu").alias("mu"), F.max("cw").alias("wtot")))
+    rows = (cum.where(F.col("bin") < bins - 1).crossJoin(mu_t)
+            .select(
+                (F.col("bin") + 1).alias("t"),
+                F.col("cw").alias("w0"),
+                (F.col("wtot") - F.col("cw")).alias("w1"),
+                F.col("cmu"), F.col("mu")))
+    mu0 = F.col("cmu") / F.col("w0")
+    mu1 = (F.col("mu") - F.col("cmu")) / F.col("w1")
+    var = F.when((F.col("w0") > 0) & (F.col("w1") > 0),
+                 F.round(F.col("w0") * F.col("w1") *
+                         (mu0 - mu1) * (mu0 - mu1), 9)) \
+        .otherwise(F.lit(0.0))
+    scored = rows.withColumn("between_var", var)
+    wch = Window.orderBy(F.desc("between_var"), F.asc("t"))
+    return (scored
+            .withColumn("chosen", F.row_number().over(wch) == 1)
+            .select("t",
+                    F.round(F.col("t") / F.lit(float(bins)), 6)
+                    .alias("threshold"),
+                    F.round("w0", 6).alias("w0"),
+                    F.round("w1", 6).alias("w1"),
+                    F.round("between_var", 6).alias("between_var"),
+                    "chosen")
+            .orderBy("t"))
+
+
+def otsu_threshold_sql(score_sql: str, bins: int = 20) -> str:
+    """DuckDB mirror of :func:`otsu_threshold` over ``documents`` —
+    same bin mapping, same cumsum windows, same round ladder."""
+    B = bins
+    return f"""
+WITH h0 AS (SELECT CAST(least(floor(({score_sql}) * {B}), {B - 1})
+  AS INT) AS bin, count(*) AS cnt FROM documents GROUP BY 1),
+ab AS (SELECT unnest(range(0, {B})) AS bin),
+h AS (SELECT ab.bin, coalesce(cnt, 0) AS cnt
+  FROM ab LEFT JOIN h0 ON ab.bin = h0.bin),
+n AS (SELECT sum(cnt) AS n FROM h),
+b AS (SELECT bin, cnt / CAST(n AS DOUBLE) AS p,
+  (bin + 0.5) / CAST({B} AS DOUBLE) AS c FROM h, n),
+cum AS (SELECT bin, p, c,
+  sum(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+  sum(p * c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cmu
+  FROM b),
+mt AS (SELECT max(cmu) AS mu, max(cw) AS wtot FROM cum),
+rows_ AS (SELECT bin + 1 AS t, cw AS w0, wtot - cw AS w1, cmu, mu
+  FROM cum, mt WHERE bin < {B - 1}),
+sc AS (SELECT t, w0, w1,
+  CASE WHEN w0 > 0 AND w1 > 0 THEN
+    round(w0 * w1 * (cmu / w0 - (mu - cmu) / w1)
+                  * (cmu / w0 - (mu - cmu) / w1), 9)
+  ELSE 0.0 END AS between_var FROM rows_)
+SELECT t, round(t / CAST({B} AS DOUBLE), 6) AS threshold,
+  round(w0, 6) AS w0, round(w1, 6) AS w1,
+  round(between_var, 6) AS between_var,
+  row_number() OVER (ORDER BY between_var DESC, t ASC) = 1 AS chosen
+FROM sc ORDER BY t"""

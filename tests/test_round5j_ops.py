@@ -129,6 +129,44 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ------------------------------------------------------------------- Otsu
+def test_otsu_finds_bimodal_split(spark):
+    """Scores clustered at ~0.1 and ~0.9: the chosen threshold lands
+    between the modes; a reference Otsu computed in Python agrees."""
+    from pyspark.sql import functions as F
+    from nacc_form_validator_spark.operators.diagnostics import (
+        otsu_threshold)
+    vals = [0.05, 0.08, 0.1, 0.12, 0.15] * 4 + \
+           [0.85, 0.88, 0.9, 0.92, 0.95] * 6
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, s double")
+    out = otsu_threshold(docs, F.col("s"), bins=10).collect()
+    chosen = [r for r in out if r["chosen"]]
+    assert len(chosen) == 1
+    assert 0.2 <= chosen[0]["threshold"] <= 0.8
+    # python reference on the same 10-bin histogram
+    import collections
+    hist = collections.Counter(min(int(v * 10), 9) for v in vals)
+    n = len(vals)
+    best, bestv = None, -1.0
+    mu = sum((b + 0.5) / 10 * c / n for b, c in hist.items())
+    for t in range(1, 10):
+        w0 = sum(c for b, c in hist.items() if b < t) / n
+        w1 = 1 - w0
+        if w0 == 0 or w1 == 0:
+            continue
+        mu0 = sum((b + 0.5) / 10 * c / n
+                  for b, c in hist.items() if b < t) / w0
+        mu1 = (mu - mu0 * w0) / w1
+        v = w0 * w1 * (mu0 - mu1) ** 2
+        if v > bestv:
+            best, bestv = t, v
+    assert chosen[0]["t"] == best
+    # weights on each side sum to 1
+    r = chosen[0]
+    assert abs(r["w0"] + r["w1"] - 1.0) < 2e-6
+
+
 # ---------------------------------------------------------- DoReMi update
 def test_doremi_eg_step_directions(spark):
     """Higher excess loss gains mass; zero eta returns the prior;
