@@ -2757,6 +2757,18 @@ def q_otsu_threshold(spark, sf_dir):
                           quality_score(F.col("text")), bins=20)
 
 
+def _table_ndv_sql():
+    from nacc_form_validator_spark.operators.sketches import (
+        hll_distinct_sql)
+    parts = []
+    for col in ["lang", "source"]:
+        inner = hll_distinct_sql("SELECT * FROM documents", col)
+        parts.append(
+            f"SELECT '{col}' AS col, n_filled, est_distinct "
+            f"FROM ({inner})")
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
 def _otsu_threshold_sql():
     from nacc_form_validator_spark.operators.diagnostics import (
         otsu_threshold_sql)
@@ -4947,6 +4959,33 @@ _TABLE_BLOOM_PRUNE_SQL = (
     "ORDER BY url, ts")
 
 
+def q_table_ndv(spark, sf_dir):
+    """Manifest NDV sketches (sources/tableformat.py table_ndv):
+    per-file HLL registers recorded at write time (puffin-style,
+    keyed by field id), merged driver-side by bucket max — distinct-
+    value estimates per column with NO scan and no Spark job.  Two
+    appends + a compaction exercise sketch inheritance and re-sketch;
+    the merged estimate equals one-shot HLL over the full data, so
+    the hll_distinct oracle form value-checks it."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblndv_"), "tbl")
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    tf.snapshot_write(d.where(F.col("doc_id") % 2 == 0), table,
+                      "doc_id", ndv_cols=["lang", "source"])
+    tf.snapshot_write(d.where(F.col("doc_id") % 2 == 1), table,
+                      "doc_id")
+    tf.compact(table, target_rows=10 ** 9)
+    rows = []
+    for col in ["lang", "source"]:
+        nf, est = tf.table_ndv(table, col)
+        rows.append((col, nf, float(est)))
+    return spark.createDataFrame(
+        rows, "col string, n_filled long, est_distinct double")
+
+
 def q_table_metadata_count(spark, sf_dir):
     """count(*) pushdown (sources/tableformat.py manifest_count): the
     row count answered from manifest stats alone — no Spark job, no
@@ -5083,6 +5122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ff": q_kmeans_ff,
         "doremi_weights": q_doremi_weights,
         "otsu_threshold": q_otsu_threshold,
+        "table_ndv": q_table_ndv,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5550,6 +5590,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_ff": oracle.kmeans_ff_sql(),
         "doremi_weights": _doremi_weights_sql(),
         "otsu_threshold": _otsu_threshold_sql(),
+        "table_ndv": _table_ndv_sql(),
         "bpe_encode_batch": oracle.bpe_encode_batch_sql(
             "SELECT doc_id AS id, text || ' drifted' || "
             "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents", 6),

@@ -547,10 +547,16 @@ def _bloom_may_contain(bitmap_hex: str, v, m: int) -> bool:
                for p in _bloom_probe_positions(v, m))
 
 
+#: HLL register count for manifest NDV sketches (matches the
+#: sketches module's query default so the oracle form is shared)
+_NDV_M = 64
+
+
 def _file_stats(spark: SparkSession, data_dir: str, key: str,
                 seq: int, fields: Optional[list] = None,
                 n_pt: int = 0, read_schema: Optional[dict] = None,
-                bloom_bits: Optional[int] = None) -> list:
+                bloom_bits: Optional[int] = None,
+                ndv_cols: Optional[list] = None) -> list:
     """Per-file (rows, min/max key, sequence number) for the files
     just written — one aggregate over only the new files, collected as
     O(files) metadata.  Iceberg gathers these stats at write time
@@ -604,6 +610,26 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
         if n_pt:
             e["pt"] = [r[f"{_PT}{i}"] for i in range(n_pt)]
         out.append(e)
+    if ndv_cols and fields is not None:
+        # per-file HLL registers per tracked column (puffin-style NDV
+        # sketch, keyed by FIELD ID like the min/max bounds): one extra
+        # aggregate per column over only the new (page-cached) files;
+        # registers merge by max, so reads estimate table-level NDV
+        # without opening a single data file
+        from ..operators.sketches import hll_registers
+        name_to_id = {f["name"]: str(f["id"]) for f in fields}
+        for cname in ndv_cols:
+            fid = name_to_id[cname]
+            regs = hll_registers(
+                df.select(F.input_file_name().alias("__path"),
+                          F.col(cname).cast("string").alias("__k")),
+                F.col("__k"), group_cols=["__path"], m=_NDV_M)
+            per: dict = {}
+            for r in regs.collect():
+                per.setdefault(r["__path"], {})[str(r["bucket"])] = \
+                    int(r["reg"])
+            for e in out:
+                e.setdefault("ndv", {})[fid] = per.get(e["path"], {})
     if bloom_bits:
         blooms = _bloom_bitmaps(df, key, bloom_bits)
         for e in out:
@@ -615,7 +641,8 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
 def _write_data(df: DataFrame, sub: str, key: str, ver: int,
                 fields: list, spec: Optional[list],
                 schema_json: dict, n_out: Optional[int] = None,
-                bloom_bits: Optional[int] = None) -> list:
+                bloom_bits: Optional[int] = None,
+                ndv_cols: Optional[list] = None) -> list:
     """Write one snapshot's data files honoring the table's partition
     spec and return their manifest entries.  With a spec the rows are
     hash-distributed on the partition tuple first (Iceberg's
@@ -628,7 +655,7 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
         out = df if n_out is None else df.coalesce(n_out)
         out.write.mode("error").parquet(sub)
         return _file_stats(spark, sub, key, ver, fields=fields,
-                           bloom_bits=bloom_bits)
+                           bloom_bits=bloom_bits, ndv_cols=ndv_cols)
     pts = _spec_cols(spec, fields)
     names = [f"{_PT}{i}" for i in range(len(spec))]
     d = df.select("*", *pts)
@@ -637,7 +664,7 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
     d.write.mode("error").partitionBy(*names).parquet(sub)
     return _file_stats(spark, sub, key, ver, fields=fields,
                        n_pt=len(spec), read_schema=schema_json,
-                       bloom_bits=bloom_bits)
+                       bloom_bits=bloom_bits, ndv_cols=ndv_cols)
 
 
 def _new_fields(schema) -> list:
@@ -656,6 +683,7 @@ def snapshot_write(df: DataFrame, path: str, key: str,
                    token: Optional[str] = None,
                    partition_spec: Optional[list] = None,
                    bloom_bits: Optional[int] = None,
+                   ndv_cols: Optional[list] = None,
                    ref: str = "main") -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
@@ -721,6 +749,9 @@ def snapshot_write(df: DataFrame, path: str, key: str,
         if bloom_bits is not None:
             raise ValueError("bloom_bits is set at table creation; "
                              "appends inherit it")
+        if ndv_cols is not None:
+            raise ValueError("ndv_cols is set at table creation; "
+                             "appends inherit it")
     wfields = _new_fields(df.schema) if prev is None else prev["fields"]
     if prev is None:
         spec = (_normalize_spec(partition_spec, wfields, dict(df.dtypes))
@@ -730,14 +761,20 @@ def snapshot_write(df: DataFrame, path: str, key: str,
             raise ValueError("bloom_bits must be a positive multiple "
                              "of 8")
         bloom = bloom_bits
+        if ndv_cols is not None:
+            missing = [c for c in ndv_cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"ndv_cols not in schema: {missing}")
+        ndv = list(ndv_cols) if ndv_cols else None
         schema = df.schema.jsonValue()
     else:
         spec = prev.get("partition_spec")
         bloom = prev.get("bloom_bits")
+        ndv = prev.get("ndv_cols")
         schema = prev["schema"]
     sub = os.path.join(path, _DATA, f"s{ver}")
     added = _write_data(df, sub, key, ver, wfields, spec, schema,
-                        bloom_bits=bloom)
+                        bloom_bits=bloom, ndv_cols=ndv)
     if prev is None:
         fields = wfields
         files, deletes, ws = added, [], {}
@@ -757,6 +794,7 @@ def snapshot_write(df: DataFrame, path: str, key: str,
                    "operation": mode, "key": key,
                    "schema": schema, "fields": fields,
                    "partition_spec": spec, "bloom_bits": bloom,
+                   "ndv_cols": ndv,
                    "last_field_id": last_id, "write_schemas": ws,
                    "tokens": tokens,
                    "files": files, "added": added, "deletes": deletes},
@@ -1053,7 +1091,8 @@ def merge_upsert(updates: DataFrame, path: str,
                         manifest["fields"],
                         manifest.get("partition_spec"),
                         manifest["schema"],
-                        bloom_bits=manifest.get("bloom_bits"))
+                        bloom_bits=manifest.get("bloom_bits"),
+                        ndv_cols=manifest.get("ndv_cols"))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     tokens = dict(manifest.get("tokens", {}))
@@ -1066,6 +1105,7 @@ def merge_upsert(updates: DataFrame, path: str,
                    "fields": manifest["fields"],
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
+                   "ndv_cols": manifest.get("ndv_cols"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -1108,6 +1148,7 @@ def delete_keys(keys: DataFrame, path: str,
                    "fields": manifest["fields"],
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
+                   "ndv_cols": manifest.get("ndv_cols"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": manifest["write_schemas"],
                    "files": manifest["files"], "added": [],
@@ -1142,7 +1183,8 @@ def compact(path: str, target_rows: int,
                         sub, key, ver, manifest["fields"],
                         manifest.get("partition_spec"),
                         manifest["schema"], n_out=n_out,
-                        bloom_bits=manifest.get("bloom_bits"))
+                        bloom_bits=manifest.get("bloom_bits"),
+                        ndv_cols=manifest.get("ndv_cols"))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     # A delete entry is live only while some remaining file predates it
@@ -1157,6 +1199,7 @@ def compact(path: str, target_rows: int,
                    "fields": manifest["fields"],
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
+                   "ndv_cols": manifest.get("ndv_cols"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -1204,7 +1247,8 @@ def rewrite_clustered(path: str, target_rows: int,
        .write.mode("error").parquet(sub))
     added = _file_stats(spark, sub, key, ver,
                         fields=manifest["fields"],
-                        bloom_bits=manifest.get("bloom_bits"))
+                        bloom_bits=manifest.get("bloom_bits"),
+                        ndv_cols=manifest.get("ndv_cols"))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver,
@@ -1214,6 +1258,7 @@ def rewrite_clustered(path: str, target_rows: int,
                    "fields": manifest["fields"],
                    "partition_spec": None,
                    "bloom_bits": manifest.get("bloom_bits"),
+                   "ndv_cols": manifest.get("ndv_cols"),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": added, "added": added, "deletes": []})
@@ -1233,6 +1278,7 @@ def _evolve(path: str, op: str, fields: list, schema: dict,
                    "fields": fields,
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
+                   "ndv_cols": manifest.get("ndv_cols"),
                    "last_field_id": (manifest["last_field_id"]
                                      if last_id is None else last_id),
                    "write_schemas": manifest["write_schemas"],
@@ -1547,3 +1593,57 @@ def table_changelog(spark: SparkSession, path: str, since: int,
           .otherwise(F.col(f"n.{c}")).alias(c) for c in cols],
         op.alias("op"))
     return out.where(F.col("op").isNotNull())
+
+
+def table_ndv(path: str, col: str,
+              version: Optional[int] = None) -> "tuple[int, float]":
+    """(n_filled, est_distinct): approximate number of distinct values
+    of ``col`` across the table's LIVE data files, answered from the
+    manifest's per-file HLL registers — no Spark job, no data file
+    opened (Iceberg's puffin NDV-sketch read path; the CBO input a
+    join planner wants).
+
+    Registers merge by per-bucket max (HLL union is exact), so the
+    merged estimate EQUALS the one-shot estimate over the same rows —
+    the table-level value hash-matches ``hll_distinct`` run on the
+    full data (same alpha, same small-range correction, same round-4).
+    Requires the table to have been created with ``ndv_cols``; files
+    written before tracking raise (fail-closed, like
+    ``manifest_count`` under pending deletes).  Merge-on-read deletes
+    do NOT subtract (sketches are insert-only) — the estimate covers
+    rows as written; compaction re-sketches and makes it exact again.
+    """
+    import math
+
+    from ..operators.sketches import _alpha
+
+    man = load_manifest(path, version)
+    tracked = man.get("ndv_cols") or []
+    if col not in tracked:
+        raise ValueError(
+            f"table_ndv: column {col!r} is not NDV-tracked "
+            f"(ndv_cols={tracked})")
+    fid = None
+    for f in man["fields"]:
+        if f["name"] == col:
+            fid = str(f["id"])
+    merged: dict = {}
+    for entry in man["files"]:
+        regs = entry.get("ndv", {}).get(fid)
+        if regs is None:
+            raise ValueError(
+                f"table_ndv: file {entry['path']} carries no NDV "
+                f"registers for {col!r} (written before tracking?)")
+        for b, r in regs.items():
+            bi = int(b)
+            if r > merged.get(bi, 0):
+                merged[bi] = r
+    m = _NDV_M
+    n_filled = len(merged)
+    zeros = float(m - n_filled)
+    s = sum(2.0 ** (-merged[b]) for b in sorted(merged))
+    amm = _alpha(m) * m * m
+    raw = amm / (s + zeros)
+    est = (m * math.log(m / zeros)
+           if (raw <= 2.5 * m and zeros > 0) else raw)
+    return n_filled, round(est, 4)

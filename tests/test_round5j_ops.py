@@ -129,6 +129,40 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ----------------------------------------------------- manifest NDV sketch
+def test_table_ndv_matches_hll_and_fails_closed(spark, tmp_path):
+    from nacc_form_validator_spark.operators.sketches import hll_distinct
+    from nacc_form_validator_spark.sources import tableformat as tf
+    d = spark.createDataFrame(
+        [(i, f"lang{i % 7}") for i in range(300)],
+        "doc_id long, lang string")
+    table = str(tmp_path / "tbl")
+    tf.snapshot_write(d.where("doc_id % 2 = 0"), table, "doc_id",
+                      ndv_cols=["lang"])
+    tf.snapshot_write(d.where("doc_id % 2 = 1"), table, "doc_id")
+    nf, est = tf.table_ndv(table, "lang")
+    # merged per-file registers == one-shot HLL over the full data
+    ref = hll_distinct(d, F.col("lang").cast("string")).collect()[0]
+    assert (nf, est) == (ref["n_filled"], ref["est_distinct"])
+    # untracked column and append-time ndv_cols both refuse
+    with pytest.raises(ValueError):
+        tf.table_ndv(table, "doc_id")
+    with pytest.raises(ValueError):
+        tf.snapshot_write(d, table, "doc_id", ndv_cols=["lang"])
+    # compaction re-sketches; estimate unchanged
+    tf.compact(table, target_rows=10 ** 9)
+    assert tf.table_ndv(table, "lang") == (nf, est)
+
+
+def test_table_ndv_pre_tracking_files_refuse(spark, tmp_path):
+    from nacc_form_validator_spark.sources import tableformat as tf
+    d = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    table = str(tmp_path / "tbl")
+    tf.snapshot_write(d, table, "doc_id")        # no tracking
+    with pytest.raises(ValueError):
+        tf.table_ndv(table, "lang")
+
+
 # ------------------------------------------------------------------- Otsu
 def test_otsu_finds_bimodal_split(spark):
     """Scores clustered at ~0.1 and ~0.9: the chosen threshold lands
