@@ -4959,6 +4959,54 @@ _TABLE_BLOOM_PRUNE_SQL = (
     "ORDER BY url, ts")
 
 
+def q_table_spec_evolution(spark, sf_dir):
+    """Partition-spec evolution (sources/tableformat.py
+    evolve_partition_spec, Iceberg v2): table created partitioned by
+    identity(lang), evolved to bucket(doc_id, 8) with ZERO data
+    movement, appended and merge-patched under the new spec — then
+    read through both prune regimes (a lang filter prunes spec-0
+    files, a doc_id point filter bucket-prunes spec-1 files; each
+    spec's files prune under the spec they were written with, the
+    rest are kept conservatively, residual filters keep results
+    exact)."""
+    import os
+    import tempfile
+
+    from nacc_form_validator_spark.sources import tableformat as tf
+    table = os.path.join(tempfile.mkdtemp(prefix="qf_tblspec_"), "tbl")
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    tf.snapshot_write(d.where(F.col("doc_id") % 2 == 0), table,
+                      "doc_id", partition_spec=[("identity", "lang")])
+    tf.evolve_partition_spec(table, [("bucket", "doc_id", 8)])
+    tf.snapshot_write(d.where(F.col("doc_id") % 2 == 1), table,
+                      "doc_id")
+    upd = (d.where(F.col("doc_id").isin(1, 2))
+           .withColumn("source", F.lit("patched")))
+    tf.merge_upsert(upd, table)
+    by_lang = tf.snapshot_read(spark, table,
+                               filters={"lang": ("en", "en")})
+    by_id = tf.snapshot_read(spark, table,
+                             filters={"doc_id": (7, 7)})
+    return (by_lang.select(F.lit("by_lang").alias("probe"), "doc_id",
+                           "lang", "source")
+            .unionByName(by_id.select(F.lit("by_id").alias("probe"),
+                                      "doc_id", "lang", "source"))
+            .orderBy("probe", "doc_id"))
+
+
+def _table_spec_evolution_sql():
+    patched = ("SELECT doc_id, lang, CASE WHEN doc_id IN (1, 2) "
+               "THEN 'patched' ELSE source END AS source "
+               "FROM documents")
+    return (
+        f"WITH t AS ({patched}) "
+        f"SELECT 'by_lang' AS probe, doc_id, lang, source FROM t "
+        f"WHERE lang = 'en' "
+        f"UNION ALL "
+        f"SELECT 'by_id', doc_id, lang, source FROM t "
+        f"WHERE doc_id = 7 ORDER BY probe, doc_id")
+
+
 def q_table_ndv(spark, sf_dir):
     """Manifest NDV sketches (sources/tableformat.py table_ndv):
     per-file HLL registers recorded at write time (puffin-style,
@@ -5123,6 +5171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights": q_doremi_weights,
         "otsu_threshold": q_otsu_threshold,
         "table_ndv": q_table_ndv,
+        "table_spec_evolution": q_table_spec_evolution,
         "iban_scrub": q_iban_scrub,
         "host_split": q_host_split,
         "host_hits": q_host_hits,
@@ -5591,6 +5640,7 @@ def oracle_sql() -> dict[str, str]:
         "doremi_weights": _doremi_weights_sql(),
         "otsu_threshold": _otsu_threshold_sql(),
         "table_ndv": _table_ndv_sql(),
+        "table_spec_evolution": _table_spec_evolution_sql(),
         "bpe_encode_batch": oracle.bpe_encode_batch_sql(
             "SELECT doc_id AS id, text || ' drifted' || "
             "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents", 6),

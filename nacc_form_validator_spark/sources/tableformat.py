@@ -451,34 +451,53 @@ def _prune_partitions(files: list, manifest: dict,
     bucket prunes on equality only (``(v, v)``).  Files without a
     recorded tuple (written before the spec, or by a writer predating
     it) are conservatively kept — pruning is never lossy."""
-    spec = manifest.get("partition_spec") or []
-    if not filters or not spec:
+    specs = manifest.get("partition_specs")
+    cur = manifest.get("partition_spec") or []
+    if not filters or (not cur and not specs):
         return files
     names = {f["id"]: f["name"] for f in manifest["fields"]}
-    checks = []
-    for i, sp in enumerate(spec):
-        col = names.get(sp["fid"])
-        if col is None or col not in filters:
-            continue
-        lo, hi = filters[col]
-        if sp["transform"] == "bucket":
-            if lo is None or hi is None or lo != hi:
-                continue        # bucket cannot prune a range
-            b = _transform_literal(sp, lo)
-            checks.append((i, b, b))
+
+    def build_checks(spec):
+        checks = []
+        for i, sp in enumerate(spec or []):
+            col = names.get(sp["fid"])
+            if col is None or col not in filters:
+                continue
+            lo, hi = filters[col]
+            if sp["transform"] == "bucket":
+                if lo is None or hi is None or lo != hi:
+                    continue    # bucket cannot prune a range
+                b = _transform_literal(sp, lo)
+                checks.append((i, b, b))
+            else:
+                checks.append((i,
+                               _transform_literal(sp, lo),
+                               _transform_literal(sp, hi)))
+        return checks
+
+    # spec evolution: each file prunes under the spec IT WAS WRITTEN
+    # with (Iceberg v2) — legacy files (no spec_id) resolve to spec 0
+    # when a spec log exists, else to the table's single spec
+    by_spec: dict = {}
+
+    def checks_for(f):
+        if specs is None:
+            sid = "__single__"
+            spec = cur
         else:
-            checks.append((i,
-                           _transform_literal(sp, lo),
-                           _transform_literal(sp, hi)))
-    if not checks:
-        return files
+            sid = str(f.get("spec_id", 0))
+            spec = specs.get(sid)
+        if sid not in by_spec:
+            by_spec[sid] = build_checks(spec)
+        return by_spec[sid]
+
     out = []
     for f in files:
         pt = f.get("pt")
         keep = True
         if pt is not None:
-            for i, plo, phi in checks:
-                v = pt[i]
+            for i, plo, phi in checks_for(f):
+                v = pt[i] if i < len(pt) else None
                 if v is None:
                     continue
                 if (plo is not None and v < plo) or (
@@ -556,7 +575,8 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
                 seq: int, fields: Optional[list] = None,
                 n_pt: int = 0, read_schema: Optional[dict] = None,
                 bloom_bits: Optional[int] = None,
-                ndv_cols: Optional[list] = None) -> list:
+                ndv_cols: Optional[list] = None,
+                spec_id: Optional[int] = None) -> list:
     """Per-file (rows, min/max key, sequence number) for the files
     just written — one aggregate over only the new files, collected as
     O(files) metadata.  Iceberg gathers these stats at write time
@@ -610,6 +630,9 @@ def _file_stats(spark: SparkSession, data_dir: str, key: str,
         if n_pt:
             e["pt"] = [r[f"{_PT}{i}"] for i in range(n_pt)]
         out.append(e)
+    if spec_id is not None:
+        for e in out:
+            e["spec_id"] = spec_id
     if ndv_cols and fields is not None:
         # per-file HLL registers per tracked column (puffin-style NDV
         # sketch, keyed by FIELD ID like the min/max bounds): one extra
@@ -642,7 +665,8 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
                 fields: list, spec: Optional[list],
                 schema_json: dict, n_out: Optional[int] = None,
                 bloom_bits: Optional[int] = None,
-                ndv_cols: Optional[list] = None) -> list:
+                ndv_cols: Optional[list] = None,
+                spec_id: Optional[int] = None) -> list:
     """Write one snapshot's data files honoring the table's partition
     spec and return their manifest entries.  With a spec the rows are
     hash-distributed on the partition tuple first (Iceberg's
@@ -655,7 +679,8 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
         out = df if n_out is None else df.coalesce(n_out)
         out.write.mode("error").parquet(sub)
         return _file_stats(spark, sub, key, ver, fields=fields,
-                           bloom_bits=bloom_bits, ndv_cols=ndv_cols)
+                           bloom_bits=bloom_bits, ndv_cols=ndv_cols,
+                           spec_id=spec_id)
     pts = _spec_cols(spec, fields)
     names = [f"{_PT}{i}" for i in range(len(spec))]
     d = df.select("*", *pts)
@@ -664,7 +689,8 @@ def _write_data(df: DataFrame, sub: str, key: str, ver: int,
     d.write.mode("error").partitionBy(*names).parquet(sub)
     return _file_stats(spark, sub, key, ver, fields=fields,
                        n_pt=len(spec), read_schema=schema_json,
-                       bloom_bits=bloom_bits, ndv_cols=ndv_cols)
+                       bloom_bits=bloom_bits, ndv_cols=ndv_cols,
+                       spec_id=spec_id)
 
 
 def _new_fields(schema) -> list:
@@ -773,8 +799,12 @@ def snapshot_write(df: DataFrame, path: str, key: str,
         ndv = prev.get("ndv_cols")
         schema = prev["schema"]
     sub = os.path.join(path, _DATA, f"s{ver}")
+    spec_log = None if prev is None else prev.get("partition_specs")
+    cur_sid = 0 if prev is None else int(prev.get("current_spec_id", 0))
     added = _write_data(df, sub, key, ver, wfields, spec, schema,
-                        bloom_bits=bloom, ndv_cols=ndv)
+                        bloom_bits=bloom, ndv_cols=ndv,
+                        spec_id=cur_sid if spec_log is not None
+                        else None)
     if prev is None:
         fields = wfields
         files, deletes, ws = added, [], {}
@@ -794,6 +824,8 @@ def snapshot_write(df: DataFrame, path: str, key: str,
                    "operation": mode, "key": key,
                    "schema": schema, "fields": fields,
                    "partition_spec": spec, "bloom_bits": bloom,
+                   "partition_specs": spec_log,
+                   "current_spec_id": cur_sid,
                    "ndv_cols": ndv,
                    "last_field_id": last_id, "write_schemas": ws,
                    "tokens": tokens,
@@ -1092,7 +1124,10 @@ def merge_upsert(updates: DataFrame, path: str,
                         manifest.get("partition_spec"),
                         manifest["schema"],
                         bloom_bits=manifest.get("bloom_bits"),
-                        ndv_cols=manifest.get("ndv_cols"))
+                        ndv_cols=manifest.get("ndv_cols"),
+                        spec_id=(manifest.get("current_spec_id", 0)
+                                 if manifest.get("partition_specs")
+                                 is not None else None))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     tokens = dict(manifest.get("tokens", {}))
@@ -1106,6 +1141,8 @@ def merge_upsert(updates: DataFrame, path: str,
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
                    "ndv_cols": manifest.get("ndv_cols"),
+                   "partition_specs": manifest.get("partition_specs"),
+                   "current_spec_id": manifest.get("current_spec_id", 0),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -1149,6 +1186,8 @@ def delete_keys(keys: DataFrame, path: str,
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
                    "ndv_cols": manifest.get("ndv_cols"),
+                   "partition_specs": manifest.get("partition_specs"),
+                   "current_spec_id": manifest.get("current_spec_id", 0),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": manifest["write_schemas"],
                    "files": manifest["files"], "added": [],
@@ -1184,7 +1223,10 @@ def compact(path: str, target_rows: int,
                         manifest.get("partition_spec"),
                         manifest["schema"], n_out=n_out,
                         bloom_bits=manifest.get("bloom_bits"),
-                        ndv_cols=manifest.get("ndv_cols"))
+                        ndv_cols=manifest.get("ndv_cols"),
+                        spec_id=(manifest.get("current_spec_id", 0)
+                                 if manifest.get("partition_specs")
+                                 is not None else None))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     # A delete entry is live only while some remaining file predates it
@@ -1200,6 +1242,8 @@ def compact(path: str, target_rows: int,
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
                    "ndv_cols": manifest.get("ndv_cols"),
+                   "partition_specs": manifest.get("partition_specs"),
+                   "current_spec_id": manifest.get("current_spec_id", 0),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": kept + added, "added": added,
@@ -1248,7 +1292,10 @@ def rewrite_clustered(path: str, target_rows: int,
     added = _file_stats(spark, sub, key, ver,
                         fields=manifest["fields"],
                         bloom_bits=manifest.get("bloom_bits"),
-                        ndv_cols=manifest.get("ndv_cols"))
+                        ndv_cols=manifest.get("ndv_cols"),
+                        spec_id=(manifest.get("current_spec_id", 0)
+                                 if manifest.get("partition_specs")
+                                 is not None else None))
     ws = dict(manifest["write_schemas"])
     ws[str(ver)] = _ws_entry(manifest["schema"], manifest["fields"])
     _commit(path, {"version": ver,
@@ -1259,6 +1306,8 @@ def rewrite_clustered(path: str, target_rows: int,
                    "partition_spec": None,
                    "bloom_bits": manifest.get("bloom_bits"),
                    "ndv_cols": manifest.get("ndv_cols"),
+                   "partition_specs": manifest.get("partition_specs"),
+                   "current_spec_id": manifest.get("current_spec_id", 0),
                    "last_field_id": manifest["last_field_id"],
                    "write_schemas": ws,
                    "files": added, "added": added, "deletes": []})
@@ -1279,6 +1328,8 @@ def _evolve(path: str, op: str, fields: list, schema: dict,
                    "partition_spec": manifest.get("partition_spec"),
                    "bloom_bits": manifest.get("bloom_bits"),
                    "ndv_cols": manifest.get("ndv_cols"),
+                   "partition_specs": manifest.get("partition_specs"),
+                   "current_spec_id": manifest.get("current_spec_id", 0),
                    "last_field_id": (manifest["last_field_id"]
                                      if last_id is None else last_id),
                    "write_schemas": manifest["write_schemas"],
@@ -1647,3 +1698,49 @@ def table_ndv(path: str, col: str,
     est = (m * math.log(m / zeros)
            if (raw <= 2.5 * m and zeros > 0) else raw)
     return n_filled, round(est, 4)
+
+
+def evolve_partition_spec(path: str,
+                          new_spec: Optional[list]) -> int:
+    """Partition-spec evolution (Iceberg v2, metadata-only): future
+    writes lay data out — and record partition tuples — under
+    ``new_spec``; EXISTING files keep the spec they were written with
+    and keep pruning under it, so the commit moves ZERO data.  Pass
+    None to make future writes unpartitioned.  Reads are unaffected
+    (file access is path-explicit; partition values live only in the
+    manifest).  Merge and compaction rewrites adopt the CURRENT spec,
+    which is how old layouts migrate incrementally — exactly
+    Iceberg's behavior.
+
+    The spec log assigns every spec an id; file entries written after
+    the first evolution carry their spec id, and legacy entries
+    resolve to spec 0 (the creation spec)."""
+    from pyspark.sql.types import StructType
+    manifest = load_manifest(path)
+    st = StructType.fromJson(manifest["schema"])
+    dtypes = {f.name: f.dataType.simpleString() for f in st.fields}
+    spec = (_normalize_spec(new_spec, manifest["fields"], dtypes)
+            if new_spec else None)
+    specs = dict(manifest.get("partition_specs") or {})
+    if not specs:
+        specs["0"] = manifest.get("partition_spec")
+    new_id = max(int(k) for k in specs) + 1
+    specs[str(new_id)] = spec
+    ver = _next_version(path)
+    _commit(path, {"version": ver,
+                   "parent": manifest["version"],
+                   "operation": "evolve-spec",
+                   "key": manifest["key"],
+                   "schema": manifest["schema"],
+                   "tokens": manifest.get("tokens", {}),
+                   "fields": manifest["fields"],
+                   "partition_spec": spec,
+                   "partition_specs": specs,
+                   "current_spec_id": new_id,
+                   "bloom_bits": manifest.get("bloom_bits"),
+                   "ndv_cols": manifest.get("ndv_cols"),
+                   "last_field_id": manifest["last_field_id"],
+                   "write_schemas": manifest["write_schemas"],
+                   "files": manifest["files"], "added": [],
+                   "deletes": manifest.get("deletes", [])})
+    return ver

@@ -129,6 +129,64 @@ def test_robots_comments_and_case(spark):
     assert got["https://h.example/open"] is True
 
 
+# ------------------------------------------------- partition-spec evolution
+def test_spec_evolution_prunes_per_file_spec(spark, tmp_path):
+    from nacc_form_validator_spark.sources import tableformat as tf
+    from nacc_form_validator_spark.sources.tableformat import (
+        _prune_partitions, load_manifest)
+    d = spark.createDataFrame(
+        [(i, f"l{i % 3}") for i in range(60)],
+        "doc_id long, lang string")
+    table = str(tmp_path / "tbl")
+    tf.snapshot_write(d.where("doc_id % 2 = 0"), table, "doc_id",
+                      partition_spec=[("identity", "lang")])
+    tf.evolve_partition_spec(table, [("bucket", "doc_id", 4)])
+    tf.snapshot_write(d.where("doc_id % 2 = 1"), table, "doc_id")
+    man = load_manifest(table)
+    n_all = len(man["files"])
+    spec0 = [f for f in man["files"] if f.get("spec_id", 0) == 0]
+    spec1 = [f for f in man["files"] if f.get("spec_id", 0) == 1]
+    assert spec0 and spec1
+    # lang filter prunes spec-0 files only; spec-1 kept conservatively
+    kept = _prune_partitions(man["files"], man,
+                             {"lang": ("l1", "l1")})
+    assert len(kept) < n_all
+    assert all(f in kept for f in spec1)
+    # doc_id point filter bucket-prunes spec-1 only; spec-0 all kept
+    kept2 = _prune_partitions(man["files"], man, {"doc_id": (7, 7)})
+    assert len(kept2) < n_all
+    assert all(f in kept2 for f in spec0)
+    # exactness through both regimes
+    got = sorted(
+        (r["doc_id"], r["lang"]) for r in
+        tf.snapshot_read(spark, table,
+                         filters={"lang": ("l1", "l1")}).collect())
+    want = sorted((i, f"l{i % 3}") for i in range(60) if i % 3 == 1)
+    assert got == want
+
+
+def test_spec_evolution_rewrites_adopt_current_spec(spark, tmp_path):
+    from nacc_form_validator_spark.sources import tableformat as tf
+    from nacc_form_validator_spark.sources.tableformat import (
+        load_manifest)
+    d = spark.createDataFrame(
+        [(i, f"l{i % 3}") for i in range(40)],
+        "doc_id long, lang string")
+    table = str(tmp_path / "tbl")
+    tf.snapshot_write(d, table, "doc_id",
+                      partition_spec=[("identity", "lang")])
+    tf.evolve_partition_spec(table, None)    # future writes unpartitioned
+    upd = d.where("doc_id < 5").withColumn("lang", F.lit("patched"))
+    tf.merge_upsert(upd, table)
+    man = load_manifest(table)
+    # rewritten files carry the current (None) spec id
+    assert any(f.get("spec_id") == 1 for f in man["files"])
+    got = {r["doc_id"]: r["lang"]
+           for r in tf.snapshot_read(spark, table).collect()}
+    assert got[0] == "patched" and got[39] == f"l{39 % 3}"
+    assert len(got) == 40
+
+
 # ----------------------------------------------------- manifest NDV sketch
 def test_table_ndv_matches_hll_and_fails_closed(spark, tmp_path):
     from nacc_form_validator_spark.operators.sketches import hll_distinct
